@@ -1,0 +1,84 @@
+"""Table catalog over the driver-generated parquet test tables.
+
+TESTDATA.md: TPC-H-ish star schema (region nation customer supplier
+part orders lineitem) + an ``events`` stream table + LLM corpora
+(``documents``, ``embeddings``), one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning on every scan. ``load_tables`` also registers
+temp views so any operator can be expressed in Spark SQL as well.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (they grow sub-linearly or not at all in TPC-H-style data).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Plain parquet scan — filters and
+    projections applied by callers reach the scan via Catalyst."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _read_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos and rebuild a
+    TIMESTAMP_NTZ. ``convert_timezone('UTC', ...)`` pins the wall-clock
+    value regardless of the session timezone, so results are identical
+    under any driver session config (and match DuckDB's naive reads).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    return raw.withColumn(
+        "ts",
+        # integer `div`, not `/`: at ~1.7e18 nanos a double division is
+        # off by whole microseconds.
+        F.convert_timezone(
+            None, F.lit("UTC"), F.timestamp_micros(F.expr("ts div 1000"))
+        ),
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Read every table; optionally register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

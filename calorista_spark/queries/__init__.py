@@ -1,0 +1,9 @@
+"""Aggregates every query module into the registry.
+
+Importing this package populates ``QUERIES`` / ``ORACLES`` — the
+surface consumed by ``__spark_entry__.py``, ``bench.py``, and the
+parity tests.
+"""
+
+from calorista_spark.queries import core  # noqa: F401
+from calorista_spark.queries.registry import ORACLES, QUERIES  # noqa: F401

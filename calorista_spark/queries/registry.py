@@ -1,0 +1,44 @@
+"""Query registry backing ``__spark_entry__.py`` and ``bench.py``.
+
+Every operator from SURVEY §2 that the engine claims as done registers
+here: a Spark callable ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) a DuckDB oracle SQL string computing the same result
+with the SAME column names — the driver compares row count + schema +
+order-insensitive value hash.
+
+Cross-engine determinism conventions (why every query looks the way
+it does):
+- every aggregate/computed double is wrapped in ``round(x, 4)`` on BOTH
+  sides, so sub-ulp differences from parallel summation order never
+  reach the hash;
+- temporal outputs are DATE or formatted strings (the parquet files
+  carry timestamp_ntz, so no zone is involved);
+- any "pick one row of a tie" op breaks ties on a total order that
+  includes a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` marks a non-SQL-expressible op
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
