@@ -20,7 +20,9 @@ def epoch_days_to_date(col: Column | str) -> Column:
     ``timedelta(days=...)``, None on error).
     """
     c = F.col(col) if isinstance(col, str) else col
-    days = c.cast("double").cast("int")  # "20215.0" → 20215; bad → null
+    # try_cast, not cast: ANSI mode (Spark 4 default) would throw on
+    # malformed input; the reference returns None (main.py:38-39).
+    days = c.try_cast("double").try_cast("int")  # "20215.0" → 20215; bad → null
     return F.date_add(F.to_date(F.lit(_EPOCH)), days)
 
 

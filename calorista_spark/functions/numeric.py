@@ -13,7 +13,9 @@ def coerce_double(col: Column | str, default: float = 0.0) -> Column:
     "coerce").fillna(0.0)``) and models.py:49-56 (``float(x or 0)``).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.cast("double"), F.lit(float(default)))
+    # try_cast: ANSI mode throws on malformed strings; the reference
+    # coerces them to the default instead.
+    return F.coalesce(c.try_cast("double"), F.lit(float(default)))
 
 
 def share_pct(col: Column | str, total: Column) -> Column:

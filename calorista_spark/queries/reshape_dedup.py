@@ -1,0 +1,293 @@
+"""Reshape, dedup, and merge queries (SURVEY §2.4, §2.7).
+
+These exercise the operator modules (``operators/reshape.py``,
+``operators/dedup.py``, ``operators/merge.py``) through the
+correctness gate; the merge queries synthesize a target/source pair
+deterministically from the events table so the oracle can rebuild the
+exact same inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.operators.dedup import exact_dedup
+from calorista_spark.operators.merge import merge_classify, merge_upsert, with_row_hash
+from calorista_spark.operators.reshape import date_spine, group_collect, unpivot
+from calorista_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# O-R1 unpivot: wide totals → long (measure, amount) — used 4× in the
+# reference dashboard (streamlit_app.py:346-351,446-451,470-475,571-576).
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT
+    l_returnflag,
+    ROUND(SUM(l_quantity), 4)       AS total_qty,
+    ROUND(SUM(l_extendedprice), 4)  AS total_price,
+    ROUND(SUM(l_discount), 4)       AS total_discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'total_qty' AS measure, total_qty AS amount FROM wide
+UNION ALL
+SELECT l_returnflag, 'total_price', total_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'total_discount', total_discount FROM wide
+ORDER BY l_returnflag, measure
+"""
+
+
+@query("unpivot_measures", _UNPIVOT_ORACLE)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-R1: native ``unpivot`` over aggregated measures."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.round(F.sum("l_discount"), 4).alias("total_discount"),
+    )
+    return unpivot(
+        wide,
+        ids=["l_returnflag"],
+        values=["total_qty", "total_price", "total_discount"],
+        var_name="measure",
+        value_name="amount",
+    ).orderBy("l_returnflag", "measure")
+
+
+# ---------------------------------------------------------------------------
+# O-R2 date-spine densify: full daily spine, missing days stay NULL —
+# the reference's deliberate NaN-preserving reindex
+# (streamlit_app.py:326-332; SURVEY §7 "two distinct null policies").
+# ---------------------------------------------------------------------------
+
+_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         ROUND(SUM(o_totalprice), 4) AS total_price,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+  GROUP BY 1
+)
+SELECT s.date, d.total_price, d.n_orders
+FROM spine s LEFT JOIN daily d ON s.date = d.order_date
+ORDER BY s.date
+"""
+
+
+@query("date_spine_daily", _SPINE_ORACLE)
+def date_spine_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-R2: spine left-join; nulls (not zeros) on missing days."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate").between("1996-01-01", "1996-03-31 23:59:59")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    spine = date_spine(spark, "1996-01-01", "1996-03-31")
+    return (
+        F.broadcast(spine)
+        .join(daily, spine["date"] == daily["order_date"], "left")
+        .select("date", "total_price", "n_orders")
+        .orderBy("date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-R4 union of batches + O-R3 distinct.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_region_nation_names",
+    """
+SELECT DISTINCT name FROM (
+  SELECT r_name AS name FROM region
+  UNION ALL
+  SELECT n_name FROM nation
+) ORDER BY name
+""",
+)
+def union_region_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-R4: unionByName across sources, distinct (main.py:100's
+    per-day batch append restated)."""
+    region = read_table(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    nation = read_table(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return region.unionByName(nation).distinct().orderBy("name")
+
+
+# ---------------------------------------------------------------------------
+# O-R5 group-collect: deterministic (sorted) per-key lists, serialized
+# so the value hash is engine-neutral.
+# ---------------------------------------------------------------------------
+
+_GROUP_COLLECT_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_orderkey <= 200
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+@query("group_collect_lines", _GROUP_COLLECT_ORACLE)
+def group_collect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-R5: collect entries into per-key lists (main.py:116-130)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    collected = group_collect(li, ["l_orderkey"], "l_linenumber", sort=True)
+    return collected.select(
+        "l_orderkey",
+        F.array_join(F.col("values"), ",").alias("line_numbers"),
+        F.size("values").cast("long").alias("n_lines"),
+    ).orderBy("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# O-D1/O-D2 exact dedup, deterministic first-seen.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, ts, ROUND(value, 4) AS value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@query("dedup_first_event", _DEDUP_ORACLE)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D1: first-seen-wins dedup with an explicit arrival order
+    (main.py:96-105's fingerprint set, made deterministic)."""
+    events = read_table(spark, sf_dir, "events")
+    deduped = exact_dedup(
+        events, keys=["user_id", "event_type"], keep_order=["ts", "event_id"]
+    )
+    return deduped.select(
+        "user_id", "event_type", "event_id", "ts", F.round("value", 4).alias("value")
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# O-D3/O-D4 merge: target/source derived deterministically from events.
+# target  = event_id % 10 < 8           (existing store)
+# source  = event_id % 3 == 0, value+1  (incoming batch: some rows changed,
+#                                        some brand new — %10>=8 ∩ %3==0)
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH target AS (
+  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 10 < 8
+),
+source AS (
+  SELECT event_id, user_id, event_type, value + 1 AS value
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT
+  COALESCE(s.event_id, t.event_id)     AS event_id,
+  COALESCE(s.user_id, t.user_id)       AS user_id,
+  COALESCE(s.event_type, t.event_type) AS event_type,
+  ROUND(COALESCE(s.value, t.value), 4) AS value
+FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id
+ORDER BY event_id
+"""
+
+
+@query("merge_upsert_events", _MERGE_ORACLE)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D3: changed-row upsert via the engine's join-based MERGE
+    fallback (reference main.py:140-161; Delta MERGE on clusters)."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    target = events.filter(F.col("event_id") % 10 < 8)
+    source = events.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + 1
+    )
+    merged = merge_upsert(target, source, keys=["event_id"])
+    return merged.withColumn("value", F.round("value", 4)).orderBy("event_id")
+
+
+_MERGE_CLASSIFY_ORACLE = """
+WITH target AS (
+  SELECT event_id, value FROM events WHERE event_id % 10 < 8
+),
+source AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT action, COUNT(*) AS n FROM (
+  SELECT CASE
+    WHEN t.event_id IS NULL THEN 'insert'
+    WHEN s.event_id IS NULL THEN 'keep'
+    WHEN s.value <> t.value THEN 'update'
+    ELSE 'unchanged' END AS action
+  FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id
+)
+GROUP BY action ORDER BY action
+"""
+
+
+@query("merge_classify_events", _MERGE_CLASSIFY_ORACLE)
+def merge_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D3's three branches (insert/update/no-op, main.py:146-161)
+    made explicit via row-hash comparison (§4.2.3)."""
+    events = read_table(spark, sf_dir, "events").select("event_id", "value")
+    target = with_row_hash(events.filter(F.col("event_id") % 10 < 8))
+    source = with_row_hash(
+        events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    classified = merge_classify(target, source, keys=["event_id"])
+    return (
+        classified.groupBy("action").agg(F.count(F.lit(1)).alias("n")).orderBy("action")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-D4 idempotence: dedup(dedup(x)) == dedup(x) — expressed as a count
+# comparison so the oracle stays trivially SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_idempotence_counts",
+    """
+SELECT COUNT(*) AS n_once, COUNT(*) AS n_twice
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""",
+)
+def dedup_idempotence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D4: re-running dedup changes nothing (idempotent re-sync,
+    main.py:96-105 + 146-161)."""
+    events = read_table(spark, sf_dir, "events")
+    once = exact_dedup(events, ["user_id", "event_type"], ["ts", "event_id"])
+    twice = exact_dedup(once, ["user_id", "event_type"], ["ts", "event_id"])
+    return once.agg(F.count(F.lit(1)).alias("n_once")).crossJoin(
+        twice.agg(F.count(F.lit(1)).alias("n_twice"))
+    )
