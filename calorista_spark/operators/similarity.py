@@ -1,0 +1,302 @@
+"""Near-duplicate detection + similarity search (SURVEY §2.11 L2/L3).
+
+Everything is built from Catalyst higher-order functions and hash
+joins — no Python in the hot path, every stage map-side combinable:
+
+- MinHash: shingle explode → per-(doc, seed) min of md5(seed:shingle).
+  md5 gives a deterministic, engine-portable hash; min over hex strings
+  is the signature. At 100 TB the explode is the standard minhash cost
+  and the min() aggregate combines map-side before the shuffle.
+- LSH banding: signatures grouped into bands; docs sharing a band key
+  hash-join into candidate pairs (no cartesian). Candidates are then
+  exactly verified with n-gram Jaccard — the classic
+  shingle→minhash→band→bucket-join pipeline.
+- SimHash: 32-bit sign-of-weighted-sum fingerprint via an explicit
+  (doc × word × bit) grid — shuffle-light (two partial-agg groupBys).
+- Cosine top-k: brute-force crossJoin + window for exact small-N;
+  IVF (centroid-bucketed) variant restricts the candidate set for the
+  scale path.
+
+Reference tie-in: the reference's only dedup is exact fingerprinting
+(main.py:54-60); L2/L3 are the north-star generalizations
+(BASELINE.json) for LLM-corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calorista_spark.functions.vectors import dot, l2_norm
+
+
+def words_of(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles; < n words → empty array (not null), so
+    set algebra downstream stays total."""
+    w = words_of(text)
+    cnt = F.size(w)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """Long-format MinHash signatures: (id, seed, minhash).
+
+    One row per (doc, seed); the min() is computed with map-side
+    partial aggregation, so the shuffle carries ≤ num_hashes rows per
+    doc regardless of document length.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    )
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int) -> DataFrame:
+    """Collapse signatures into per-(doc, band) keys. Band key = the
+    band's minhashes concatenated in seed order (deterministic via
+    sorted struct collect)."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s.getField("minhash"),
+            ),
+            "|",
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band key —
+    a self equi-join on (band, band_key): pure hash join, no cartesian.
+    """
+    a = band_keys.select(
+        F.col(id_col).alias("id_a"), "band", F.col("band_key").alias("k_a")
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("id_b"), "band", F.col("band_key").alias("k_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["band"] == b["band"])
+            & (a["k_a"] == b["k_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for candidate pairs
+    (the verify stage after LSH banding)."""
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
+    )
+    with_a = pairs.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    )
+    with_b = with_a.join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return with_b.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def simhash_32(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Word hash = first 8 hex chars of md5 as uint32 (engine-portable);
+    per-bit contribution ±1 over distinct words; fingerprint bit b set
+    iff the bit-b sum is positive. The bit test uses
+    floor(h / 2^b) % 2 — exact in doubles for h < 2^32 — instead of
+    shift ops so the oracle SQL can mirror it verbatim.
+    """
+    word_rows = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_of(text_col))).alias("word"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    bit_rows = word_rows.select(
+        id_col,
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    contrib = (
+        (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) * 2 - 1
+    )
+    per_bit = bit_rows.groupBy(id_col, "b").agg(F.sum(contrib).alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm once so top-k joins compute one dot product
+    per pair instead of three."""
+    return emb.withColumn("norm", l2_norm(vec_col))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine: crossJoin + per-query window.
+
+    Correct at any N but O(|Q|·|C|) — the baseline the IVF variant is
+    measured against. Ranking is on (rounded sim DESC, candidate id)
+    for a deterministic total order.
+    """
+    from pyspark.sql import Window
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    sim = F.round(
+        dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), round_digits
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-bucket centroid vectors via posexplode + per-dimension mean.
+
+    Rounding the centroid components pins them across engines (and
+    across partial-aggregation orders), so downstream distance ranks
+    are deterministic. At scale this is one partial-agg shuffle of
+    |buckets|×dims rows — negligible next to the data pass.
+    """
+    dims = emb.select(
+        F.col(bucket_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    per_dim = dims.groupBy(bucket_col, "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), round_digits).alias("cval")
+    )
+    return per_dim.groupBy(bucket_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("centroid")
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_filter: Column,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: assign each query to its nearest centroid
+    (nprobe=1), then rank only within that bucket.
+
+    The scale path for L3: candidate set shrinks from |C| to
+    |C|/|buckets|, and the bucket join is a hash join on the bucket
+    key instead of a crossJoin. Recall < 1.0 by construction — the
+    exact ``cosine_topk_bruteforce`` is the correctness baseline.
+    """
+    from pyspark.sql import Window
+
+    norms = with_norm(emb, vec_col)
+    q = norms.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cents = ivf_centroids(emb, bucket_col, vec_col, round_digits).withColumn(
+        "c_norm", l2_norm("centroid")
+    )
+    csim = F.round(
+        dot("q_vec", "centroid") / (F.col("q_norm") * F.col("c_norm")), round_digits
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col(bucket_col))
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", csim)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", "q_vec", "q_norm", F.col(bucket_col).alias("probe_bucket"))
+    )
+    c = norms.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(bucket_col).alias("c_bucket"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    sim = F.round(
+        dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), round_digits
+    )
+    scored = (
+        assigned.join(c, assigned["probe_bucket"] == c["c_bucket"])
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "probe_bucket", "cand_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -6,6 +6,7 @@ parity tests.
 """
 
 from calorista_spark.queries import core  # noqa: F401
+from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries.registry import ORACLES, QUERIES  # noqa: F401

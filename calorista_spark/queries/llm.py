@@ -1,0 +1,465 @@
+"""Tier-B LLM-data-pipeline queries (SURVEY §2.11 L1–L5) over the
+``documents`` and ``embeddings`` corpora.
+
+Every oracle mirrors the engine's computation primitive-for-primitive
+(md5 hashes, left-fold dot products, floor-division bit tests), which
+is what makes hash-level parity possible for these non-relational ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_32,
+    with_norm,
+)
+from calorista_spark.operators.textstats import (
+    bag_fingerprint,
+    bpe_ish_token_count,
+    predict_lang,
+    quality_features,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+from calorista_spark.queries.registry import query
+
+# Shared oracle fragments (DuckDB dialect) mirroring similarity.py.
+_WORDS = "string_split_regex(lower(text), '\\s+')"
+_SHINGLES = (
+    f"CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(range(1, len({_WORDS}) - 1), "
+    f"i -> array_to_string(list_slice({_WORDS}, i, i + 2), ' ')) "
+    f"ELSE [] END"
+)
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup at corpus scale — hash-groupBy on content hash.
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+"""
+
+
+@query("doc_exact_dedup", _EXACT_DEDUP_ORACLE)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash (scales O-D1: main.py:54-60's
+    fingerprint set → hash-groupBy, map-side combinable)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: token counting — whitespace + BPE-ish regex.
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  length(text)                                  AS n_chars,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))   AS n_bpe_tokens,
+  len(list_distinct({_WORDS}))                  AS n_distinct_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("doc_token_stats", _TOKEN_STATS_ORACLE)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: whitespace + BPE-ish token counts per document."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L4: quality scoring — length/punct/stopword signals.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = (
+    "['the','a','an','of','and','or','to','in','is','are',"
+    "'was','that','this','it','for','on','with','as','at']"
+)
+
+_QUALITY_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    len(list_filter({_WORDS}, w -> list_contains({_STOPWORDS_SQL}, w))) AS n_stop,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+  n_tokens,
+  ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END, 4)  AS stopword_ratio,
+  ROUND(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END, 4)   AS punct_ratio,
+  ROUND(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+             THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+      + CASE WHEN COALESCE(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 0.0) >= 0.01
+             THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+      + CASE WHEN COALESCE(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0), 0.0) <= 0.2
+             THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 4)         AS quality
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@query("doc_quality_scores", _QUALITY_ORACLE)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: deterministic quality score (pre-training corpus filters)."""
+    docs = read_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(quality_score("text"), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L4: language ID — marker-word argmax, alphabetically-first tie-break.
+# ---------------------------------------------------------------------------
+
+_LANG_LISTS = {
+    "de": "['der','die','das','und','ist','nicht','ein','zu']",
+    "en": "['the','a','of','and','to','in','is','that']",
+    "es": "['el','la','los','y','es','una','que','en']",
+    "fr": "['le','la','les','et','est','une','que','dans']",
+}
+
+_LANG_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+    len(list_filter({_WORDS}, w -> list_contains({_LANG_LISTS['de']}, w))) AS s_de,
+    len(list_filter({_WORDS}, w -> list_contains({_LANG_LISTS['en']}, w))) AS s_en,
+    len(list_filter({_WORDS}, w -> list_contains({_LANG_LISTS['es']}, w))) AS s_es,
+    len(list_filter({_WORDS}, w -> list_contains({_LANG_LISTS['fr']}, w))) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM scores
+ORDER BY doc_id
+"""
+
+
+@query("doc_lang_id", _LANG_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: n-gram-heuristic language ID. The test corpus's ``lang``
+    column is synthetic metadata (text vocabulary is shared across
+    labels), so the gate verifies the deterministic classifier, not
+    label recovery."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", predict_lang("text").alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L1/L4: content fingerprints — order-insensitive bag hash + order-
+# sensitive rolling hash.
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS bag_fp,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+    (a, c) -> (a * 31 + c) % 1000000007) AS rolling_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("doc_fingerprints", _FINGERPRINT_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: document fingerprinting (bag hash for cheap dedup keys,
+    polynomial rolling hash for order-sensitive identity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bag_fingerprint("text").alias("bag_fp"),
+        rolling_hash("text").alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L2: MinHash signatures (value-checked), LSH near-dup pairs, SimHash.
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
+)
+SELECT doc_id, seed,
+       MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+FROM seeded
+GROUP BY doc_id, seed
+ORDER BY doc_id, seed
+"""
+
+
+@query("doc_minhash_signatures", _MINHASH_ORACLE)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 stage 1: 16-seed MinHash signatures, long format."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3).orderBy(
+        "doc_id", "seed"
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+),
+seeded AS (
+  SELECT doc_id, s.seed, shingle
+  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
+),
+sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed / 4 AS INTEGER) AS band,
+         string_agg(minhash, '|' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed / 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.id_a
+JOIN sets sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@query("doc_neardup_pairs", _NEARDUP_ORACLE)
+def doc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 full pipeline: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify ≥ 0.8. The band join is a hash join — no
+    all-pairs comparison anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3)
+    return (
+        jac.filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS word
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS h FROM words
+),
+bits AS (
+  SELECT doc_id, h, CAST(unnest(range(0, 32)) AS INTEGER) AS b FROM hashed
+),
+per_bit AS (
+  SELECT doc_id, b,
+         CAST(SUM((CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2) * 2 - 1) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("doc_simhash", _SIMHASH_ORACLE)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 32-bit SimHash fingerprints."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_32(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L3: similarity search — brute-force exact and IVF approximate.
+# ---------------------------------------------------------------------------
+
+_TOPK_BRUTE_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, norm AS q_norm FROM norms WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS cand_id,
+         ROUND({_DOT.format(a='q.q_vec', b='c.embedding')} / (q.q_norm * c.norm), 6) AS sim
+  FROM q CROSS JOIN norms c
+  WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, cand_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, cand_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@query("embedding_topk_bruteforce", _TOPK_BRUTE_ORACLE)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 exact baseline: crossJoin + cosine + per-query window.
+    Dot products are sequential left folds — bit-identical across
+    engines (verified), so even pre-round sims agree."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(queries_df, emb, k=5).orderBy("q_id", "rank")
+
+
+_TOPK_IVF_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, norm AS q_norm FROM norms WHERE vec_id < 5),
+dims AS (
+  SELECT label, CAST(unnest(range(1, 65)) AS INTEGER) AS dim, unnest(embedding) AS val
+  FROM embeddings
+),
+cent_long AS (
+  SELECT label, dim, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS cval
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(cval ORDER BY dim) AS centroid FROM cent_long GROUP BY label
+),
+cents_n AS (
+  SELECT label, centroid, sqrt({_DOT.format(a='centroid', b='centroid')}) AS c_norm
+  FROM cents
+),
+assigned AS (
+  SELECT q_id, label AS probe_bucket, q_vec, q_norm FROM (
+    SELECT q.q_id, c.label, q.q_vec, q.q_norm,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY ROUND({_DOT.format(a='q.q_vec', b='c.centroid')} / (q.q_norm * c.c_norm), 6) DESC,
+                      c.label) AS rn
+    FROM q CROSS JOIN cents_n c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.q_id, a.probe_bucket, e.vec_id AS cand_id,
+         ROUND({_DOT.format(a='a.q_vec', b='e.embedding')} / (a.q_norm * e.norm), 6) AS sim
+  FROM assigned a JOIN norms e ON e.label = a.probe_bucket AND e.vec_id <> a.q_id
+),
+ranked AS (
+  SELECT q_id, probe_bucket, cand_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, probe_bucket, cand_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@query("embedding_topk_ivf", _TOPK_IVF_ORACLE)
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF with label buckets as the coarse quantizer
+    (nprobe=1). Candidate set shrinks |C| → |C|/|buckets|; bucket
+    lookup is a hash join, not a crossJoin."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, F.col("vec_id") < 5, bucket_col="label", k=5).select(
+        "q_id",
+        F.col("probe_bucket"),
+        "cand_id",
+        "sim",
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+_LABEL_STATS_ORACLE = f"""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       MIN(len(embedding)) AS dim,
+       ROUND(AVG(sqrt({_DOT.format(a='embedding', b='embedding')})), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("embedding_label_stats", _LABEL_STATS_ORACLE)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: vector-column profiling (the multimodal schema's typed
+    metadata story: array<float> + scalar stats in one pass)."""
+    emb = with_norm(read_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(F.size("embedding")).cast("long").alias("dim"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,134 @@
+"""Tier-B operator unit tests: similarity, text stats, multimodal
+plumbing (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from calorista_spark.operators.multimodal import (
+    decode_image_stub,
+    extract_features,
+    sample_frames,
+    synthetic_assets,
+)
+from calorista_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    minhash_signatures,
+    ngram_jaccard,
+    shingles,
+)
+from calorista_spark.operators.textstats import (
+    predict_lang,
+    quality_score,
+    token_count,
+)
+
+
+def test_shingles_short_text_empty_not_null(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], ["text"])
+    out = df.select(shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == []  # 2 words < n → empty, not null
+    assert out[1].sh == ["a b c", "b c d"]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now today")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    rows = sig.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.minhash
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+    assert len(by_doc[1]) == 8
+
+
+def test_ngram_jaccard_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard(pairs, docs, "doc_id", "text").collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=2).collect()
+    assert all(r.cand_id != 0 for r in out)
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert ranked[0].cand_id == 1 and ranked[0].sim == 1.0
+    assert ranked[1].cand_id == 3  # 0.9937 > 0.0
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("one",), ("a  b",)], ["text"])
+    out = [r.n for r in df.select(token_count("text").alias("n")).collect()]
+    assert out == [0, 0, 1, 2]
+
+
+def test_predict_lang_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house and that is fine",),
+         ("der hund ist nicht das problem und zu gross",),
+         ("xyzzy qwerty plugh",)],
+        ["text"],
+    )
+    out = [r.p for r in df.select(predict_lang("text").alias("p")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it was good and fine",), ("x",)], ["text"]
+    )
+    out = [r.q for r in df.select(quality_score("text").alias("q")).collect()]
+    assert out[0] == 1.0  # long enough, stopwords, low punct
+    assert out[1] == pytest.approx(0.3)  # only punct criterion passes
+
+
+def test_decode_stub_contract():
+    assert decode_image_stub(None) is None
+    assert decode_image_stub(b"") == 0.0
+    assert decode_image_stub(b"\xff") == 1.0
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x00", real_codec=True)
+
+
+def test_multimodal_extract_features(spark):
+    assets = synthetic_assets(spark, n=12)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 12
+    by_id = {r.asset_id: r for r in feats}
+    # deterministic payload: sha2(id) hex decoded → 32 bytes
+    assert by_id[0].n_bytes == 32
+    expected = hashlib.sha256(
+        bytes.fromhex(hashlib.sha256(b"0").hexdigest())
+    ).hexdigest()
+    assert by_id[0].content_sha256 == expected
+    assert 0.0 <= by_id[0].fake_mean_luma <= 1.0
+    assert {r.modality for r in feats} == {"image", "audio", "video"}
+
+
+def test_multimodal_sample_frames_one_to_many(spark):
+    assets = synthetic_assets(spark, n=3)
+    frames = sample_frames(assets, every_n_bytes=10).collect()
+    # 32-byte payloads, every 10 bytes → offsets 0,10,20,30 → 4 frames each
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r.asset_id, []).append(r.byte_offset)
+    assert all(sorted(v) == [0, 10, 20, 30] for v in per_asset.values())
