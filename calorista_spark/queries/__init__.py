@@ -9,4 +9,5 @@ from calorista_spark.queries import core  # noqa: F401
 from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
+from calorista_spark.queries import streaming_windows  # noqa: F401
 from calorista_spark.queries.registry import ORACLES, QUERIES  # noqa: F401

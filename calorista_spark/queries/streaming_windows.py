@@ -1,0 +1,151 @@
+"""Windowed-aggregation queries (SURVEY §2.10 ST3/ST4) evaluated in
+batch mode for the correctness gate — the streaming tests drive the
+same helpers (``streaming/incremental.py``) through ``readStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.queries.registry import query
+from calorista_spark.streaming.incremental import session_agg, sliding_agg, tumbling_agg
+
+# ---------------------------------------------------------------------------
+# ST3: tumbling 1-day windows == the dashboard's daily totals.
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP)                    AS win_start,
+  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)   AS win_end,
+  COUNT(*)                                                    AS n_events,
+  ROUND(SUM(value), 4)                                        AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@query("events_tumbling_daily", _TUMBLING_ORACLE)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: tumbling window agg (streamlit_app.py:315-324's daily
+    totals over an arriving stream)."""
+    events = read_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        events,
+        "ts",
+        "1 day",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("win_start")
+
+
+# ---------------------------------------------------------------------------
+# ST4a: sliding 7-day windows advancing daily (weekly trend restated).
+# Oracle: every event belongs to the 7 windows starting at
+# day(ts) - j, j ∈ [0, 6].
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT CAST(date_trunc('day', ts) - j * INTERVAL 1 DAY AS TIMESTAMP) AS win_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest(range(0, 7)) AS j) offs
+)
+SELECT win_start,
+       CAST(win_start + INTERVAL 7 DAY AS TIMESTAMP) AS win_end,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM assigned
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@query("events_sliding_7d", _SLIDING_ORACLE)
+def events_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4a: sliding window agg — 7-day lookback recomputed daily."""
+    events = read_table(spark, sf_dir, "events")
+    out = sliding_agg(
+        events,
+        "ts",
+        "7 days",
+        "1 day",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("win_start")
+
+
+# ---------------------------------------------------------------------------
+# ST4b: 30-minute session windows per user (meal-burst grouping).
+# Oracle: gaps-and-islands — new session when the gap >= 30 min;
+# session end = last event + 30 min (Spark session_window semantics).
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP)                       AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP)  AS session_end,
+       COUNT(*)                                         AS n_events,
+       ROUND(SUM(value), 4)                             AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@query("events_sessions_30min", _SESSION_ORACLE)
+def events_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4b: session windows via ``session_window`` (native stateful
+    operator in streaming; plain aggregation in batch)."""
+    events = read_table(spark, sf_dir, "events")
+    out = session_agg(
+        events,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")

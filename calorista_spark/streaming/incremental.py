@@ -1,0 +1,97 @@
+"""Incremental ingest + windowed aggregation (SURVEY §2.10).
+
+The reference's incremental sync (main.py:146-161, README "Incremental
+Updates") restated on Structured Streaming:
+
+- ST1: ``readStream`` source → ``foreachBatch`` MERGE into the store.
+- ST2: exactly-once dedup = ``withWatermark`` + ``dropDuplicates`` —
+  the fingerprint set (main.py:96-105) with *bounded* state.
+- ST3/ST4: tumbling / sliding / session windows replace the dashboard's
+  calendar-bucket groupbys.
+- ST5: late data tolerated up to the watermark (the reference re-polls
+  the whole range; we bound it).
+
+All window helpers work in BATCH mode too (Spark evaluates
+``window()``/``session_window()`` on static frames) — that's how the
+correctness gate checks them against SQL oracles, while the streaming
+tests drive the same helpers through ``readStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calorista_spark.operators.merge import merge_upsert
+
+
+def watermarked_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str, delay: str = "48 hours"
+) -> DataFrame:
+    """ST2: exactly-once fingerprint dedup with bounded state. The
+    watermark bounds how long a fingerprint is remembered — the price
+    of not holding the reference's unbounded in-memory set."""
+    return stream.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
+def tumbling_agg(
+    df: DataFrame, ts_col: str, duration: str, aggs: list[Column], extra_keys=()
+) -> DataFrame:
+    """ST3: tumbling window aggregation (daily totals when
+    duration='1 day')."""
+    return df.groupBy(F.window(ts_col, duration).alias("win"), *extra_keys).agg(*aggs)
+
+
+def sliding_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str, aggs: list[Column]
+) -> DataFrame:
+    """ST4a: sliding windows (weekly trend, recomputed daily)."""
+    return df.groupBy(F.window(ts_col, duration, slide).alias("win")).agg(*aggs)
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """ST4b: session windows (meal-burst grouping): a session closes
+    after ``gap`` of inactivity; window end = last event + gap."""
+    return df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(*aggs)
+
+
+def start_incremental_merge(
+    stream: DataFrame,
+    store_path: str,
+    keys: list[str],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """ST1: foreachBatch MERGE into a parquet store.
+
+    Each micro-batch runs the engine's join-based upsert against the
+    current store and atomically replaces it. On Delta deployments the
+    body becomes a real ``MERGE INTO`` and the rewrite disappears; the
+    orchestration (checkpointing, exactly-once batch ids) is identical.
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in (os.listdir(store_path) if os.path.isdir(store_path) else [])
+        ):
+            target = spark.read.parquet(store_path)
+            merged = merge_upsert(target, batch.select(*target.columns), keys)
+        else:
+            merged = batch
+        # localCheckpoint materializes BEFORE the overwrite truncates
+        # the input path (read-overwrite hazard of the parquet fallback;
+        # Delta MERGE has no such step).
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

