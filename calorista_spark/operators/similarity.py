@@ -50,27 +50,53 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Universal-hash family for MinHash: perm_i(h) = (A[i]*h + B[i]) mod P.
+# Fixed arbitrary constants; P = 1e9+7 keeps A[i]*h inside int64.
+MINHASH_P = 1_000_000_007
+MINHASH_A = tuple(1_000_003 + 37 * i for i in range(64))
+MINHASH_B = tuple(7_000_019 + 91 * i for i in range(64))
+
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """One md5 per shingle → 60-bit int → reduced mod P. All seed
+    permutations derive from this single digest (16× fewer md5s than
+    hashing per seed)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """Long-format MinHash signatures: (id, seed, minhash).
 
-    One row per (doc, seed); the min() is computed with map-side
-    partial aggregation, so the shuffle carries ≤ num_hashes rows per
-    doc regardless of document length.
+    Columnar + universal-hash formulation: each shingle row computes
+    one md5 and ``num_hashes`` integer permutations; one groupBy runs
+    ``num_hashes`` min() aggregates (map-side combined, no seed×shingle
+    row explosion); an unpivot restores the long format. The shuffle
+    payload is ≤ num_hashes longs per doc.
     """
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
     )
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
+    h = shingle_base_hash(F.col("shingle"))
+    per_shingle = sh.select(id_col, h.alias("h"))
+    wide = per_shingle.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return seeded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-        ).alias("minhash")
+    long = wide.unpivot(
+        [id_col], [f"mh_{i}" for i in range(num_hashes)], "seed_name", "minhash"
+    )
+    return long.select(
+        id_col,
+        F.substring("seed_name", 4, 10).cast("int").alias("seed"),
+        "minhash",
     )
 
 
@@ -85,7 +111,7 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int) -> Dat
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s.getField("minhash"),
+                lambda s: s.getField("minhash").cast("string"),
             ),
             "|",
         ).alias("band_key")
@@ -142,31 +168,32 @@ def simhash_32(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Word hash = first 8 hex chars of md5 as uint32 (engine-portable);
     per-bit contribution ±1 over distinct words; fingerprint bit b set
-    iff the bit-b sum is positive. The bit test uses
-    floor(h / 2^b) % 2 — exact in doubles for h < 2^32 — instead of
-    shift ops so the oracle SQL can mirror it verbatim.
+    iff the bit-b sum is positive.
+
+    Columnar formulation: 32 conditional-sum aggregates over the word
+    rows (bit positions are literals, so ``shiftright`` stays in
+    codegen) and a single fold to the fingerprint — one groupBy, no
+    word×bit row grid.
     """
     word_rows = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(words_of(text_col))).alias("word"),
     )
     h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
-    bit_rows = word_rows.select(
-        id_col,
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    hashed = word_rows.select(id_col, h.alias("h"))
+    per_doc = hashed.groupBy(id_col).agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), b) % 2) * 2 - 1).alias(f"s_{b}")
+            for b in range(32)
+        ]
     )
-    contrib = (
-        (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) * 2 - 1
-    )
-    per_bit = bit_rows.groupBy(id_col, "b").agg(F.sum(contrib).alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for b in range(32):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

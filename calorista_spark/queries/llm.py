@@ -232,16 +232,22 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2: MinHash signatures (value-checked), LSH near-dup pairs, SimHash.
 # ---------------------------------------------------------------------------
 
+# Mirrors similarity.MINHASH_A/B: A[i] = 1000003 + 37i, B[i] = 7000019 + 91i.
 _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
 ),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 1000000007 AS h
+  FROM sh
+),
 seeded AS (
-  SELECT doc_id, s.seed, shingle
-  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
+  SELECT doc_id, s.seed, h
+  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
 )
 SELECT doc_id, seed,
-       MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+       MIN(((1000003 + 37 * seed) * h + (7000019 + 91 * seed)) % 1000000007) AS minhash
 FROM seeded
 GROUP BY doc_id, seed
 ORDER BY doc_id, seed
@@ -261,17 +267,23 @@ _NEARDUP_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
 ),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 1000000007 AS h
+  FROM sh
+),
 seeded AS (
-  SELECT doc_id, s.seed, shingle
-  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
+  SELECT doc_id, s.seed, h
+  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
 ),
 sig AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  SELECT doc_id, seed,
+         MIN(((1000003 + 37 * seed) * h + (7000019 + 91 * seed)) % 1000000007) AS minhash
   FROM seeded GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, CAST(seed / 4 AS INTEGER) AS band,
-         string_agg(minhash, '|' ORDER BY seed) AS band_key
+         string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
   FROM sig GROUP BY doc_id, CAST(seed / 4 AS INTEGER)
 ),
 cand AS (

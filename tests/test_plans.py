@@ -1,0 +1,77 @@
+"""Physical-plan audits (SURVEY §4): the optimizations the 100 TB
+story depends on must actually appear in the executed plans —
+predicate pushdown, column pruning, broadcast joins, top-k without a
+full sort. A correct result with the wrong plan fails these tests."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from calorista_spark.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_daily_totals_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["daily_totals"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # projection pruning: untouched wide columns must not be read
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    for col in ("l_tax", "l_returnflag", "l_partkey"):
+        assert col not in read_schema, f"{col} should be pruned from the scan"
+
+
+def test_projection_filter_sort_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["projection_filter_sort"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_returnflag" in pushed and "l_quantity" in pushed
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["star_join_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+
+
+def test_top_k_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["top_parts_by_price"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_day_uses_broadcast_not_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["latest_day_summary"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_bucket_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = plan_of(QUERIES["events_value_buckets"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_everywhere_core(spark, sf_dir):
+    # the aggregation layer must stay inside codegen (no Python eval).
+    # AQE defers codegen planning to runtime, so audit with AQE off.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("pricing_summary", "weekly_trends", "monthly_trends"):
+            plan = plan_of(QUERIES[name](spark, sf_dir), mode="simple")
+            # simple mode marks codegen stages with a "*(N)" prefix
+            assert "*(" in plan, name
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
+    # L6's escape hatch is for multimodal only; the query surface is
+    # 100% JVM-side expressions
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir), mode="simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
