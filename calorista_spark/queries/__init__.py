@@ -5,9 +5,11 @@ surface consumed by ``__spark_entry__.py``, ``bench.py``, and the
 parity tests.
 """
 
+from calorista_spark.queries import advanced  # noqa: F401
 from calorista_spark.queries import core  # noqa: F401
 from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries import streaming_windows  # noqa: F401
+from calorista_spark.queries import udf_surface  # noqa: F401
 from calorista_spark.queries.registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,136 @@
+"""L6: the Python escape hatch — Arrow-batched pandas UDFs, grouped
+``applyInPandas``, and a Spark 4 UDTF (SURVEY §2.11 L6).
+
+These exist to prove the extension surface works end-to-end; the
+engine's own query set never needs them (test_plans.py pins the
+no-Python invariant for everything else). Each one's math is
+deterministic so even these are oracle-checked.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf
+# resolves real type hints at decoration time; stringified ones break
+# its signature parser.
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from calorista_spark.catalog import read_table
+from calorista_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# Scalar pandas_udf: L2 norm of the embedding column via numpy.
+# ---------------------------------------------------------------------------
+
+_PANDAS_NORM_ORACLE = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))), 6) AS norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query("embedding_norm_pandas_udf", _PANDAS_NORM_ORACLE)
+def embedding_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the 10-100× faster alternative
+    to row-at-a-time Python UDFs). Rounded to 6 digits so numpy's
+    pairwise summation and SQL's left fold agree."""
+    import pandas as pd
+
+    @F.pandas_udf(T.DoubleType())
+    def vec_norm(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return s.map(
+            lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype="float64") ** 2)))
+        )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(vec_norm("embedding"), 6).alias("norm")
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-group z-scores.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) + 0 AS zscore
+FROM events
+ORDER BY event_id
+"""
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+@query("event_zscores_apply_in_pandas", _ZSCORE_ORACLE)
+def event_zscores_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: whole-group pandas computation (the
+    shape custom stateful/statistical operators take when they truly
+    need pandas). One shuffle on the group key, Arrow both ways."""
+
+    def zscore(pdf):
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)  # matches stddev_samp
+        out = pdf[["event_id", "event_type"]].copy()
+        # + 0.0 collapses IEEE -0.0 (sign of a near-zero round depends
+        # on accumulation order, which differs across engines)
+        out["zscore"] = ((pdf["value"] - mean) / std).round(4) + 0.0
+        return out
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return events.groupBy("event_type").applyInPandas(
+        zscore, schema=_ZSCORE_SCHEMA
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): 1-row → N-rows word positions.
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS INTEGER) AS pos,
+       unnest(string_split_regex(lower(text), '\\s+')) AS word
+FROM documents
+WHERE doc_id < 10
+ORDER BY doc_id, pos
+"""
+
+
+@query("doc_word_positions_udtf", _UDTF_ORACLE)
+def doc_word_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: the table-function extension point (Spark 4
+    ``udtf``), emitting (pos, word) rows per document."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class WordPositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.lower().split()):
+                yield i + 1, w
+
+    spark.udtf.register("word_positions", WordPositions)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, wp.pos, wp.word
+        FROM _udtf_docs d, LATERAL word_positions(d.text) wp
+        ORDER BY d.doc_id, wp.pos
+        """
+    )

@@ -37,8 +37,10 @@ def _norm_value(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0 and represent exactly
-        return repr(v + 0.0)
+        # deliberately does NOT collapse -0.0: the driver's value hash
+        # may distinguish it, so queries must normalize signed zeros
+        # themselves ("+ 0.0" after round — see registry conventions)
+        return repr(v)
     if isinstance(v, list):
         return tuple(_norm_value(x) for x in v)
     return v

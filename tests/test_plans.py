@@ -70,8 +70,17 @@ def test_whole_stage_codegen_everywhere_core(spark, sf_dir):
 
 
 def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
-    # L6's escape hatch is for multimodal only; the query surface is
-    # 100% JVM-side expressions
+    # L6's escape hatch (queries/udf_surface.py, multimodal) is the
+    # ONLY sanctioned Python; everything else is JVM-side expressions
+    from calorista_spark.queries import udf_surface
+
+    exempt = {
+        name
+        for name, fn in QUERIES.items()
+        if fn.__module__ == udf_surface.__name__
+    }
     for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
         plan = plan_of(fn(spark, sf_dir), mode="simple")
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"

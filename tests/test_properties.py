@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY §5.4): dedup idempotence, merge
+commutativity over batch order, spine completeness — hypothesis
+generates the entry batches, a local SparkSession checks the algebra.
+
+Sizes are kept small (Spark round-trips per example are expensive);
+the properties, not the volume, carry the value.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from calorista_spark.operators.dedup import exact_dedup
+from calorista_spark.operators.merge import merge_upsert
+from calorista_spark.operators.reshape import date_spine
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+entry = st.tuples(
+    st.integers(min_value=0, max_value=9),  # key
+    st.integers(min_value=0, max_value=99),  # seq (arrival order)
+    st.floats(min_value=0, max_value=1e6, allow_nan=False),  # value
+)
+batches = st.lists(entry, min_size=0, max_size=20)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(int(k), int(s), float(v)) for k, s, v in rows] or [(0, 0, 0.0)],
+        ["key", "seq", "value"],
+    ).limit(len(rows))
+
+
+@given(rows=batches)
+@_settings
+def test_dedup_idempotent(spark, rows):
+    df = _df(spark, rows)
+    once = exact_dedup(df, ["key"], ["seq", "value"])
+    twice = exact_dedup(once, ["key"], ["seq", "value"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=batches)
+@_settings
+def test_dedup_keeps_min_by_order(spark, rows):
+    df = _df(spark, rows)
+    got = {
+        r.key: (r.seq, r.value)
+        for r in exact_dedup(df, ["key"], ["seq", "value"]).collect()
+    }
+    expect = {}
+    for k, s, v in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+        expect.setdefault(k, (s, v))
+    assert got == {k: (s, float(v)) for k, (s, v) in expect.items()}
+
+
+@given(a=batches, b=batches)
+@_settings
+def test_merge_last_writer_wins_is_associative_in_state(spark, a, b):
+    # merging batch A then B == merging (A merged with B) in one shot,
+    # because source-wins is right-biased: target ⊕ A ⊕ B == target ⊕ (A ⊕ B)
+    da, db = _df(spark, a), _df(spark, b)
+    da = exact_dedup(da, ["key"], ["seq", "value"])
+    db = exact_dedup(db, ["key"], ["seq", "value"])
+    seq = merge_upsert(merge_upsert(_df(spark, []), da, ["key"]), db, ["key"])
+    combined = merge_upsert(da, db, ["key"])
+    oneshot = merge_upsert(_df(spark, []), combined, ["key"])
+    assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, oneshot.collect()))
+
+
+@given(
+    start=st.dates(
+        min_value=datetime.date(2020, 1, 1), max_value=datetime.date(2020, 6, 1)
+    ),
+    n_days=st.integers(min_value=0, max_value=45),
+)
+@_settings
+def test_spine_completeness(spark, start, n_days):
+    end = start + datetime.timedelta(days=n_days)
+    days = [r.date for r in date_spine(spark, str(start), str(end)).collect()]
+    assert len(days) == n_days + 1  # |days| == datediff + 1
+    assert days[0] == start and sorted(days)[-1] == end
+    assert len(set(days)) == len(days)
