@@ -35,7 +35,7 @@ def key_date(col: Column | str) -> Column:
     ``food_entries:2025-05-08`` (reference streamlit_app.py:85-91);
     unparseable suffix → null (try_cast semantics)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_date(F.element_at(F.split(c, ":"), -1), F.lit("yyyy-MM-dd"))
+    return F.try_to_date(F.element_at(F.split(c, ":"), -1), "yyyy-MM-dd")
 
 
 def capitalize(col: Column | str) -> Column:

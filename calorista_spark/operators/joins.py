@@ -79,6 +79,35 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi join: explode the (small-ish) right side
+    ``salt_buckets``× and scatter the left side's hot keys uniformly.
+
+    AQE's skew-join splitting handles most skew automatically; this is
+    the explicit fallback for extreme single-key skew (one key ≫ one
+    partition), where the salt turns 1 straggler task into
+    ``salt_buckets`` even ones. Cost: right side replicated ×buckets —
+    use only when right is much smaller than the skewed left.
+
+    Salt derives from a hash of all left columns (not rand()), so the
+    join stays deterministic and retry-safe.
+    """
+    l_salt = F.pmod(
+        F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).alias("__salt")
+    l = left.select("*", l_salt)
+    r = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    )
+    return l.join(r, [key, "__salt"], how).drop("__salt")
+
+
 def range_bucket_join(
     df: DataFrame,
     buckets: DataFrame,

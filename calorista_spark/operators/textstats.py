@@ -46,21 +46,30 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
 
 
-def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
-    """How many tokens are in the marker list."""
-    w = words_of(text)
+def marker_hits(
+    text: Column | str, markers: tuple[str, ...], words: Column | None = None
+) -> Column:
+    """How many tokens are in the marker list. Pass a pre-tokenized
+    ``words`` column to share one split across several marker lists
+    (Catalyst does not CSE repeated regex splits across expressions)."""
+    w = words if words is not None else words_of(text)
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    return {lang: marker_hits(text, ms) for lang, ms in LANG_MARKERS.items()}
+def lang_scores(
+    text: Column | str, words: Column | None = None
+) -> dict[str, Column]:
+    return {
+        lang: marker_hits(text, ms, words=words)
+        for lang, ms in LANG_MARKERS.items()
+    }
 
 
-def predict_lang(text: Column | str) -> Column:
+def predict_lang(text: Column | str, words: Column | None = None) -> Column:
     """Argmax language by marker hits; ties broken by language code
     order (deterministic); zero hits → 'und' (undetermined)."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, words=words)
     pairs = F.array(
         *[
             F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))

@@ -441,6 +441,54 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEY_DATE_ORACLE = """
+WITH keyed AS (
+  SELECT 'food_entries:' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS store_key,
+         o_totalprice
+  FROM orders
+)
+SELECT store_key,
+       CAST(string_split(store_key, ':')[-1] AS DATE) AS key_date,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM keyed
+GROUP BY store_key
+ORDER BY store_key
+"""
+
+
+@query("storage_key_roundtrip", _KEY_DATE_ORACLE)
+def storage_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-S3 + §1.4: the reference's ``food_entries:YYYY-MM-DD`` key
+    layout — build the key, parse the date back out of it
+    (streamlit_app.py:85-91 ``key.split(':')[-1]``), aggregate per
+    key. In the engine the key IS the partition directory."""
+    from calorista_spark.functions.text import key_date
+
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.concat(
+            F.lit("food_entries:"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+        ).alias("store_key"),
+        "o_totalprice",
+    )
+    return (
+        keyed.groupBy("store_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            "store_key",
+            key_date("store_key").alias("key_date"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("store_key")
+    )
+
+
 _MEASURE_NAMES_ORACLE = """
 SELECT DISTINCT
   p_brand AS raw_name,

@@ -194,8 +194,11 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels), so the gate verifies the deterministic classifier, not
     label recovery."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", predict_lang("text").alias("predicted_lang")
+    with_words = docs.withColumn("__words", F.split(F.lower(F.col("text")), r"\s+"))
+    return with_words.select(
+        "doc_id",
+        "lang",
+        predict_lang("text", words=F.col("__words")).alias("predicted_lang"),
     ).orderBy("doc_id")
 
 

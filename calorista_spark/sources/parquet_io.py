@@ -54,6 +54,24 @@ def store_has_data(path: str) -> bool:
     return False
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (§4.3): co-locates future joins/aggs on
+    ``bucket_col`` — two tables bucketed the same way join with ZERO
+    shuffle. This is the parquet-era answer to 'reuse a partitioning
+    across stages'; on Delta the same role is played by clustering.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name, format="parquet")
+
+
 def merge_into_store(
     spark: SparkSession,
     incoming: DataFrame,

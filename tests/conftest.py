@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from calorista_spark.session import build_session
@@ -15,6 +17,9 @@ def spark():
         app_name="calorista-tests",
         master="local[4]",
         shuffle_partitions=8,
+        # warehouse dir is a static conf — point managed (bucketed)
+        # test tables at a throwaway location up front
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_")},
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
