@@ -78,7 +78,11 @@ def daily_range_section(
     entries: DataFrame, start: str, end: str, densify: bool = True
 ) -> DataFrame:
     """streamlit_app.py:267-376: between-filter → daily sums → spine
-    (missing days null, SURVEY §7)."""
+    (missing days null, SURVEY §7). Rejects inverted ranges before
+    planning (O-F4)."""
+    from calorista_spark.functions.guards import validate_date_range
+
+    validate_date_range(start, end)
     daily = (
         entries.filter(F.col("date").between(start, end))
         .groupBy("date")

@@ -354,6 +354,183 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_32(docs, "doc_id", "text").orderBy("doc_id")
 
 
+_SIMHASH_CTE = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS word
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS h FROM words
+),
+bits AS (
+  SELECT doc_id, h, CAST(unnest(range(0, 32)) AS INTEGER) AS b FROM hashed
+),
+per_bit AS (
+  SELECT doc_id, b,
+         CAST(SUM((CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2) * 2 - 1) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+"""
+
+_SIMHASH_NEARDUP_ORACLE = (
+    _SIMHASH_CTE
+    + """,
+bytes AS (
+  SELECT doc_id, simhash, i AS byte_idx, (simhash >> (8 * i)) & 255 AS byte_val
+  FROM sim CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a, b.doc_id AS id_b, b.simhash AS sh_b
+  FROM bytes a JOIN bytes b
+    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 1
+ORDER BY id_a, id_b
+"""
+)
+
+
+@query("doc_simhash_neardup", _SIMHASH_NEARDUP_ORACLE)
+def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash near-dup pairs with an EXACT byte-band prefilter.
+
+    Pigeonhole: hamming ≤ 3 over 4 bytes (we use τ=1) ⇒ at least one byte is
+    identical, so a hash join on (byte_idx, byte_val) finds every
+    qualifying pair with no all-pairs comparison — the simhash
+    equivalent of LSH banding.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sim = simhash_32(docs, "doc_id", "text")
+    byte_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("byte_idx"),
+                F.shiftrightunsigned(F.col("simhash"), 8 * i)
+                .bitwiseAND(F.lit(255))
+                .alias("byte_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    with_bytes = sim.select(
+        "doc_id", "simhash", F.explode(byte_structs).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.byte_idx"), F.col("bb.byte_val"))
+    a = with_bytes.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "byte_idx",
+        F.col("byte_val").alias("bv_a"),
+    )
+    b = with_bytes.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "byte_idx",
+        F.col("byte_val").alias("bv_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["byte_idx"] == b["byte_idx"])
+            & (a["bv_a"] == b["bv_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "sh_a", "id_b", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_NEARDUP_DEDUP_ORACLE = (
+    _NEARDUP_ORACLE.rsplit("SELECT c.id_a", 1)[0]
+    + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY d.doc_id
+"""
+)
+
+
+@query("doc_neardup_dedup_survivors", _NEARDUP_DEDUP_ORACLE)
+def doc_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 end state: actually DROP near-duplicates — keep the lower
+    doc_id of every confirmed pair (the lowest-id-wins rule over the
+    near-dup relation; a full connected-components pass is the
+    iterative extension)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3)
+    losers = jac.filter(F.col("jaccard") >= 0.8).select(
+        F.col("id_b").alias("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+    )
+
+
+_COSINE_NEARDUP_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 6) AS sim
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@query("embedding_cosine_neardup", _COSINE_NEARDUP_ORACLE)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: embedding-cosine near-dup pairs (sim ≥ τ). Brute
+    all-pairs here (exact baseline); the IVF bucketing above is the
+    candidate-pruning path at corpus scale."""
+    from calorista_spark.functions.vectors import dot
+
+    emb = with_norm(read_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    sim = dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.4)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L3: similarity search — brute-force exact and IVF approximate.
 # ---------------------------------------------------------------------------

