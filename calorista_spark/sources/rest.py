@@ -54,6 +54,42 @@ class FileFakeSource:
             return f.read()
 
 
+def with_retries(source: DaySource, attempts: int = 3) -> DaySource:
+    """S6: per-request retry wrapper (reference api.py:109-119 retried
+    twice after the first try). Composes with Spark task retries
+    (``spark.task.maxFailures``) — this layer absorbs transient
+    request errors; task retry absorbs executor loss."""
+
+    def wrapped(date_iso: str) -> str | None:
+        last: Exception | None = None
+        for _ in range(attempts):
+            try:
+                return source(date_iso)
+            except Exception as exc:  # noqa: BLE001 — connector boundary
+                last = exc
+        raise last  # type: ignore[misc]
+
+    return wrapped
+
+
+def fetch_day(spark: SparkSession, source: DaySource, date: str) -> DataFrame:
+    """S2: point source — the single-date specialization of the range
+    fetch (reference api.py:127-145)."""
+    return fetch_range(spark, source, date, date, max_parallel_fetches=1)
+
+
+def fetch_month(spark: SparkSession, source: DaySource, year: int, month: int) -> DataFrame:
+    """S3: month source (reference api.py:188-201) — a calendar-month
+    date range; the REST month endpoint becomes a partition-pruned
+    range fetch."""
+    import calendar
+
+    last = calendar.monthrange(year, month)[1]
+    return fetch_range(
+        spark, source, f"{year:04d}-{month:02d}-01", f"{year:04d}-{month:02d}-{last:02d}"
+    )
+
+
 def date_range_df(
     spark: SparkSession, start: str | datetime.date, end: str | datetime.date
 ) -> DataFrame:
