@@ -493,6 +493,53 @@ def doc_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unit-normalize once so each candidate pair costs exactly ONE fold;
 # probe side scoped to a query batch (vec_id < 200) — the full-corpus
 # near-dup sweep is the IVF-pruned path's job.
+_COMPONENTS_ORACLE = (
+    _NEARDUP_ORACLE.rsplit("SELECT c.id_a", 1)[0].replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+  UNION
+  SELECT e.node, r.comp FROM edges e JOIN reach r ON e.nbr = r.node
+)
+SELECT node AS doc_id, MIN(comp) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+)
+
+
+@query("doc_neardup_components", _COMPONENTS_ORACLE)
+def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: full connected-components clustering of the near-dup graph
+    (iterative min-label propagation on Spark; transitive-closure
+    recursive CTE in the oracle). The proper keep-one rule: one
+    survivor per component, not per pair."""
+    from calorista_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    comps = connected_components(edges)
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
+
+
 _COSINE_NEARDUP_ORACLE = f"""
 WITH units AS (
   SELECT vec_id,

@@ -1,0 +1,28 @@
+"""Connected-components operator: known graphs, chains (multi-round
+propagation), and idempotence."""
+
+from __future__ import annotations
+
+from calorista_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r.node: r.comp for r in connected_components(df).collect()}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # label 0 must propagate 6 hops
+    chain = [(i, i + 1) for i in range(6)]
+    got = _cc(spark, chain)
+    assert set(got.values()) == {0}
+
+
+def test_reversed_edge_direction_irrelevant(spark):
+    got = _cc(spark, [(5, 1), (2, 5)])  # min label arrives via mixed directions
+    assert got == {1: 1, 2: 1, 5: 1}

@@ -1,0 +1,65 @@
+"""Spark 4 Python DataSource: the standard-API face of the day-payload
+connector, end to end into the normalizer."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from calorista_spark.sources.payload import normalize_day_payloads
+from calorista_spark.sources.python_datasource import register
+
+
+def test_datasource_reads_range_and_normalizes(spark, tmp_path):
+    d0 = (datetime.date(2024, 3, 1) - datetime.date(1970, 1, 1)).days
+    (tmp_path / "2024-03-01.json").write_text(
+        json.dumps(
+            {
+                "food_entries": {
+                    "food_entry": [
+                        {
+                            "food_entry_id": "x1",
+                            "date_int": str(d0),
+                            "timestamp": "1",
+                            "meal": "lunch",
+                            "food_entry_name": "n",
+                            "food_entry_description": "",
+                            "calories": "10",
+                            "carbohydrate": "1",
+                            "fat": "2",
+                            "protein": "3",
+                        }
+                    ]
+                }
+            }
+        )
+    )
+    register(spark)
+    raw = (
+        spark.read.format("food_days")
+        .option("fixture_dir", str(tmp_path))
+        .option("start", "2024-03-01")
+        .option("end", "2024-03-03")
+        .load()
+    )
+    rows = raw.collect()
+    assert len(rows) == 3  # one row per day, missing days have null payload
+    assert sum(r.payload is not None for r in rows) == 1
+
+    entries = normalize_day_payloads(raw.select("payload")).collect()
+    assert len(entries) == 1 and entries[0].food_entry_id == "x1"
+
+
+def test_datasource_rejects_inverted_range(spark, tmp_path):
+    register(spark)
+    try:
+        (
+            spark.read.format("food_days")
+            .option("fixture_dir", str(tmp_path))
+            .option("start", "2024-03-05")
+            .option("end", "2024-03-01")
+            .load()
+        ).collect()
+        raise AssertionError("expected failure")
+    except Exception as exc:
+        assert "after end" in str(exc)
