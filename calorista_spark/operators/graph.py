@@ -31,7 +31,11 @@ def connected_components(
     # symmetrize: propagate along both directions
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     bwd = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    adj = fwd.unionByName(bwd).distinct()
+    # materialize the adjacency ONCE: every iteration plus every
+    # fixpoint probe re-reads it, and without this the entire upstream
+    # pipeline that produced the edges (e.g. minhash→LSH→jaccard)
+    # would re-execute per round
+    adj = fwd.unionByName(bwd).distinct().localCheckpoint(eager=True)
 
     labels = adj.select("node").distinct().withColumn("comp", F.col("node"))
 
