@@ -21,7 +21,6 @@ from calorista_spark.functions.dates import (
     month_label,
     month_start,
 )
-from calorista_spark.functions.text import pretty_measure_name
 from calorista_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ spine-align (O-R2), verified on the TPC-H-ish star schema.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
