@@ -490,6 +490,34 @@ def doc_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+             THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) END, 4) AS jaccard
+FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+ORDER BY id_a
+"""
+
+
+@query("doc_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: exact word-3-gram Jaccard as a standalone operator, over
+    the deterministic adjacent-id pair set (the same primitive that
+    verifies LSH candidates in ``doc_neardup_pairs``)."""
+    docs = read_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    jac = ngram_jaccard(pairs, docs, "doc_id", "text", n=3)
+    return jac.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a")
+
+
 # unit-normalize once so each candidate pair costs exactly ONE fold;
 # probe side scoped to a query batch (vec_id < 200) — the full-corpus
 # near-dup sweep is the IVF-pruned path's job.
