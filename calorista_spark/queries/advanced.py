@@ -69,6 +69,86 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("grouping_sets_status_priority", _GROUPING_SETS_ORACLE)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (neither pure rollup nor cube) through
+    the SQL front-end."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_ORACLE)
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 4) AS qty_F,
+       ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 4) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("pivot_qty_by_status", _PIVOT_ORACLE)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape — the inverse of O-R1's unpivot): quantities
+    by linestatus as columns. Explicit value list keeps the schema
+    static for Catalyst."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 4))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+        .orderBy("l_returnflag")
+    )
+
+
+_SET_OPS_ORACLE = """
+SELECT c_custkey,
+       'both' AS membership
+FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT c_custkey, 'f_only'
+FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+ORDER BY membership, c_custkey
+"""
+
+
+@query("customer_status_set_ops", _SET_OPS_ORACLE)
+def customer_status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra over customer key sets."""
+    orders = read_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = f_cust.intersect(o_cust).withColumn("membership", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (set difference); exceptAll would be
+    # multiset difference and wrongly keep keys present in both sides
+    f_only = f_cust.subtract(o_cust).withColumn("membership", F.lit("f_only"))
+    return both.unionByName(f_only).select("c_custkey", "membership").orderBy(
+        "membership", "c_custkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates + quantiles.
 # ---------------------------------------------------------------------------
