@@ -26,6 +26,37 @@ from pyspark.sql import types as T
 from calorista_spark.operators.merge import merge_upsert
 
 
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """Structured-Streaming source over the events table directory,
+    applying the same TIMESTAMP(NANOS) repair as the batch catalog
+    (``catalog._read_events``): nanos-as-long + rebuilt TIMESTAMP_NTZ,
+    so every window helper below works identically in both modes."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # file-stream sources require a directory: stream the sf dir and
+    # glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts",
+        F.convert_timezone(
+            None, F.lit("UTC"), F.timestamp_micros(F.expr("ts div 1000"))
+        ),
+    )
+
+
 def watermarked_dedup(
     stream: DataFrame, keys: list[str], ts_col: str, delay: str = "48 hours"
 ) -> DataFrame:
