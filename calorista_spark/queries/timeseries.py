@@ -1,0 +1,287 @@
+"""Time-series queries over the events table: resampling,
+sessionization, LOCF gap-fill, histograms, cohort splits.
+
+These generalize the reference's trend sections
+(streamlit_app.py:378-602 — daily/weekly/monthly calendar buckets) to
+the full time-series surface; the batch sessionization twin of the
+streaming session_window (ST4) makes the two paths cross-checkable.
+
+Determinism: timestamps compare/bucket with exact interval arithmetic;
+durations are whole microseconds (both engines store micros after the
+nanos repair, so the diff is exact); every averaged double rounds to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.operators.timeseries import (
+    date_spine,
+    fixed_width_histogram,
+    locf_gapfill,
+    resample,
+    sessionize,
+)
+from calorista_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# Hourly downsample — the resolution ladder below the daily totals.
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("events_hourly_resample", _HOURLY_ORACLE)
+def events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to hourly buckets — one groupBy whose key count is
+    bounded by the time range (720 buckets/month at any data scale)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        "ts",
+        "hour",
+        {
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 4),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+    )
+    return out.orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — 12 h inactivity gap (the events table has
+# ~67 events/user/month, so 30 min would make every event its own
+# session). Per-session rollup.
+# ---------------------------------------------------------------------------
+
+_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       date_diff('microsecond', CAST(MIN(ts) AS TIMESTAMP),
+                 CAST(MAX(ts) AS TIMESTAMP)) AS duration_micros
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@query("user_sessions_batch", _SESSIONS_ORACLE)
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (12 h gap): one shuffle-sort on
+    (user_id, ts); the session id is a running boundary-flag sum, the
+    batch twin of streaming session_window (ST4)."""
+    ev = read_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, ["user_id"], "ts", gap="INTERVAL 12 HOURS", tiebreak=["event_id"]
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias(
+                "duration_micros"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill over a dense (user × day) spine.
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH days AS (
+  SELECT CAST(r AS DATE) AS day
+  FROM range(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(r)
+),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS day_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.day,
+       ROUND(last_value(d.day_avg IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_filled
+FROM (SELECT u.user_id, dy.day FROM users u CROSS JOIN days dy) s
+LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""
+
+
+@query("events_locf_gapfill", _LOCF_ORACLE)
+def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (user × day) spine with last-observation-carried-forward;
+    days before a user's first event stay null (the null-not-zero
+    spine policy, SURVEY §7). Spine rows = users × days — linear in
+    keys, independent of event count."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("day_avg"))
+    users = ev.select("user_id").distinct()
+    spine = date_spine(spark, "2024-01-01", "2024-01-30")
+    filled = locf_gapfill(
+        daily, spine, users, ["user_id"], "day", "day_avg", "locf"
+    )
+    return filled.select(
+        "user_id", "day", F.round("locf", 4).alias("value_filled")
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — the no-join twin of events_value_buckets.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(value / 25) AS INTEGER) * 25 AS bucket_lo,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("events_value_histogram", _HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via pure column arithmetic — no
+    bucket table, no join; contrast events_value_buckets (J5), which
+    computes the same shape with a broadcast range join."""
+    ev = read_table(spark, sf_dir, "events")
+    return fixed_width_histogram(
+        ev,
+        "value",
+        25.0,
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+    ).orderBy("bucket_lo")
+
+
+# ---------------------------------------------------------------------------
+# Top-3 events per user by value (dense_rank — keeps ties).
+# ---------------------------------------------------------------------------
+
+_TOP3_ORACLE = """
+SELECT user_id, event_id, ROUND(value, 4) AS value, rnk
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS rnk
+  FROM events
+)
+WHERE rnk <= 3
+ORDER BY user_id, rnk, event_id
+"""
+
+
+@query("top3_user_events_dense_rank", _TOP3_ORACLE)
+def top3_user_events_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank top-3 per user — rank semantics (ties share a rank
+    and all qualify), complementing row_number (W1) and ntile."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return (
+        ev.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rnk")
+        .orderBy("user_id", "rnk", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day (first-seen cohort split).
+# ---------------------------------------------------------------------------
+
+_NEW_RETURNING_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM d)
+SELECT day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM f GROUP BY day ORDER BY day
+"""
+
+
+@query("daily_new_vs_returning", _NEW_RETURNING_ORACLE)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into first-seen vs returning —
+    dedup to (user, day), min-over-user window, conditional count."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    f = d.withColumn("first_day", F.min("day").over(w))
+    return (
+        f.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (adoption curve).
+# ---------------------------------------------------------------------------
+
+_CUMULATIVE_ORACLE = """
+WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+per AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fd GROUP BY 1)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per ORDER BY day
+"""
+
+
+@query("cumulative_new_users", _CUMULATIVE_ORACLE)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct-users curve without a running COUNT
+    DISTINCT: reduce each user to a first-seen day, then running-sum
+    the per-day counts — the scale-safe restatement."""
+    ev = read_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    per = fd.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.withColumn("cum_users", F.sum("new_users").over(w))
+        .select("day", "new_users", "cum_users")
+        .orderBy("day")
+    )
