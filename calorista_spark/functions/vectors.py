@@ -34,3 +34,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; null if either vector has zero norm."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance of two equal-length array columns — same
+    left-fold shape as ``dot`` (squared differences, then sqrt)."""
+    sq = F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.sqrt(sq)
