@@ -11,6 +11,7 @@ from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries import streaming_windows  # noqa: F401
+from calorista_spark.queries import data_pipeline  # noqa: F401
 from calorista_spark.queries import text_embed_extra  # noqa: F401
 from calorista_spark.queries import timeseries  # noqa: F401
 from calorista_spark.queries import tpch_more  # noqa: F401
