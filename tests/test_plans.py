@@ -84,3 +84,43 @@ def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
             continue
         plan = plan_of(fn(spark, sf_dir), mode="simple")
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_q2_broadcasts_all_four_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["min_cost_supplier_q2"](spark, sf_dir))
+    # part, supplier, nation, region all broadcast; lineitem shuffles
+    # only for its (partkey, suppkey) aggregation
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q21_semi_and_anti_self_joins(spark, sf_dir):
+    plan = plan_of(QUERIES["waiting_suppliers_q21"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # supplier lookup
+
+
+def test_hash_sample_is_shuffle_free_scan(spark, sf_dir):
+    # deterministic sampling must stay a per-row predicate: the only
+    # exchange allowed is the final presentation sort
+    plan = plan_of(QUERIES["doc_hash_sample"](spark, sf_dir), mode="simple")
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_chunking_explode_stays_fused(spark, sf_dir):
+    # sequence+explode+slice must remain one narrow stage off the scan
+    # (no shuffle before the final order); regression guard for the
+    # two-step-select trap that cost 2.3x on the shingle pipeline
+    plan = plan_of(QUERIES["doc_chunk_sliding"](spark, sf_dir), mode="simple")
+    assert "Generate explode" in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_trailing_range_window_single_shuffle(spark, sf_dir):
+    plan = plan_of(
+        QUERIES["events_trailing_3d_range_window"](spark, sf_dir), mode="simple"
+    )
+    assert "Window" in plan
+    # one hash exchange for the window partition + the final sort
+    assert plan.count("Exchange") <= 2
