@@ -149,3 +149,57 @@ def events_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# ST6: stream-stream interval join (view → purchase within 2 h),
+# evaluated in batch mode for the oracle; the streaming test drives
+# the same helper through readStream with watermarks on both sides.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       date_diff('microsecond', v.ts, p.ts) AS lag_micros
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
+@query("view_purchase_within_2h", _INTERVAL_JOIN_ORACLE)
+def view_purchase_within_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: purchase-follows-view attribution within 2 hours — the
+    interval equi-join shape whose streaming form
+    (``streaming.incremental.stream_interval_join``) keeps bounded
+    state via two-sided watermarks. The key condition is an equi-join
+    on user_id, so Catalyst plans a hash join with the time bound as a
+    post-join filter (not a nested-loop cross product)."""
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (views["user_id"] == buys["p_user_id"])
+        & (buys["p_ts"] > views["ts"])
+        & (buys["p_ts"] <= views["ts"] + F.expr("INTERVAL 2 HOURS"))
+    )
+    return (
+        views.join(buys, cond, "inner")
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.expr("timestampdiff(MICROSECOND, ts, p_ts)").alias("lag_micros"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )

@@ -89,6 +89,35 @@ def session_agg(
     return df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(*aggs)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """ST6: stream-stream inner join with a time-interval condition —
+    "right event follows left event on the same key within ``upper``"
+    (view→purchase attribution). Both sides carry watermarks so the
+    join state is bounded: a buffered left row can be dropped once
+    event time passes left_ts + upper + watermark.
+
+    Works identically in batch mode (watermarks are no-ops there),
+    which is how the oracle gate checks the semantics; the streaming
+    test drives the same helper through readStream on both sides.
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] > l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l_wm.join(r_wm, cond, "inner")
+
+
 def running_totals_with_state(
     stream: DataFrame,
     key_col: str,

@@ -141,3 +141,90 @@ def test_st5_late_data_within_watermark_counts(spark, tmp_path):
     assert sorted(
         r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect()
     ) == [1, 2]
+
+
+def test_st6_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    # two-sided watermarked interval join: purchases within 20 min of
+    # a view, same user. Streamed result must equal the batch join.
+    from calorista_spark.streaming.incremental import stream_interval_join
+
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "buys")
+    _write_batch(
+        spark, vsrc, [(1, _ts(0), 10, 0.0), (2, _ts(5), 11, 0.0), (3, _ts(30), 10, 0.0)]
+    )
+    _write_batch(
+        spark,
+        psrc,
+        [
+            (101, _ts(10), 10, 9.0),   # joins view 1 (10 min later)
+            (102, _ts(50), 10, 9.0),   # joins view 3 only (20 min window)
+            (103, _ts(6), 12, 9.0),    # no matching user
+        ],
+    )
+
+    def run(reader):
+        views = reader.schema(EVENT_SCHEMA).parquet(vsrc).select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        buys = (
+            reader.schema(EVENT_SCHEMA)
+            .parquet(psrc)
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withColumnRenamed("p_user_id", "user_id")
+        )
+        left = views
+        right = buys.withColumnRenamed("user_id", "r_user_id")
+        l_wm = left.withWatermark("ts", "1 hour")
+        r_wm = right.withWatermark("p_ts", "1 hour")
+        return l_wm.join(
+            r_wm,
+            (l_wm["user_id"] == r_wm["r_user_id"])
+            & (r_wm["p_ts"] > l_wm["ts"])
+            & (r_wm["p_ts"] <= l_wm["ts"] + F.expr("INTERVAL 20 MINUTES")),
+            "inner",
+        ).select("user_id", "view_id", "purchase_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        run(spark.readStream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch = sorted(
+        (r.user_id, r.view_id, r.purchase_id) for r in run(spark.read).collect()
+    )
+    assert streamed == batch == [(10, 1, 101), (10, 3, 102)]
+
+
+def test_st6_helper_batch_mode(spark):
+    # the stream_interval_join helper itself, batch mode: watermarks
+    # are no-ops, condition semantics identical
+    from calorista_spark.streaming.incremental import stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(0), 10, 0.0)], EVENT_SCHEMA
+    ).withColumnRenamed("ts", "lts")
+    right = spark.createDataFrame(
+        [(2, _ts(10), 10, 0.0), (3, _ts(40), 10, 0.0)], EVENT_SCHEMA
+    ).selectExpr("event_id AS r_event_id", "ts AS rts", "user_id AS r_user_id")
+    out = stream_interval_join(
+        left.withColumnRenamed("user_id", "k"),
+        right.withColumnRenamed("r_user_id", "k"),
+        key="k",
+        left_ts="lts",
+        right_ts="rts",
+        upper="20 MINUTES",
+    )
+    assert [r.r_event_id for r in out.collect()] == [2]
