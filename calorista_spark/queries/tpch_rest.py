@@ -172,10 +172,12 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
 @query("supplier_cnt_q16", _Q16_ORACLE)
 def supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape: NOT IN over a key list with no nulls → left-anti
-    join; the part dimension broadcast-joins onto the deduplicated
-    bridge pairs before the distinct-count shuffle."""
+    join. The oracle's DISTINCT pairs step is deliberately NOT
+    materialized on the Spark side: countDistinct already dedups
+    map-side during partial aggregation, and an explicit .distinct()
+    costs a full extra shuffle (measured 1.4s → 0.9s at sf0.1)."""
     li = read_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pairs = li.select("l_partkey", "l_suppkey")
     part = read_table(spark, sf_dir, "part").filter(
         (F.col("p_type") != "ECONOMY")
         & F.col("p_size").isin(5, 10, 15, 20, 25)

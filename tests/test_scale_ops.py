@@ -55,3 +55,65 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() == 100
     spark.sql("DROP TABLE IF EXISTS t_facts")
     spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
+    # the 100 TB layout: fact partitioned by date; a filtered dim join
+    # must prune fact partitions at runtime (DPP), not scan them all
+    store = str(tmp_path / "dpp_store")
+    facts = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(100)],
+        ["date", "k", "v"],
+    )
+    facts.write.partitionBy("date").mode("overwrite").parquet(store)
+
+    dim = spark.createDataFrame(
+        [("2024-01-01", "keep"), ("2024-01-02", "drop"), ("2024-01-03", "drop")],
+        ["date", "tag"],
+    )
+    # DPP plans a pruning subquery only when the dim side carries a
+    # selective filter; stats-based benefit estimation is disabled so
+    # the toy-sized fixture still exercises the rule
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+    )
+    try:
+        joined = (
+            spark.read.parquet(store)
+            .join(F.broadcast(dim).filter(F.col("tag") == "keep"), "date")
+            .groupBy("tag")
+            .agg(F.sum("v").alias("total"))
+        )
+        plan = plan_of_scale(joined)
+        assert "dynamicpruning" in plan.lower(), "expected DPP on the scan"
+        assert [tuple(r) for r in joined.collect()] == [
+            ("keep", float(sum(range(100))))
+        ]
+    finally:
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+
+
+def test_observe_metrics_single_pass(spark):
+    # pipeline observability without a second scan: df.observe attaches
+    # accumulator-style metrics to the one materialization
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("bucket").alias("max_bucket"),
+    )
+    assert observed.count() == 1000
+    assert obs.get["n_rows"] == 1000 and obs.get["max_bucket"] == 6
+
+
+def plan_of_scale(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
