@@ -27,3 +27,44 @@ def refresh(spark: SparkSession, name: str) -> None:
     explicit — a scheduler calls this every cache period)."""
     if spark.catalog.isCached(name):
         spark.catalog.uncacheTable(name)
+
+
+def incremental_rollup_refresh(
+    fact: DataFrame,
+    batch: DataFrame,
+    rollup_path: str,
+    partition_col: str,
+    agg_fn,
+) -> list:
+    """Incremental materialized-aggregate maintenance (SURVEY §4.1:
+    "incremental recompute is ours to build"; the Spark restatement of
+    the reference's changed-entry sync, main.py:146-161, applied to a
+    rollup table instead of the raw store).
+
+    Only partitions whose ``partition_col`` value appears in ``batch``
+    are recomputed from ``fact`` and overwritten in place via dynamic
+    partition overwrite; every untouched partition's files are left
+    as-is. The affected-key collect is bounded by the number of
+    partitions touched per sync (dates, not rows), so the driver-side
+    step stays O(days) at any data scale.
+
+    Returns the list of refreshed partition keys.
+    """
+    from pyspark.sql import functions as F
+
+    spark = fact.sparkSession
+    affected = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    if not affected:
+        return []
+    refreshed = agg_fn(fact.filter(F.col(partition_col).isin(affected)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        refreshed.write.mode("overwrite").partitionBy(partition_col).parquet(
+            rollup_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected
