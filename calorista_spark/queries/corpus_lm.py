@@ -1,0 +1,147 @@
+"""Corpus statistics for tokenizer/LM design (SURVEY §2.11 L4
+extensions): vocabulary coverage curves and trigram conditional
+probabilities — the counting passes a tokenizer trainer or n-gram
+LM runs over a corpus.
+
+Scale shape: both queries reduce token streams to vocabulary-sized
+aggregates before any windowing, so the expensive stages are plain
+keyed shuffles with map-side partial aggregation; the global ranking
+window runs over the (tiny, corpus-independent) vocabulary only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.queries.registry import query
+
+_WORDS_SQL = "string_split_regex(lower(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: how much of the token stream the top-k words
+# cover (the tokenizer-budget curve).
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH terms AS (
+  SELECT unnest({_WORDS_SQL}) AS term FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+ranked AS (
+  SELECT term, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, term
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM freq
+)
+SELECT rank, term, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cum * 1.0 / total, 6) AS cum_share
+FROM ranked WHERE rank <= 100
+ORDER BY rank
+"""
+
+
+@query("corpus_vocab_coverage", _VOCAB_ORACLE)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary coverage curve. The token explode reduces to
+    per-term counts with map-side combine; the single-partition rank
+    window then runs over the VOCABULARY (thousands of rows regardless
+    of corpus size), not the token stream — which is why a global
+    window is acceptable here and nowhere else."""
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), "term")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return (
+        freq.select(
+            F.row_number().over(w_rank).cast("bigint").alias("rank"),
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.sum("cnt").over(w_cum) * 1.0 / F.sum("cnt").over(w_all), 6
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram conditional probabilities: P(w3 | w1 w2) for trigrams seen
+# at least 5 times — the n-gram LM estimation pass.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = f"""
+WITH w AS (SELECT {_WORDS_SQL} AS words FROM documents),
+tri AS (
+  SELECT unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+         i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS t3
+  FROM w
+),
+split_t AS (
+  SELECT string_split(t3, ' ') AS p FROM tri
+),
+tc AS (
+  SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3, COUNT(*) AS c3
+  FROM split_t GROUP BY 1, 2, 3
+),
+bc AS (SELECT w1, w2, SUM(c3) AS c2 FROM tc GROUP BY 1, 2)
+SELECT tc.w1, tc.w2, tc.w3,
+       CAST(tc.c3 AS BIGINT) AS c3, CAST(bc.c2 AS BIGINT) AS c2,
+       CAST((tc.c3 * 1000000) // bc.c2 AS BIGINT) AS cond_p_ppm
+FROM tc JOIN bc ON tc.w1 = bc.w1 AND tc.w2 = bc.w2
+WHERE tc.c3 >= 5
+ORDER BY tc.w1, tc.w2, tc.w3
+"""
+
+
+@query("corpus_trigram_lm", _TRIGRAM_ORACLE)
+def corpus_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM estimation: trigram counts, their bigram-prefix
+    totals, and the conditional probability. The trigram explode stays
+    fused with the split projection (zip_with over shifted slices —
+    no self-join); both aggregations partial-combine, and the
+    prefix-total join is keyed on (w1, w2)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(words)
+    m = F.greatest(n - 2, F.lit(0))
+    s1 = F.slice(words, 1, m)
+    s2 = F.slice(words, 2, m)
+    s3 = F.slice(words, 3, m)
+    t12 = F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b))
+    t123 = F.zip_with(t12, s3, lambda ab, c: F.concat_ws(" ", ab, c))
+    parts = F.split(F.col("t3"), " ")
+    tc = (
+        docs.select(F.explode(t123).alias("t3"))
+        .select(
+            parts.getItem(0).alias("w1"),
+            parts.getItem(1).alias("w2"),
+            parts.getItem(2).alias("w3"),
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bc = tc.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    return (
+        tc.filter(F.col("c3") >= 5)
+        .join(bc, ["w1", "w2"])
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c3").cast("bigint").alias("c3"),
+            F.col("c2").cast("bigint").alias("c2"),
+            # integer parts-per-million: exact in both engines (a
+            # double ratio rounds half-cases differently across them)
+            F.expr("c3 * 1000000 div c2").cast("bigint").alias("cond_p_ppm"),
+        )
+        .orderBy("w1", "w2", "w3")
+    )
