@@ -25,7 +25,12 @@ import datetime
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class DayPartition(InputPartition):
@@ -64,6 +69,55 @@ class FoodDaysReader(DataSourceReader):
         )
 
 
+class FoodDaysStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the connector (SURVEY §2.10 ST1): each
+    micro-batch picks up day files that appeared after the committed
+    offset — the reference's 30-min re-poll loop (README.md:65) as a
+    real Structured Streaming source with exactly-once offsets.
+
+    The offset is the max day already emitted ({"last": iso-date}), so
+    state is O(1) regardless of history length; ``readBetweenOffsets``
+    replays deterministically from the fixture dir on recovery.
+    """
+
+    def __init__(self, options: dict):
+        self.fixture_dir = options["fixture_dir"]
+
+    def initialOffset(self) -> dict:
+        return {"last": "1970-01-01"}
+
+    def _days_after(self, last_iso: str) -> list[str]:
+        days = sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.fixture_dir)
+            if f.endswith(".json")
+        )
+        return [d for d in days if d > last_iso]
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        new_days = self._days_after(start["last"])
+        end = {"last": new_days[-1]} if new_days else dict(start)
+        # a LIST, not a generator: the runner pickles prefetched rows
+        rows = [
+            (
+                datetime.date.fromisoformat(d),
+                _fetch_one(self.fixture_dir, d),
+            )
+            for d in new_days
+        ]
+        return iter(rows), end
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        for d in self._days_after(start["last"]):
+            if d <= end["last"]:
+                yield (
+                    datetime.date.fromisoformat(d),
+                    _fetch_one(self.fixture_dir, d),
+                )
+
+
 class FoodDaysDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -74,6 +128,9 @@ class FoodDaysDataSource(DataSource):
 
     def reader(self, schema) -> FoodDaysReader:
         return FoodDaysReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FoodDaysStreamReader:
+        return FoodDaysStreamReader(self.options)
 
 
 def register(spark) -> None:

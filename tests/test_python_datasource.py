@@ -63,3 +63,49 @@ def test_datasource_rejects_inverted_range(spark, tmp_path):
         raise AssertionError("expected failure")
     except Exception as exc:
         assert "after end" in str(exc)
+
+
+def test_streaming_datasource_incremental_offsets(spark, tmp_path):
+    # ST1 via the DataSource streaming face: pass 1 ingests the
+    # initial days; after new day files land, a resumed stream (same
+    # checkpoint, file sink) appends ONLY the new days — offset-
+    # tracked re-poll with exactly-once output
+    fixture = tmp_path / "days"
+    fixture.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (fixture / "2024-03-01.json").write_text('{"a": 1}')
+    (fixture / "2024-03-02.json").write_text('{"a": 2}')
+    register(spark)
+
+    def run_pass():
+        stream = (
+            spark.readStream.format("food_days")
+            .option("fixture_dir", str(fixture))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    first = sorted(str(r.date) for r in spark.read.parquet(out).collect())
+    assert first == ["2024-03-01", "2024-03-02"]
+
+    (fixture / "2024-03-03.json").write_text('{"a": 3}')
+    run_pass()
+    second = sorted(
+        (str(r.date), r.payload) for r in spark.read.parquet(out).collect()
+    )
+    # exactly one row per day: the resumed stream emitted only 03-03
+    assert second == [
+        ("2024-03-01", '{"a": 1}'),
+        ("2024-03-02", '{"a": 2}'),
+        ("2024-03-03", '{"a": 3}'),
+    ]
