@@ -312,14 +312,17 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: assign each query to its nearest centroid
-    (nprobe=1), then rank only within that bucket.
+    """Approximate top-k: assign each query to its ``nprobe`` nearest
+    centroids, then rank only within those buckets.
 
     The scale path for L3: candidate set shrinks from |C| to
-    |C|/|buckets|, and the bucket join is a hash join on the bucket
-    key instead of a crossJoin. Recall < 1.0 by construction — the
-    exact ``cosine_topk_bruteforce`` is the correctness baseline.
+    nprobe·|C|/|buckets|, and the bucket lookup is a hash join on the
+    bucket key instead of a crossJoin. Recall < 1.0 by construction
+    (higher nprobe trades candidates for recall — measured by
+    ``embedding_ivf_recall``); the exact ``cosine_topk_bruteforce``
+    is the correctness baseline.
     """
     from pyspark.sql import Window
 
@@ -340,7 +343,7 @@ def cosine_topk_ivf(
         q.crossJoin(F.broadcast(cents))
         .withColumn("c_sim", csim)
         .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select("q_id", "q_vec", "q_norm", F.col(bucket_col).alias("probe_bucket"))
     )
     c = norms.select(

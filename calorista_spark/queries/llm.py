@@ -649,7 +649,7 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(queries_df, emb, k=5).orderBy("q_id", "rank")
 
 
-_TOPK_IVF_ORACLE = f"""
+_TOPK_IVF_ORACLE_TMPL = f"""
 WITH norms AS (
   SELECT vec_id, label, embedding,
          sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
@@ -679,7 +679,7 @@ assigned AS (
              ORDER BY ROUND({_DOT.format(a='q.q_vec', b='c.centroid')} / (q.q_norm * c.c_norm), 6) DESC,
                       c.label) AS rn
     FROM q CROSS JOIN cents_n c
-  ) WHERE rn = 1
+  ) WHERE rn <= {{nprobe}}
 ),
 scored AS (
   SELECT a.q_id, a.probe_bucket, e.vec_id AS cand_id,
@@ -694,6 +694,9 @@ ranked AS (
 SELECT q_id, probe_bucket, cand_id, sim, rank FROM ranked WHERE rank <= 5
 ORDER BY q_id, rank
 """
+
+
+_TOPK_IVF_ORACLE = _TOPK_IVF_ORACLE_TMPL.format(nprobe=1)
 
 
 @query("embedding_topk_ivf", _TOPK_IVF_ORACLE)
@@ -735,4 +738,74 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 4).alias("avg_norm"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3: self-evaluation of the approximate index — recall@5 of IVF
+# against the exact brute-force top-k, per query and oracle-checked.
+# ---------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = f"""
+WITH brute AS (SELECT q_id, cand_id FROM ({_TOPK_BRUTE_ORACLE})),
+ivf AS (SELECT q_id, cand_id FROM ({_TOPK_IVF_ORACLE})),
+hits AS (
+  SELECT b.q_id, COUNT(*) AS n_hits
+  FROM ivf i JOIN brute b ON i.q_id = b.q_id AND i.cand_id = b.cand_id
+  GROUP BY b.q_id
+)
+SELECT q.q_id,
+       CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+FROM (SELECT DISTINCT q_id FROM brute) q
+LEFT JOIN hits h ON q.q_id = h.q_id
+ORDER BY q.q_id
+"""
+
+
+@query("embedding_ivf_recall", _IVF_RECALL_ORACLE)
+def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF (nprobe=1) index vs the exact baseline —
+    the approximation-quality measurement an ANN deployment monitors.
+    Both top-k frames are per-query-tiny, so the semi-join + count is
+    negligible next to producing them; at scale the brute side runs on
+    a sampled probe set only."""
+    brute = embedding_topk_bruteforce(spark, sf_dir).select("q_id", "cand_id")
+    ivf = embedding_topk_ivf(spark, sf_dir).select("q_id", "cand_id")
+    hits = (
+        ivf.join(brute, ["q_id", "cand_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+_TOPK_IVF_P3_ORACLE = _TOPK_IVF_ORACLE_TMPL.format(nprobe=3)
+
+
+@query("embedding_topk_ivf_probe3", _TOPK_IVF_P3_ORACLE)
+def embedding_topk_ivf_probe3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path, multi-probe: the query visits its 3 nearest
+    centroid buckets — 3× the candidates of nprobe=1, still a hash
+    join on the bucket key (vs |C| for brute force). The knob an ANN
+    deployment turns when ``embedding_ivf_recall`` reads too low."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_topk_ivf(
+            emb, F.col("vec_id") < 5, bucket_col="label", k=5, nprobe=3
+        )
+        .select("q_id", "probe_bucket", "cand_id", "sim", "rank")
+        .orderBy("q_id", "rank")
     )

@@ -132,3 +132,27 @@ def test_multimodal_sample_frames_one_to_many(spark):
     for r in frames:
         per_asset.setdefault(r.asset_id, []).append(r.byte_offset)
     assert all(sorted(v) == [0, 10, 20, 30] for v in per_asset.values())
+
+
+def test_multiprobe_ivf_recall_dominates_single_probe(spark, sf_dir):
+    # nprobe=3 must recover at least as many true top-5 neighbors as
+    # nprobe=1 for every query (candidate sets are supersets)
+    from calorista_spark.queries import QUERIES
+
+    brute = QUERIES["embedding_topk_bruteforce"](spark, sf_dir).select(
+        "q_id", "cand_id"
+    )
+    truth = {(r.q_id, r.cand_id) for r in brute.collect()}
+
+    def hits(name):
+        df = QUERIES[name](spark, sf_dir).select("q_id", "cand_id")
+        per_q = {}
+        for r in df.collect():
+            per_q.setdefault(r.q_id, 0)
+            if (r.q_id, r.cand_id) in truth:
+                per_q[r.q_id] += 1
+        return per_q
+
+    h1, h3 = hits("embedding_topk_ivf"), hits("embedding_topk_ivf_probe3")
+    assert all(h3.get(q, 0) >= h1.get(q, 0) for q in h1)
+    assert sum(h3.values()) >= sum(h1.values())
