@@ -89,3 +89,47 @@ def merge_into_store(
     else:
         merged = incoming
     write_store(merged, path, partition_col)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "date",
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite each partition into
+    ceil(rows / target_rows_per_file) files.
+
+    Streaming/incremental sinks accrete one file per micro-batch per
+    partition; scan cost then grows with file COUNT (task overhead,
+    footer reads), not data size — the classic small-files problem.
+    Compaction restores O(data) scans. On Delta this is OPTIMIZE; on
+    plain parquet it is this read → per-partition repartition →
+    dynamic-partition-overwrite rewrite.
+
+    Returns {partition_value: n_files_written}.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    counts = {
+        str(r[0]): r[1]
+        for r in df.groupBy(partition_col).count().collect()
+    }
+    n_files = {
+        k: max(1, -(-c // target_rows_per_file)) for k, c in counts.items()
+    }
+    # one pass per distinct file count (usually 1): repartition within
+    # the partition subset and overwrite just those partitions
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for files in sorted(set(n_files.values())):
+            keys = [k for k, v in n_files.items() if v == files]
+            subset = df.filter(F.col(partition_col).cast("string").isin(keys))
+            subset.repartition(files).write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_files

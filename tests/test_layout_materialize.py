@@ -127,3 +127,49 @@ def test_incremental_rollup_empty_batch_is_noop(spark, tmp_path):
         fact, fact.limit(0), rollup_path, "date", _rollup
     )
     assert out == []
+
+
+def test_compact_store_reduces_file_count(spark, tmp_path):
+    from calorista_spark.sources.parquet_io import compact_store
+
+    store = str(tmp_path / "frag")
+    # simulate micro-batch accretion: 6 appends → ≥6 files per partition
+    for batch in range(6):
+        spark.createDataFrame(
+            [("2024-01-01", batch, float(batch)), ("2024-01-02", batch, 1.0)],
+            ["date", "k", "v"],
+        ).write.mode("append").partitionBy("date").parquet(store)
+
+    def files_per_part():
+        return {
+            d: len(glob.glob(f"{store}/date={d}/*.parquet"))
+            for d in ("2024-01-01", "2024-01-02")
+        }
+
+    before = files_per_part()
+    assert all(v >= 6 for v in before.values())
+    rows_before = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    out = compact_store(spark, store, "date")
+    after = files_per_part()
+    assert all(v == 1 for v in after.values()), after
+    assert out == {"2024-01-01": 1, "2024-01-02": 1}
+    # content identical after the rewrite
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == rows_before
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # additive schema evolution on the store: old files lack the new
+    # column; mergeSchema read surfaces it as nulls for old rows
+    store = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.mode(
+        "append"
+    ).parquet(store)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(store)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
