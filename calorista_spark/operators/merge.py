@@ -75,3 +75,91 @@ def merge_classify(
         .otherwise(F.lit("unchanged"))
         .alias("action"),
     )
+
+
+def scd2_upsert(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: attribute changes close
+    the current row (``valid_to`` = the update's effective time) and
+    open a new current row; identical updates are no-ops; unseen keys
+    insert. History rows are untouched.
+
+    ``dim`` carries (keys, attrs..., valid_from, valid_to) with
+    valid_to NULL on current rows; ``updates`` carries (keys, attrs...,
+    effective_col). Change detection = canonical row hash over the
+    attribute columns (the O-D3 rule applied to dimensions).
+
+    One shuffle on the key for the current-vs-update join; history
+    passes through untouched, so at scale the cost is O(|current| +
+    |updates|), independent of history depth — and with both sides
+    bucketed by key the join co-locates.
+    """
+    attrs = [
+        c
+        for c in dim.columns
+        if c not in (*keys, valid_from, valid_to, "row_hash")
+    ]
+    if sorted(attrs) != sorted(
+        c
+        for c in updates.columns
+        if c not in (*keys, effective_col, "row_hash")
+    ):
+        raise ValueError("dim and updates must share attribute columns")
+
+    history = dim.filter(F.col(valid_to).isNotNull())
+    current = with_row_hash(
+        dim.filter(F.col(valid_to).isNull()), exclude=(valid_from, valid_to)
+    )
+    upd = with_row_hash(updates, exclude=(effective_col,))
+
+    cur = current.select(
+        *keys,
+        *[F.col(c).alias(f"__c_{c}") for c in attrs],
+        F.col(valid_from).alias("__c_from"),
+        F.col("row_hash").alias("__c_hash"),
+    )
+    s = upd.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in attrs],
+        F.col(effective_col).alias("__u_eff"),
+        F.col("row_hash").alias("__u_hash"),
+    )
+    j = cur.join(s, keys, "full_outer")
+    changed = F.col("__c_hash").isNotNull() & F.col("__u_hash").isNotNull() & (
+        F.col("__c_hash") != F.col("__u_hash")
+    )
+    # current rows: kept as-is (no update / identical), or closed out
+    kept = j.filter(
+        F.col("__c_hash").isNotNull()
+        & (F.col("__u_hash").isNull() | (F.col("__u_hash") == F.col("__c_hash")))
+    ).select(
+        *keys,
+        *[F.col(f"__c_{c}").alias(c) for c in attrs],
+        F.col("__c_from").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    closed = j.filter(changed).select(
+        *keys,
+        *[F.col(f"__c_{c}").alias(c) for c in attrs],
+        F.col("__c_from").alias(valid_from),
+        F.col("__u_eff").alias(valid_to),
+    )
+    opened = j.filter(changed | F.col("__c_hash").isNull()).select(
+        *keys,
+        *[F.col(f"__u_{c}").alias(c) for c in attrs],
+        F.col("__u_eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    out_cols = [*keys, *attrs, valid_from, valid_to]
+    return (
+        history.select(*out_cols)
+        .unionByName(kept)
+        .unionByName(closed)
+        .unionByName(opened)
+    )

@@ -1,0 +1,90 @@
+"""SCD Type 2 dimension merge (operators/merge.py: scd2_upsert)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import types as T
+
+from calorista_spark.operators.merge import scd2_upsert
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+    ]
+)
+
+UPD_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("effective_ts", T.TimestampType()),
+    ]
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+T1 = datetime.datetime(2024, 2, 1)
+T2 = datetime.datetime(2024, 3, 1)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            (1, "kyiv", "gold", T0, T1),      # history row (already closed)
+            (1, "lviv", "gold", T1, None),    # current
+            (2, "odesa", "silver", T0, None), # current, will change
+            (3, "dnipro", "bronze", T0, None),# current, no update
+        ],
+        SCHEMA,
+    )
+
+
+def test_scd2_change_new_and_noop(spark):
+    updates = spark.createDataFrame(
+        [
+            (2, "odesa", "gold", T2),     # tier change → close + open
+            (3, "dnipro", "bronze", T2),  # identical → no-op
+            (4, "kharkiv", "silver", T2), # new key → insert
+        ],
+        UPD_SCHEMA,
+    )
+    out = scd2_upsert(_dim(spark), updates, ["k"])
+    rows = {
+        (r.k, r.city, r.tier, r.valid_from, r.valid_to) for r in out.collect()
+    }
+    assert rows == {
+        (1, "kyiv", "gold", T0, T1),        # history untouched
+        (1, "lviv", "gold", T1, None),      # current kept
+        (2, "odesa", "silver", T0, T2),     # closed at effective ts
+        (2, "odesa", "gold", T2, None),     # new current version
+        (3, "dnipro", "bronze", T0, None),  # no-op kept
+        (4, "kharkiv", "silver", T2, None), # brand-new key
+    }
+
+
+def test_scd2_idempotent_on_identical_updates(spark):
+    updates = spark.createDataFrame(
+        [(2, "odesa", "gold", T2)], UPD_SCHEMA
+    )
+    once = scd2_upsert(_dim(spark), updates, ["k"])
+    twice = scd2_upsert(once, updates, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_scd2_exactly_one_current_row_per_key(spark):
+    updates = spark.createDataFrame(
+        [(1, "kyiv", "platinum", T2), (2, "odesa", "gold", T2)], UPD_SCHEMA
+    )
+    out = scd2_upsert(_dim(spark), updates, ["k"])
+    current_counts = (
+        out.filter(out.valid_to.isNull()).groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in current_counts)
+    assert {r.k for r in current_counts} == {1, 2, 3}
