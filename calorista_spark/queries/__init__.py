@@ -11,6 +11,7 @@ from calorista_spark.queries import core  # noqa: F401
 from calorista_spark.queries import corpus_lm  # noqa: F401
 from calorista_spark.queries import curation_extra  # noqa: F401
 from calorista_spark.queries import llm  # noqa: F401
+from calorista_spark.queries import product_analytics  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries import semistructured  # noqa: F401

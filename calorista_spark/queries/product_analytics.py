@@ -1,0 +1,144 @@
+"""Product-analytics shapes over the events stream: activity streaks
+(gaps-and-islands) and step-windowed funnel conversion — the
+aggregation patterns the reference's trend dashboard
+(streamlit_app.py:378-602) grows into once events carry behavior.
+
+Scale shape: streaks are one shuffle-sort per user partition
+(window + groupBy on the derived island anchor); the funnel is a
+chain of per-user min-aggregations, each a keyed shuffle joined
+narrowly onto the previous stage — no self-cross-products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-active-day streaks.
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+         CAST(COUNT(*) AS BIGINT) AS streak_days
+  FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(streak_start AS DATE) AS streak_start,
+       CAST(streak_end AS DATE) AS streak_end, streak_days
+FROM streaks
+ORDER BY user_id, streak_start
+"""
+
+
+@query("user_activity_streaks", _STREAKS_ORACLE)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks via the gaps-and-islands
+    anchor trick: day minus its per-user rank is constant within a
+    consecutive run. One window sort + one groupBy, both partitioned
+    by user — no joins, no explode."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step-windowed funnel: first view → click within 24 h → purchase
+# within 24 h of the click.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH stage1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+stage2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN stage1 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1
+    AND e.ts <= s.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+stage3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN stage2 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t2
+    AND e.ts <= s.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM stage1
+UNION ALL
+SELECT '2_click_24h', CAST(COUNT(*) AS BIGINT) FROM stage2
+UNION ALL
+SELECT '3_purchase_24h', CAST(COUNT(*) AS BIGINT) FROM stage3
+ORDER BY stage
+"""
+
+
+@query("user_funnel_conversion", _FUNNEL_ORACLE)
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel with 24 h step windows. Each stage is a
+    per-user min over a filtered scan joined to the previous stage's
+    (user, ts) — stage frames shrink monotonically, so the chain costs
+    three keyed shuffles of decreasing size, never a cross product."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        prev_ts = prev.columns[-1]
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (
+                    F.col("ts")
+                    <= F.col(prev_ts) + F.expr("INTERVAL 24 HOURS")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = stage(None, "view", "t1")
+    s2 = stage(s1, "click", "t2")
+    s3 = stage(s2, "purchase", "t3")
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click_24h").alias("stage"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase_24h").alias("stage"), "n_users"
+        ),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.orderBy("stage")
