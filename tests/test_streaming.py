@@ -228,3 +228,94 @@ def test_st6_helper_batch_mode(spark):
         upper="20 MINUTES",
     )
     assert [r.r_event_id for r in out.collect()] == [2]
+
+
+def test_streaming_incremental_rollup_maintenance(spark, tmp_path):
+    # §4.1 end-to-end in streaming mode: each micro-batch refreshes
+    # ONLY the rollup partitions its rows touch, via foreachBatch
+    from calorista_spark.materialize import incremental_rollup_refresh
+
+    src = str(tmp_path / "src")
+    fact_store = str(tmp_path / "fact")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def with_day(df):
+        return df.select(
+            F.col("ts").cast("date").cast("string").alias("day"), "value"
+        )
+
+    def daily(df):
+        return df.groupBy("day").agg(
+            F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    def handle_batch(batch, batch_id):
+        s = batch.sparkSession
+        batch.write.mode("append").parquet(fact_store)
+        fact = with_day(s.read.parquet(fact_store))
+        import os
+        if not os.path.isdir(rollup) or not any(
+            f.startswith("day=") for f in os.listdir(rollup)
+        ):
+            daily(fact).write.partitionBy("day").mode("overwrite").parquet(rollup)
+        else:
+            incremental_rollup_refresh(
+                fact, with_day(batch), rollup, "day", daily
+            )
+
+    def run_pass():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, src, [(1, _ts(0), 10, 1.0), (2, _ts(1), 10, 2.0)])
+    run_pass()
+    got1 = {str(r.day): r.total for r in spark.read.parquet(rollup).collect()}
+    assert got1 == {"2024-01-01": 3.0}
+
+    # second batch lands on the same day → that partition refreshes
+    _write_batch(spark, src, [(3, _ts(30), 11, 5.0)])
+    run_pass()
+    got2 = {
+        str(r.day): (r.total, r.n)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got2 == {"2024-01-01": (8.0, 3)}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    # Spark 3.5+ dropDuplicatesWithinWatermark: dedups re-deliveries
+    # whose event times differ slightly (same key, both inside the
+    # watermark window) — the realistic at-least-once-delivery case
+    # where plain dropDuplicates on (id, ts) would keep both
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts(0), 10, 1.0),
+            (1, _ts(2), 10, 1.0),   # re-delivery, 2 min later timestamp
+            (2, _ts(5), 10, 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
