@@ -14,6 +14,7 @@ from calorista_spark.queries import curation_pipeline  # noqa: F401
 from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import product_analytics  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
+from calorista_spark.queries import retrieval_decontam  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries import semistructured  # noqa: F401
 from calorista_spark.queries import snapshot_diff  # noqa: F401
