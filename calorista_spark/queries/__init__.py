@@ -7,6 +7,7 @@ parity tests.
 
 from calorista_spark.queries import advanced  # noqa: F401
 from calorista_spark.queries import analytic_extra  # noqa: F401
+from calorista_spark.queries import compression_drift  # noqa: F401
 from calorista_spark.queries import core  # noqa: F401
 from calorista_spark.queries import corpus_lm  # noqa: F401
 from calorista_spark.queries import curation_extra  # noqa: F401
