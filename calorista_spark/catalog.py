@@ -40,14 +40,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Read one catalog table. Plain parquet scan — filters and
-    projections applied by callers reach the scan via Catalyst."""
+    projections applied by callers reach the scan via Catalyst.
+    ``fan_out=True`` widens an under-partitioned scan (see
+    :func:`fan_out`) for CPU-heavy downstream stages."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        return _read_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = _read_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    return globals()["fan_out"](df) if fan_out else df
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an under-partitioned frame up to the
+    session's default parallelism so CPU-heavy narrow stages
+    (tokenize / md5 / vector folds) engage every core.
+
+    Guarded: at production scale a multi-terabyte scan already yields
+    more splits than cores and this is a no-op; only a
+    single-small-file scan (which would otherwise pin the whole
+    downstream pipeline to ONE task) pays the one tiny exchange.
+    Never use upstream of rounded cross-row double aggregations whose
+    oracle chains on the rounded values (e.g. IVF centroids) —
+    repartitioning changes partial-aggregation order."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,7 +74,9 @@ def shingle_sets(
     checkpoints it so queries using the sets in TWO branches (minhash
     signatures AND jaccard verification) tokenize each document once
     instead of once per branch."""
-    sets = docs.select(
+    from calorista_spark.catalog import fan_out
+
+    sets = fan_out(docs).select(
         F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
     )
     if materialize:
@@ -102,7 +104,9 @@ def minhash_signatures(
         # inline expression (NOT via shingle_sets): keeping the explode
         # fused with the shingle projection measurably beats the
         # two-step select (2.3x at sf0.1)
-        sh = docs.select(
+        from calorista_spark.catalog import fan_out
+
+        sh = fan_out(docs).select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
         )
@@ -179,7 +183,9 @@ def ngram_jaccard(
     """Exact Jaccard over distinct word n-grams for candidate pairs
     (the verify stage after LSH banding)."""
     if sets is None:
-        sets = docs.select(
+        from calorista_spark.catalog import fan_out
+
+        sets = fan_out(docs).select(
             F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
         )
     with_a = pairs.join(
@@ -209,7 +215,9 @@ def simhash_32(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     codegen) and a single fold to the fingerprint — one groupBy, no
     word×bit row grid.
     """
-    word_rows = docs.select(
+    from calorista_spark.catalog import fan_out
+
+    word_rows = fan_out(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(words_of(text_col))).alias("word"),
     )
@@ -257,7 +265,9 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    c = with_norm(candidates, vec_col).select(
+    from calorista_spark.catalog import fan_out
+
+    c = with_norm(fan_out(candidates), vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
@@ -326,7 +336,11 @@ def cosine_topk_ivf(
     """
     from pyspark.sql import Window
 
-    norms = with_norm(emb, vec_col)
+    # fan out the vector side only — ivf_centroids below must keep its
+    # original partitioning (rounded avg chains into downstream ranks)
+    from calorista_spark.catalog import fan_out
+
+    norms = with_norm(fan_out(emb), vec_col)
     q = norms.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),

@@ -51,7 +51,7 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     window then runs over the VOCABULARY (thousands of rows regardless
     of corpus size), not the token stream — which is why a global
     window is acceptable here and nowhere else."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     terms = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
     )
@@ -111,7 +111,7 @@ def corpus_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-aggregated counts, so the explode pipeline runs ONCE
     (a groupBy+join of the same frame recomputes it: measured 1.8s vs
     1.4s at sf0.1)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     words = F.split(F.lower(F.col("text")), r"\s+")
     n = F.size(words)
     m = F.greatest(n - 2, F.lit(0))

@@ -66,7 +66,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample. Four stage counts in one job; every stage predicate is
     deterministic, so the funnel is reproducible run-over-run and
     cluster-size-independent."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
     )

@@ -241,7 +241,7 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     restated columnar): two keyed aggregations on (doc_id, gram) that
     reduce to per-doc stats — partial aggregation makes the shuffle
     carry one row per distinct gram, not per token."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     words = F.split(F.lower(F.col("text")), r"\s+")
     terms = docs.select("doc_id", F.explode(words).alias("term"))
     tc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))

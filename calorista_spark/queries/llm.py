@@ -143,7 +143,7 @@ ORDER BY doc_id
 @query("doc_quality_scores", _QUALITY_ORACLE)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: deterministic quality score (pre-training corpus filters)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     feats = quality_features("text")
     return docs.select(
         "doc_id",
@@ -193,7 +193,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is synthetic metadata (text vocabulary is shared across
     labels), so the gate verifies the deterministic classifier, not
     label recovery."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     with_words = docs.withColumn("__words", F.split(F.lower(F.col("text")), r"\s+"))
     return with_words.select(
         "doc_id",
@@ -592,7 +592,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pruning path for full-corpus sweeps."""
     from calorista_spark.functions.vectors import dot
 
-    emb = with_norm(read_table(spark, sf_dir, "embeddings"))
+    emb = with_norm(read_table(spark, sf_dir, "embeddings", fan_out=True))
     units = emb.select(
         "vec_id",
         F.transform(

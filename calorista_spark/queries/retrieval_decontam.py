@@ -79,7 +79,7 @@ def doc_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the train side is already distinct, so the join is |grams|-bounded)
     then a groupBy(doc_id) — the standard eval-decontamination shape
     that survives a 100× corpus because nothing is quadratic."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     labeled = docs.select(
         "doc_id",
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c").alias(
@@ -87,13 +87,13 @@ def doc_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.explode(F.array_distinct(shingles("text", 3))).alias("gram"),
     )
-    train_grams = (
-        labeled.filter("is_train").select("gram").distinct()
-        .withColumn("hit", F.lit(True))
+    # single pass: a max-over-gram window marks leaked grams without a
+    # second tokenize of the train branch (a distinct+join formulation
+    # re-exploded every document twice — 2× the dominant cost)
+    hit = F.max(F.when(F.col("is_train"), True)).over(
+        Window.partitionBy("gram")
     )
-    test_hits = labeled.filter(~F.col("is_train")).join(
-        train_grams, "gram", "left"
-    )
+    test_hits = labeled.withColumn("hit", hit).filter(~F.col("is_train"))
     n_hit = F.count(F.when(F.col("hit"), 1))
     return (
         test_hits.groupBy("doc_id")
@@ -162,7 +162,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the stateless per-document scoring pass, so
     the whole retrieval is scan → one-row agg → broadcast-join →
     TakeOrdered(20) — no full sort, no wide shuffle at any scale."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     w = words_of("text")
 
     def tf_col(t: str):

@@ -45,7 +45,7 @@ LIMIT 20
 def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams: zip words with their tail (no
     self-join), explode, count. Ties break on the bigram string."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     words = F.split(F.lower(F.col("text")), r"\s+")
     n = F.size(words)
     bigrams = F.zip_with(
@@ -99,7 +99,7 @@ ORDER BY doc_id, rank
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact TF-IDF top-3 terms per doc. The df table is vocab-sized
     — broadcast onto the tf side; ranking on (rounded score, term)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
     )
