@@ -66,40 +66,45 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample. Four stage counts in one job; every stage predicate is
     deterministic, so the funnel is reproducible run-over-run and
     cluster-size-independent."""
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    terms = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    # per-row metrics: no explode/groupBy/self-join needed — word and
+    # distinct-word counts are array expressions on the tokenized row
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        (
+            (F.size(w) >= 30)
+            & (1.0 - F.size(F.array_distinct(w)) / F.size(w) <= 0.55)
+        ).alias("q_pass"),
     )
-    metrics = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.countDistinct("term").alias("n_distinct"),
+    # dedup survivor = min doc_id within (source, h) among quality
+    # docs; the q_pass key in the window partition confines ranking to
+    # the quality group, so one window pass computes the whole funnel
+    rn = F.row_number().over(
+        Window.partitionBy("source", "h", "q_pass").orderBy("doc_id")
     )
-    keep = (F.col("n_words") >= 30) & (
-        1.0 - F.col("n_distinct") / F.col("n_words") <= 0.55
+    staged = flagged.select(
+        "doc_id",
+        "source",
+        "q_pass",
+        (F.col("q_pass") & (rn == 1)).alias("dedup_keep"),
+    ).withColumn(
+        "sampled",
+        F.col("dedup_keep")
+        & (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c"),
     )
-    quality = docs.join(metrics.filter(keep).select("doc_id"), "doc_id").select(
-        "doc_id", "source", "text"
+    cnt = lambda c, name: F.count(F.when(F.col(c), 1)).cast("bigint").alias(name)
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            cnt("q_pass", "n_quality"),
+            cnt("dedup_keep", "n_deduped"),
+            cnt("sampled", "n_sampled"),
+        )
+        .orderBy("source")
     )
-    deduped = (
-        quality.select("doc_id", "source", F.md5("text").alias("h"))
-        .groupBy("h", "source")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", "source")
-    )
-    sampled = deduped.filter(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c"
-    )
-
-    def census(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
-
-    out = (
-        census(docs, "n_raw")
-        .join(census(quality, "n_quality"), "source", "left")
-        .join(census(deduped, "n_deduped"), "source", "left")
-        .join(census(sampled, "n_sampled"), "source", "left")
-    )
-    fill = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
-    return out.select(
-        "source", fill("n_raw"), fill("n_quality"), fill("n_deduped"), fill("n_sampled")
-    ).orderBy("source")
