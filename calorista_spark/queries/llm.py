@@ -408,7 +408,10 @@ def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent of LSH banding.
     """
     docs = read_table(spark, sf_dir, "documents")
-    sim = simhash_32(docs, "doc_id", "text")
+    # both join branches read the signatures; checkpoint the tiny
+    # (doc_id, simhash) frame so the tokenize+hash pipeline runs once,
+    # not once per branch
+    sim = simhash_32(docs, "doc_id", "text").localCheckpoint()
     byte_structs = F.array(
         *[
             F.struct(
