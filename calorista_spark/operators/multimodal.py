@@ -120,6 +120,68 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return assets.mapInPandas(_sample, schema=out_schema)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("target_width", T.IntegerType(), False),
+        T.StructField("target_height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resized_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_image_stub(
+    content: bytes | None, width: int, height: int, real_codec: bool = False
+) -> bytes | None:
+    """Stand-in for a real image resize (the PIL/libvips seam, like
+    :func:`decode_image_stub`). The fake path emits a deterministic
+    ``width*height``-byte payload by tiling the source bytes, so the
+    1→1 byte-transform plumbing (binary in, binary out, size change)
+    is real and assertable without a codec."""
+    if content is None:
+        return None
+    if real_codec:
+        raise NotImplementedError(
+            "real image resizing requires an image library not present "
+            "in this environment; wire PIL/libvips here"
+        )
+    target = width * height
+    if len(content) == 0:
+        return b"\x00" * target
+    reps = target // len(content) + 1
+    return (content * reps)[:target]
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize over multimodal assets: one ``mapInPandas``
+    pass, no shuffle, binary column in → binary column out with typed
+    target dimensions. At 100 TB this is the pattern for any byte-level
+    media transform: partition-local, batch-at-a-time, fixed schema so
+    everything around it stays Catalyst-planned."""
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["content"].map(
+                lambda b: resize_image_stub(b, width, height)
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "target_width": width,
+                    "target_height": height,
+                    "resized": resized,
+                    "resized_bytes": resized.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                }
+            )
+
+    return assets.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fake asset table for tests/demos: payload bytes
     derived from the asset id (no randomness, no files)."""

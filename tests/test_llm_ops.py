@@ -134,6 +134,28 @@ def test_multimodal_sample_frames_one_to_many(spark):
     assert all(sorted(v) == [0, 10, 20, 30] for v in per_asset.values())
 
 
+def test_multimodal_resize_stub(spark):
+    from calorista_spark.operators.multimodal import (
+        resize_image_stub,
+        resize_images,
+    )
+
+    assets = synthetic_assets(spark, n=6)
+    out = resize_images(assets, width=8, height=4).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.resized_bytes == 32 and len(r.resized) == 32
+        assert (r.target_width, r.target_height) == (8, 4)
+    # tiling is deterministic and derived from the source payload
+    src = bytes.fromhex(hashlib.sha256(b"0").hexdigest())
+    by_id = {r.asset_id: r for r in out}
+    assert bytes(by_id[0].resized) == (src * 2)[:32]
+    with pytest.raises(NotImplementedError):
+        resize_image_stub(b"\x00", 2, 2, real_codec=True)
+    assert resize_image_stub(None, 2, 2) is None
+    assert resize_image_stub(b"", 2, 2) == b"\x00" * 4
+
+
 def test_multiprobe_ivf_recall_dominates_single_probe(spark, sf_dir):
     # nprobe=3 must recover at least as many true top-5 neighbors as
     # nprobe=1 for every query (candidate sets are supersets)
