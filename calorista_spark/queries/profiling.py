@@ -1,0 +1,83 @@
+"""Data-profiling surface: the per-column summary every warehouse
+exposes (null counts, exact distinct cardinality, min/max) computed in
+ONE pass over the table — the engine-side replacement for the
+reference's ad-hoc "is this frame usable" guards
+(`streamlit_app.py:105-110,229-231`) generalized to any table.
+
+Scale shape: a single aggregation produces every column's metrics
+(multiple exact COUNT(DISTINCT) ride Spark's expand+aggregate, one
+shuffle total); the wide one-row result is then unpivoted driver-free
+with ``stack``. At 100 TB the same query runs with
+``approx_count_distinct`` — the exact form here is the oracle anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.queries.registry import query
+
+# (column, portable min/max rendering) — doubles go through
+# DECIMAL(18,2) so both engines render identical strings; timestamps
+# through DATE.
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST({v} AS STRING)"),
+    ("o_custkey", "CAST({v} AS STRING)"),
+    ("o_orderstatus", "CAST({v} AS STRING)"),
+    ("o_totalprice", "CAST(CAST({v} AS DECIMAL(18,2)) AS STRING)"),
+    ("o_orderdate", "CAST(CAST({v} AS DATE) AS STRING)"),
+    ("o_orderpriority", "CAST({v} AS STRING)"),
+]
+
+
+def _oracle() -> str:
+    parts = []
+    for c, fmt in _PROFILE_COLS:
+        mn = fmt.replace("{v}", f"MIN({c})").replace("STRING", "VARCHAR")
+        mx = fmt.replace("{v}", f"MAX({c})").replace("STRING", "VARCHAR")
+        parts.append(
+            f"SELECT '{c}' AS column_name,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_nulls,\n"
+            f"       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"       {mn} AS min_value,\n"
+            f"       {mx} AS max_value\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+_PROFILE_ORACLE = _oracle()
+
+
+@query("orders_column_profile", _PROFILE_ORACLE)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile. All six columns' null counts, exact
+    distinct counts, and min/max compute in a SINGLE agg (the oracle's
+    six-scan UNION is the readable spec; Spark's expand handles the
+    multi-distinct in one shuffle); ``stack`` reshapes the one-row
+    result without touching the driver."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, fmt in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.expr(fmt.replace("{v}", f"MIN({c})")).alias(f"{c}__min"),
+            F.expr(fmt.replace("{v}", f"MAX({c})")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    ).orderBy("column_name")

@@ -124,3 +124,41 @@ def test_trailing_range_window_single_shuffle(spark, sf_dir):
     assert "Window" in plan
     # one hash exchange for the window partition + the final sort
     assert plan.count("Exchange") <= 2
+
+
+def test_dup_span_report_prunes_and_broadcasts_tail_join(spark, sf_dir):
+    # the gram pipeline must read ONLY (doc_id, text); the final
+    # totals-vs-spans join builds from the tiny per-doc span frame
+    plan = plan_of(QUERIES["doc_dup_span_report"](spark, sf_dir))
+    for scan_schema in plan.split("ReadSchema:")[1:]:
+        head = scan_schema.splitlines()[0]
+        assert "lang" not in head and "source" not in head, (
+            "span report reads columns it never uses"
+        )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_scoring_reads_only_needed_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["doc_lm_quality_score"](spark, sf_dir))
+    for scan_schema in plan.split("ReadSchema:")[1:]:
+        head = scan_schema.splitlines()[0]
+        assert "source" not in head and "n_chars" not in head
+    # LM estimation prefix totals ride a window over the aggregated
+    # bigram counts — a single hash aggregate feeding a window, never
+    # a groupBy+self-join of the gram stream
+    simple = plan_of(QUERIES["doc_lm_quality_score"](spark, sf_dir), "simple")
+    assert "Window" in simple
+
+
+def test_dsir_single_pass_distributions(spark, sf_dir):
+    # raw + target unigram counts must come from ONE aggregation over
+    # the token stream (conditional sum), not two separate groupBys
+    simple = plan_of(QUERIES["doc_dsir_weights"](spark, sf_dir), "simple")
+    token_aggs = [
+        ln
+        for ln in simple.splitlines()
+        if "HashAggregate" in ln and "term" in ln and "count" in ln
+    ]
+    # partial + final pair for the vocab agg; a second distribution
+    # pass would add another pair over the same key
+    assert len(token_aggs) <= 2, simple
