@@ -117,3 +117,40 @@ def plan_of_scale(df) -> str:
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Runtime bloom-filter semi-join pruning (SURVEY §4.3): when a
+    selective filter sits on the build side of a shuffle join, Spark
+    injects might_contain() into the probe-side scan so most fact rows
+    die before the shuffle. The default thresholds are cluster-scale
+    (application side >= 10GB), so at 100 TB this fires untouched; the
+    test lowers them to prove the engine's join shapes are eligible."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+        assert j.count() == 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
