@@ -8,11 +8,14 @@ from pyspark.sql import functions as F
 
 def fingerprint(*cols: Column | str, sep: str = "_") -> Column:
     """O-S9: row fingerprint ``f"{id}_{date_int}_{timestamp}"``
-    (reference main.py:54-60). Null components become empty strings,
-    matching Python's f-string-on-missing-key behavior only loosely —
-    the engine's normalizer guarantees non-null key fields first."""
+    (reference main.py:54-60, ``entry.get(..., '')`` convention).
+    Every null component yields an *empty* segment — ``concat_ws``
+    alone would skip it entirely, letting key tuples that differ only
+    in which field is null collide (e.g. (1,null,2) vs (1,2,null))."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.concat_ws(sep, *[c.cast("string") for c in cs])
+    return F.concat_ws(
+        sep, *[F.coalesce(c.cast("string"), F.lit("")) for c in cs]
+    )
 
 
 def fingerprint_hash(*cols: Column | str) -> Column:

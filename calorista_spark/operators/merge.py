@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from calorista_spark.functions.text import row_hash
@@ -46,14 +46,24 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
             f"merge requires identical schemas; target={cols} source={source.columns}"
         )
     t = target.select([F.col(c).alias(f"__t_{c}") for c in cols])
-    s = source.select([F.col(c).alias(f"__s_{c}") for c in cols])
+    # Presence marker, not per-column coalesce: a matched update that sets
+    # a field to NULL must replace the target value (reference main.py:151
+    # replaces the whole row), or row_hash re-classifies it forever.
+    s = source.select(
+        [F.col(c).alias(f"__s_{c}") for c in cols] + [F.lit(True).alias("__s_present")]
+    )
     cond = reduce(
         lambda a, b: a & b,
         [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in keys],
     )
     joined = t.join(s, cond, "full_outer")
     return joined.select(
-        [F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}")).alias(c) for c in cols]
+        [
+            F.when(F.col("__s_present").isNotNull(), F.col(f"__s_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in cols
+        ]
     )
 
 
@@ -117,6 +127,18 @@ def scd2_upsert(
         dim.filter(F.col(valid_to).isNull()), exclude=(valid_from, valid_to)
     )
     upd = with_row_hash(updates, exclude=(effective_col,))
+    # Latest-per-key pre-reduction: multiple updates for one key in a
+    # batch would otherwise fan out through the full-outer join into
+    # duplicate closed rows and several open "current" rows. Ties on
+    # effective time break on the row hash for determinism.
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(effective_col).desc(), F.col("row_hash")
+    )
+    upd = (
+        upd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     cur = current.select(
         *keys,

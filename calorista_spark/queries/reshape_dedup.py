@@ -204,10 +204,12 @@ source AS (
   FROM events WHERE event_id % 3 = 0
 )
 SELECT
-  COALESCE(s.event_id, t.event_id)     AS event_id,
-  COALESCE(s.user_id, t.user_id)       AS user_id,
-  COALESCE(s.event_type, t.event_type) AS event_type,
-  ROUND(COALESCE(s.value, t.value), 4) AS value
+  COALESCE(s.event_id, t.event_id) AS event_id,
+  CASE WHEN s.event_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+  CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END
+    AS event_type,
+  ROUND(CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END, 4)
+    AS value
 FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id
 ORDER BY event_id
 """

@@ -75,28 +75,54 @@ class FoodDaysStreamReader(SimpleDataSourceStreamReader):
     offset — the reference's 30-min re-poll loop (README.md:65) as a
     real Structured Streaming source with exactly-once offsets.
 
-    The offset is the max day already emitted ({"last": iso-date}), so
-    state is O(1) regardless of history length; ``readBetweenOffsets``
-    replays deterministically from the fixture dir on recovery.
+    A max-date offset alone would drop a day file that lands *later*
+    with an *earlier* date (the reference re-polls a trailing range for
+    exactly this reason), so the offset carries the set of days already
+    emitted inside a bounded trailing window:
+
+        {"seen": [iso-days within window], "batch": [this batch's days]}
+
+    A file is ingested when its day is not in ``seen`` and not older
+    than ``trailing_days`` behind the newest seen day — late backfills
+    inside the window are picked up on any later poll; ``seen`` is
+    pruned to the window so offset state stays O(window). ``batch``
+    makes ``readBetweenOffsets`` an exact, deterministic replay.
     """
+
+    #: how far behind the newest ingested day a late file may land
+    TRAILING_DAYS = 35
 
     def __init__(self, options: dict):
         self.fixture_dir = options["fixture_dir"]
+        self.trailing_days = int(options.get("trailing_days", self.TRAILING_DAYS))
 
     def initialOffset(self) -> dict:
-        return {"last": "1970-01-01"}
+        return {"seen": [], "batch": []}
 
-    def _days_after(self, last_iso: str) -> list[str]:
-        days = sorted(
+    def _all_days(self) -> list[str]:
+        return sorted(
             f[: -len(".json")]
             for f in os.listdir(self.fixture_dir)
             if f.endswith(".json")
         )
-        return [d for d in days if d > last_iso]
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        new_days = self._days_after(start["last"])
-        end = {"last": new_days[-1]} if new_days else dict(start)
+        seen = set(start.get("seen", []))
+        horizon = "1970-01-01"
+        if seen:
+            horizon = (
+                datetime.date.fromisoformat(max(seen))
+                - datetime.timedelta(days=self.trailing_days)
+            ).isoformat()
+        new_days = [d for d in self._all_days() if d not in seen and d >= horizon]
+        merged = seen | set(new_days)
+        if merged:
+            keep_from = (
+                datetime.date.fromisoformat(max(merged))
+                - datetime.timedelta(days=self.trailing_days)
+            ).isoformat()
+            merged = {d for d in merged if d >= keep_from}
+        end = {"seen": sorted(merged), "batch": new_days}
         # a LIST, not a generator: the runner pickles prefetched rows
         rows = [
             (
@@ -110,12 +136,11 @@ class FoodDaysStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(
         self, start: dict, end: dict
     ) -> Iterator[tuple]:
-        for d in self._days_after(start["last"]):
-            if d <= end["last"]:
-                yield (
-                    datetime.date.fromisoformat(d),
-                    _fetch_one(self.fixture_dir, d),
-                )
+        for d in end.get("batch", []):
+            yield (
+                datetime.date.fromisoformat(d),
+                _fetch_one(self.fixture_dir, d),
+            )
 
 
 class FoodDaysDataSource(DataSource):

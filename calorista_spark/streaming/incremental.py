@@ -62,8 +62,21 @@ def watermarked_dedup(
 ) -> DataFrame:
     """ST2: exactly-once fingerprint dedup with bounded state. The
     watermark bounds how long a fingerprint is remembered — the price
-    of not holding the reference's unbounded in-memory set."""
-    return stream.withWatermark(ts_col, delay).dropDuplicates(keys)
+    of not holding the reference's unbounded in-memory set.
+
+    ``dropDuplicates(keys)`` only evicts state via the watermark when
+    the event-time column is part of the dedup subset; for key-only
+    dedup the bounded-state form is ``dropDuplicatesWithinWatermark``,
+    which expires a key once the watermark passes its first-seen event
+    time. Batch frames fall back to plain ``dropDuplicates`` (the
+    within-watermark variant is streaming-only).
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    wm = stream.withWatermark(ts_col, delay)
+    if ts_col in keys:
+        return wm.dropDuplicates(keys)
+    return wm.dropDuplicatesWithinWatermark(keys)
 
 
 def tumbling_agg(

@@ -69,6 +69,37 @@ def test_merge_classify_actions(spark):
     assert acts2 == {1: "unchanged"}
 
 
+def test_merge_upsert_null_update_replaces_value(spark):
+    # ADVICE r01: a matched update that sets a field to NULL must win —
+    # per-column coalesce would silently keep the old target value and
+    # the sync never converges (row_hash keeps saying 'update').
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    target = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    source = spark.createDataFrame([(2, None)], schema)
+    merged = {r.id: r.v for r in merge_upsert(target, source, ["id"]).collect()}
+    assert merged == {1: "a", 2: None}
+    # convergence: re-merging the same source is now a no-op
+    once = merge_upsert(target, source, ["id"])
+    twice = merge_upsert(once, source, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_fingerprint_null_yields_empty_segment(spark):
+    # ADVICE r01: (1, null, 2) and (1, 2, null) must NOT collide
+    from calorista_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None, 2), (1, 2, None)], ["a", "b", "c"]
+    )
+    out = [r.fp for r in df.select(fingerprint("a", "b", "c").alias("fp")).collect()]
+    assert out == ["1__2", "1_2_"]
+    assert out[0] != out[1]
+
+
 def test_merge_idempotent(spark):
     # merging the same source twice changes nothing (O-D4)
     target = spark.createDataFrame([(1, "a")], ["id", "v"])

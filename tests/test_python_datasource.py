@@ -109,3 +109,32 @@ def test_streaming_datasource_incremental_offsets(spark, tmp_path):
         ("2024-03-02", '{"a": 2}'),
         ("2024-03-03", '{"a": 3}'),
     ]
+
+    # ADVICE r01: a day file landing LATE with an EARLIER date (inside
+    # the trailing window) must still be ingested — a max-date offset
+    # would filter it out forever.
+    (fixture / "2024-02-28.json").write_text('{"a": 0}')
+    run_pass()
+    third = sorted(str(r.date) for r in spark.read.parquet(out).collect())
+    assert third == ["2024-02-28", "2024-03-01", "2024-03-02", "2024-03-03"]
+
+
+def test_stream_offset_state_is_bounded(tmp_path):
+    # seen-set pruning: days older than the trailing window drop out of
+    # the offset, keeping state O(window) regardless of history length
+    from calorista_spark.sources.python_datasource import FoodDaysStreamReader
+
+    fixture = tmp_path / "days"
+    fixture.mkdir()
+    for i in range(1, 29):
+        (fixture / f"2024-01-{i:02d}.json").write_text("{}")
+    reader = FoodDaysStreamReader(
+        {"fixture_dir": str(fixture), "trailing_days": 7}
+    )
+    rows, off = reader.read(reader.initialOffset())
+    assert len(list(rows)) == 28
+    assert off["seen"] == [f"2024-01-{i:02d}" for i in range(21, 29)]
+    # a file older than the window is (documented) out of scope
+    (fixture / "2024-01-01.json").write_text("{}")
+    rows2, off2 = reader.read(off)
+    assert list(rows2) == [] and off2["batch"] == []

@@ -78,6 +78,28 @@ def test_scd2_idempotent_on_identical_updates(spark):
     )
 
 
+def test_scd2_multiple_updates_per_key_take_latest(spark):
+    # ADVICE r01: several updates for one key in a batch must not fan
+    # out through the full-outer join; the latest effective_ts wins and
+    # exactly one row closes + one opens.
+    updates = spark.createDataFrame(
+        [
+            (2, "odesa", "gold", T1),
+            (2, "odesa", "platinum", T2),  # later — must win
+        ],
+        UPD_SCHEMA,
+    )
+    out = scd2_upsert(_dim(spark), updates, ["k"])
+    k2 = sorted(
+        (r.city, r.tier, r.valid_from, r.valid_to)
+        for r in out.filter(out.k == 2).collect()
+    )
+    assert k2 == [
+        ("odesa", "platinum", T2, None),  # single new current
+        ("odesa", "silver", T0, T2),      # single closed row
+    ]
+
+
 def test_scd2_exactly_one_current_row_per_key(spark):
     updates = spark.createDataFrame(
         [(1, "kyiv", "platinum", T2), (2, "odesa", "gold", T2)], UPD_SCHEMA
