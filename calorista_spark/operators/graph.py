@@ -3,17 +3,21 @@ clustering (SURVEY §2.11 L2 "connected components keep-one").
 
 Min-label propagation: every node repeatedly adopts the smallest
 component id among itself and its neighbors until fixpoint. Each
-iteration is one join + one aggregate; ``localCheckpoint`` truncates
-the growing lineage (the standard guard for iterative Spark jobs).
-Converges in O(diameter) rounds — near-dup clusters are tiny and
-star-shaped, so 2-3 rounds in practice; ``max_iter`` bounds the
-pathological chain case.
+iteration is one join + one aggregate; ``stage_checkpoint`` truncates
+the growing lineage (the standard guard for iterative Spark jobs) —
+executor-memory-resident on local[n], reliable (HDFS/S3) when the
+session has ``setCheckpointDir`` configured, which is the cluster
+deployment mode. Converges in O(diameter) rounds — near-dup clusters
+are tiny and star-shaped, so 2-3 rounds in practice; ``max_iter``
+bounds the pathological chain case.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from calorista_spark.operators.checkpoint import stage_checkpoint
 
 
 def connected_components(
@@ -35,7 +39,7 @@ def connected_components(
     # fixpoint probe re-reads it, and without this the entire upstream
     # pipeline that produced the edges (e.g. minhash→LSH→jaccard)
     # would re-execute per round
-    adj = fwd.unionByName(bwd).distinct().localCheckpoint(eager=True)
+    adj = stage_checkpoint(fwd.unionByName(bwd).distinct(), eager=True)
 
     labels = adj.select("node").distinct().withColumn("comp", F.col("node"))
 
@@ -61,7 +65,7 @@ def connected_components(
         # instead of re-executing the iteration lineage (measured
         # 7.3s → 7.0s at sf0.1 vs checkpointing every 3rd round)
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = stage_checkpoint(new_labels, eager=True)
         # fixpoint: converged when no node's label shrank this round
         converged = (
             new_labels.alias("n")

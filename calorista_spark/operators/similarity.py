@@ -80,7 +80,9 @@ def shingle_sets(
         F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
     )
     if materialize:
-        sets = sets.localCheckpoint(eager=False)
+        from calorista_spark.operators.checkpoint import stage_checkpoint
+
+        sets = stage_checkpoint(sets, eager=False)
     return sets
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.operators.checkpoint import stage_checkpoint
 from calorista_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -411,7 +412,7 @@ def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join branches read the signatures; checkpoint the tiny
     # (doc_id, simhash) frame so the tokenize+hash pipeline runs once,
     # not once per branch
-    sim = simhash_32(docs, "doc_id", "text").localCheckpoint()
+    sim = stage_checkpoint(simhash_32(docs, "doc_id", "text"))
     byte_structs = F.array(
         *[
             F.struct(

@@ -81,3 +81,36 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     ).orderBy("column_name")
+
+
+@query("orders_column_profile_approx", None)
+def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``orders_column_profile``: HyperLogLog++
+    ``approx_count_distinct`` instead of six exact COUNT(DISTINCT), so
+    the plan has NO expand (the exact form multiplies input rows 13×
+    through Spark's expand+aggregate) — one ordinary partial/final agg,
+    constant memory per column. Sketch output ⇒ rows-only driver check,
+    like ``approx_stats_by_returnflag``; the exact twin stays the
+    oracle anchor."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, fmt in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.expr(fmt.replace("{v}", f"MIN({c})")).alias(f"{c}__min"),
+            F.expr(fmt.replace("{v}", f"MAX({c})")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    ).orderBy("column_name")

@@ -26,3 +26,26 @@ def test_long_chain_needs_multiple_rounds(spark):
 def test_reversed_edge_direction_irrelevant(spark):
     got = _cc(spark, [(5, 1), (2, 5)])  # min label arrives via mixed directions
     assert got == {1: 1, 2: 1, 5: 1}
+
+
+def test_reliable_checkpoint_mode_same_result(spark, tmp_path):
+    # VERDICT r01 #3: with a session checkpoint dir configured (the
+    # cluster deployment mode), iterative ops route through reliable
+    # df.checkpoint() — fault-tolerant across executor loss — and
+    # produce identical output.
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        # reliable checkpoint files actually landed on (distributed) storage
+        assert any(os.scandir(ckpt))
+    finally:
+        # restore "unset" so other tests keep the localCheckpoint path
+        none_opt = sc._jvm.scala.Option.apply(None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_opt)
+        assert sc.getCheckpointDir() is None

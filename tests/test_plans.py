@@ -150,6 +150,16 @@ def test_lm_scoring_reads_only_needed_columns(spark, sf_dir):
     assert "Window" in simple
 
 
+def test_profile_approx_twin_has_no_expand(spark, sf_dir):
+    # VERDICT r01 #2: the exact profile's 6-way multi-distinct rides an
+    # Expand that multiplies input 13x; the approx (HLL++) twin — the
+    # 100 TB default — must compile to a plain partial/final aggregate
+    plan = plan_of(QUERIES["orders_column_profile_approx"](spark, sf_dir))
+    assert "Expand" not in plan
+    exact = plan_of(QUERIES["orders_column_profile"](spark, sf_dir))
+    assert "Expand" in exact  # the anchor keeps its documented shape
+
+
 def test_dsir_single_pass_distributions(spark, sf_dir):
     # raw + target unigram counts must come from ONE aggregation over
     # the token stream (conditional sum), not two separate groupBys
