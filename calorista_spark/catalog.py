@@ -29,9 +29,13 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# factor (they grow sub-linearly or not at all in TPC-H-style data).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+# Dimension tables that are CONSTANT-SIZE (5 and 25 rows regardless of
+# scale factor) and therefore always safe to hint-broadcast. supplier,
+# part and customer are deliberately NOT here: TPC-H scales them
+# linearly (10k/200k/150k rows × SF), so at the 100 TB north star a
+# forced broadcast hint would OOM the driver — those joins must be left
+# to AQE's size-based runtime decision instead.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

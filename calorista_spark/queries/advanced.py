@@ -347,7 +347,9 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supplier),
+            # no broadcast hint: supplier is SF-scaled (10k rows × SF);
+            # AQE broadcasts it at small SF and shuffles it at scale.
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -217,8 +217,10 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0.0))
     )
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        # part/supplier carry NO hint: both are SF-scaled (200k/10k rows
+        # × SF), so the broadcast-vs-shuffle choice is AQE's at runtime.
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .join(c, c["c_custkey"] == o["o_custkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
@@ -271,8 +273,9 @@ def profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     n = read_table(spark, sf_dir, "nation")
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        # part/supplier unhinted (SF-scaled) — AQE decides at runtime.
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
@@ -441,7 +444,8 @@ WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
 
 @query("promo_revenue_q14", _Q14_ORACLE)
 def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: broadcast part join + single-pass conditional ratio."""
+    """Q14 shape: part join (AQE-sized, part is SF-scaled) + single-pass
+    conditional ratio."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
@@ -449,7 +453,7 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
+    return li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
         F.round(F.lit(100.0) * F.sum(promo_rev) / F.sum(rev), 4).alias(
             "promo_revenue_pct"
         )
@@ -611,7 +615,7 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             F.round(

@@ -69,8 +69,10 @@ ORDER BY p_partkey
 def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: the correlated min-cost subquery decorrelated into a
     per-part window rank (cost, then supplier key — a total order, so
-    exactly one winner per part). All four dimension joins broadcast;
-    lineitem shuffles once on (partkey, suppkey)."""
+    exactly one winner per part). nation/region are hint-broadcast
+    (constant-size); part and supplier carry NO hint — both are
+    SF-scaled, so the broadcast-vs-shuffle choice is left to AQE's
+    runtime size check. lineitem shuffles once on (partkey, suppkey)."""
     ps = _part_supplier_cost(spark, sf_dir)
     part = read_table(spark, sf_dir, "part").filter(
         (F.col("p_size") < 15) & (F.col("p_type") == "STANDARD")
@@ -79,8 +81,8 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cand = (
-        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), ps["l_suppkey"] == supp["s_suppkey"])
+        ps.join(part, ps["l_partkey"] == part["p_partkey"])
+        .join(supp, ps["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "cost")
@@ -132,7 +134,7 @@ def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
     )
     vals = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("l_partkey")
         .agg(
@@ -188,8 +190,8 @@ def supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        pairs.join(F.broadcast(flagged), pairs["l_suppkey"] == flagged["s_suppkey"], "left_anti")
-        .join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        pairs.join(flagged, pairs["l_suppkey"] == flagged["s_suppkey"], "left_anti")
+        .join(part, pairs["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
@@ -233,13 +235,13 @@ def excess_red_volume_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     sq = (
-        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        li.join(red, li["l_partkey"] == red["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 250)
     )
     return (
-        sq.join(F.broadcast(supp), sq["l_suppkey"] == supp["s_suppkey"])
+        sq.join(supp, sq["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .select("s_suppkey", "s_name", "n_name", F.round("qty", 4).alias("red_qty"))
         .orderBy("s_suppkey")
@@ -305,7 +307,7 @@ def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_fail.join(orders, F.col("l1.l_orderkey") == orders["o_orderkey"])
-        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp["s_suppkey"])
+        .join(supp, F.col("l1.l_suppkey") == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
