@@ -37,29 +37,47 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + codegen + parquet footer caches
-    QUERIES["daily_totals"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        QUERIES["daily_totals"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — warmup failure is non-fatal
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    # One query crashing must never abort the run: record the error,
+    # keep timing the rest, and emit the summary line LAST so a
+    # tail-truncated capture still contains the total.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock for the SURVEY §2 query set",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
-    )
+    # Key order matters: the driver may keep only the TAIL of stdout,
+    # so the long per-query dict goes first and the headline
+    # metric/value fields go last, surviving front-truncation.
+    summary = {
+        "queries": timings,
+        **({"errors": errors} if errors else {}),
+        "metric": "total wall-clock for the SURVEY §2 query set",
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "value": total,
+    }
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

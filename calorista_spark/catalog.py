@@ -80,16 +80,26 @@ def fan_out(df: DataFrame) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos and rebuild a
-    TIMESTAMP_NTZ. ``convert_timezone('UTC', ...)`` pins the wall-clock
-    value regardless of the session timezone, so results are identical
-    under any driver session config (and match DuckDB's naive reads).
+    """Read events.parquet, tolerating both historical ``ts`` layouts.
+
+    Newer testdata stores ``ts`` as TIMESTAMP(MICROS), which Spark loads
+    directly as TIMESTAMP_NTZ — pass it through untouched. Older files
+    stored TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+    with ``nanosAsLong`` those load as BIGINT nanos, and we rebuild a
+    TIMESTAMP_NTZ from them. ``convert_timezone('UTC', ...)`` pins the
+    wall-clock value regardless of the session timezone, so results are
+    identical under any driver session config (and match DuckDB's naive
+    reads).
     """
     from pyspark.sql import functions as F
 
+    # Harmless when ts is already a timestamp; required to load legacy
+    # TIMESTAMP(NANOS) files at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes).get("ts") != "bigint":
+        # Already a timestamp type (micros layout) — no rebuild needed.
+        return raw
     return raw.withColumn(
         "ts",
         # integer `div`, not `/`: at ~1.7e18 nanos a double division is

@@ -28,14 +28,27 @@ from calorista_spark.operators.merge import merge_upsert
 
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """Structured-Streaming source over the events table directory,
-    applying the same TIMESTAMP(NANOS) repair as the batch catalog
-    (``catalog._read_events``): nanos-as-long + rebuilt TIMESTAMP_NTZ,
-    so every window helper below works identically in both modes."""
+    applying the same ``ts``-layout handling as the batch catalog
+    (``catalog._read_events``): TIMESTAMP(MICROS) files stream straight
+    through as TIMESTAMP_NTZ; legacy TIMESTAMP(NANOS) files stream as
+    nanos-as-long and get the rebuilt TIMESTAMP_NTZ, so every window
+    helper below works identically in both modes.
+
+    The layout is sniffed from a zero-job batch read of the same file
+    (footer only — no data scan), since a stream source needs its
+    schema declared up front."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_nanos_long = dict(footer.dtypes).get("ts") == "bigint"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField(
+                "ts",
+                T.LongType() if ts_is_nanos_long else T.TimestampNTZType(),
+            ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -49,6 +62,8 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if not ts_is_nanos_long:
+        return raw
     return raw.withColumn(
         "ts",
         F.convert_timezone(
