@@ -35,6 +35,10 @@ TABLES = (
 # linearly (10k/200k/150k rows × SF), so at the 100 TB north star a
 # forced broadcast hint would OOM the driver — those joins must be left
 # to AQE's size-based runtime decision instead.
+#
+# ENFORCED by read_table: every read of a table in this set carries
+# F.broadcast, so any join against it is hint-broadcast without
+# per-query hints. (The hint is inert outside joins.)
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +61,10 @@ def read_table(
         df = _read_events(spark, sf_dir)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
+    if name in BROADCAST_DIMS:
+        from pyspark.sql import functions as F
+
+        df = F.broadcast(df)
     return globals()["fan_out"](df) if fan_out else df
 
 

@@ -1,0 +1,134 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+``Window.orderBy(...)`` with no partition key.
+
+A partition-less window funnels EVERY row through one task: correct at
+test scale, a guaranteed straggler/OOM at the 100 TB north star. The
+classic fix is the two-pass range-partitioned rank:
+
+1. ``repartitionByRange`` on the sort key — a single shuffle that
+   gives a TOTAL order across partitions (partition i's keys all sort
+   before partition i+1's) while keeping rows spread over P tasks;
+2. rank locally inside each physical partition (windows partitioned by
+   ``spark_partition_id()`` → P-way parallel, no global funnel);
+3. compute per-partition row counts (P rows — tiny), turn them into
+   cumulative offsets with a driver-negligible window over P rows, and
+   broadcast-join the offsets back: ``global = offset + local``.
+
+Every step is DataFrame-native, deterministic (RangePartitioner's
+sampling seed is fixed per input split, and the offsets are derived
+from actual counts, so boundaries don't affect the result), and scales
+as O(N/P) per task.
+
+Reference parity note: the reference computes ranks/quantiles with
+pandas on a single frame (e.g. /root/reference/calorista/
+streamlit_app.py trend tables); this module is the distributed
+restatement of those semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_LOCAL = "__rank_local"
+_OFFSET = "__rank_offset"
+
+
+def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int | None):
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # explicit numPartitions: AQE must not re-coalesce this exchange,
+    # or the pid-keyed offsets below could drift between branches
+    return df.repartitionByRange(p, *order_cols).withColumn(
+        "__rank_pid", F.spark_partition_id()
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number over ``order_cols`` (which must
+    form a total order — include a unique tiebreak column) WITHOUT a
+    single-partition window. Adds ``out_col``; preserves all input
+    columns."""
+    ranged = _range_partitioned(df, order_cols, num_partitions)
+    w_local = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = ranged.withColumn(_LOCAL, F.row_number().over(w_local))
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    # cumulative offsets across partition ids: P rows — the ONLY
+    # global window in the pattern, and it sees O(P) rows, not O(N)
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET)
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("int"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
+def ntile_expr(rank: Column, total: Column, n: int) -> Column:
+    """SQL-standard ``ntile(n)`` from a precomputed 1-based rank and
+    the partition row count: the first ``total % n`` tiles get
+    ``total div n + 1`` rows, the rest ``total div n``."""
+    q = (total / n).cast("long")  # floor for non-negative
+    rem = total - q * n
+    big = q + 1  # size of the first `rem` tiles
+    in_big = rank <= rem * big
+    tile_big = F.floor((rank - 1) / big) + 1
+    tile_small = rem + F.floor((rank - 1 - rem * big) / q) + 1
+    return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
+
+
+def grouped_cume_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tie-aware cumulative counts per group WITHOUT per-group global
+    windows: returns one row per distinct ``(group_col, value_col)``
+    with
+
+    - ``cnt``     — rows in the tie group,
+    - ``cum_le``  — rows in the group with value <= this value,
+    - ``n_total`` — rows in the group.
+
+    From these, ``rank = cum_le - cnt + 1``,
+    ``percent_rank = (rank-1)/(n_total-1)``, ``cume_dist = cum_le /
+    n_total`` — the exact window-function semantics, computed with one
+    combinable aggregation + a range-partitioned local running sum.
+    Equal keys always land in one range partition (the partitioner is
+    a pure function of the key), so tie groups never split."""
+    g = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    ranged = _range_partitioned(g, [group_col, value_col], num_partitions)
+    w_local = (
+        Window.partitionBy(_PID, group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__local_cum", F.sum("cnt").over(w_local))
+    # per (pid, group) totals → per-group cumulative offsets across
+    # pids: O(P × |groups|) rows, tiny relative to the data
+    pg = local.groupBy(_PID, group_col).agg(F.sum("cnt").alias("__n"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pg.select(
+        _PID,
+        group_col,
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET),
+    )
+    totals = pg.groupBy(group_col).agg(F.sum("__n").alias("n_total"))
+    return (
+        local.join(F.broadcast(offsets), [_PID, group_col])
+        .withColumn("cum_le", F.col(_OFFSET) + F.col("__local_cum"))
+        .join(F.broadcast(totals), group_col)
+        .select(group_col, value_col, "cnt", "cum_le", "n_total")
+    )

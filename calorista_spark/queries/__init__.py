@@ -18,6 +18,7 @@ from calorista_spark.queries import product_analytics  # noqa: F401
 from calorista_spark.queries import profiling  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import retrieval_decontam  # noqa: F401
+from calorista_spark.queries import scalable_ranks  # noqa: F401
 from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries import semistructured  # noqa: F401
 from calorista_spark.queries import snapshot_diff  # noqa: F401

@@ -217,7 +217,10 @@ def approx_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            # rsd 0.01: KB-scale registers, ±5 %-testable accuracy
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+                "approx_orders"
+            ),
             F.round(
                 F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
             ).alias("approx_median"),

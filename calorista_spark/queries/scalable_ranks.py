@@ -1,0 +1,100 @@
+"""Scale-safe twins of the partition-less rank queries.
+
+``order_price_quartiles`` (windows_extra.py) and
+``order_percentile_ranks`` (analytic_extra.py) are the exact oracle
+anchors, but their window specs funnel all rows (or a third of them)
+through single tasks at 100 TB. These twins produce IDENTICAL rows —
+same oracle SQL, same hashes — through the distributed two-pass rank
+in :mod:`calorista_spark.operators.ranks`, mirroring the
+exact/approx twin pattern of ``orders_column_profile[_approx]``.
+
+tests/test_plans.py asserts the twins contain NO partition-less
+window over the data (the only global window they may contain runs
+over O(num_partitions) count rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.operators.ranks import (
+    global_row_number,
+    grouped_cume_counts,
+    ntile_expr,
+)
+from calorista_spark.queries.analytic_extra import _RANKS_ORACLE
+from calorista_spark.queries.registry import query
+from calorista_spark.queries.windows_extra import _NTILE_ORACLE
+
+
+@query("order_price_quartiles_scalable", _NTILE_ORACLE)
+def order_price_quartiles_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ntile(4) over the global (o_totalprice, o_orderkey) order with
+    no single-task window: distributed row numbers + the closed-form
+    ntile arithmetic, with the total row count broadcast from a 1-row
+    aggregate."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="__rn"
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total_price"),
+            ntile_expr(F.col("__rn"), F.col("__total"), 4).alias(
+                "price_quartile"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query("order_percentile_ranks_scalable", _RANKS_ORACLE)
+def order_percentile_ranks_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """percent_rank + cume_dist per order status without per-status
+    global windows: tie-aware cumulative counts at the distinct
+    (status, price) level (combinable aggregation + range-partitioned
+    running sum), then an equi-join back onto orders to emit per-row
+    ranks. rank = cum_le - cnt + 1 reproduces SQL's shared-min-rank
+    tie semantics exactly."""
+    orders = read_table(spark, sf_dir, "orders")
+    cume = grouped_cume_counts(orders, "o_orderstatus", "o_totalprice")
+    rank = F.col("cum_le") - F.col("cnt") + 1
+    # rename the join keys: per_value shares lineage with orders, so
+    # unrenamed columns would be ambiguous in the self-join below
+    per_value = cume.select(
+        F.col("o_orderstatus").alias("__status"),
+        F.col("o_totalprice").alias("__price"),
+        F.round(
+            F.when(
+                F.col("n_total") > 1, (rank - 1) / (F.col("n_total") - 1)
+            ).otherwise(F.lit(0.0)),  # SQL: single-row partition → 0
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("cum_le") / F.col("n_total"), 6).alias("cume_dist"),
+    )
+    return (
+        orders.join(
+            per_value,
+            (F.col("o_orderstatus") == F.col("__status"))
+            & (F.col("o_totalprice") == F.col("__price")),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "pct_rank",
+            "cume_dist",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -533,8 +533,9 @@ ORDER BY o.o_orderkey
 @query("large_quantity_orders_q18", _Q18_ORACLE)
 def large_quantity_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: the IN-subquery becomes a semi join against a
-    grouped aggregate; the qualifying key set is tiny, so Spark
-    broadcasts it back onto the fact."""
+    grouped aggregate. The qualifying key set is a fixed FRACTION of
+    orders, so it scales with SF — no broadcast hint; AQE sizes the
+    semi join at runtime (broadcast at small SF, shuffle at 100 TB)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
@@ -545,9 +546,7 @@ def large_quantity_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        o.join(
-            F.broadcast(big), o["o_orderkey"] == F.col("big_orderkey"), "left_semi"
-        )
+        o.join(big, o["o_orderkey"] == F.col("big_orderkey"), "left_semi")
         .join(c, c["c_custkey"] == o["o_custkey"])
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy(

@@ -10,11 +10,14 @@ threshold over a grouped value (Q11), NOT-IN exclusion + count
 distinct (Q16), nested semi-join qualification (Q20), and the
 double-correlated EXISTS / NOT EXISTS self-join (Q21).
 
-Scale notes: part (2k rows/sf0.01), supplier (100), nation, region
-are broadcast on every join — only lineitem shuffles, and only on its
-aggregation keys. Self-joins in Q21 are equi-joins on l_orderkey, so
-Catalyst plans one shuffle per side keyed on the order; at 100 TB the
-same plan holds with AQE handling skewed orders.
+Scale notes: only nation and region (constant 25/5 rows) carry
+broadcast hints; part and supplier joins are AQE-sized — TPC-H scales
+both linearly with SF, so at small SF AQE runtime-broadcasts them and
+at 100 TB they become shuffle joins without a plan rewrite. lineitem
+shuffles only on its aggregation keys. Self-joins in Q21 are
+equi-joins on l_orderkey, so Catalyst plans one shuffle per side keyed
+on the order; at 100 TB the same plan holds with AQE handling skewed
+orders.
 """
 
 from __future__ import annotations
@@ -221,9 +224,10 @@ ORDER BY s.s_suppkey
 
 @query("excess_red_volume_q20", _Q20_ORACLE)
 def excess_red_volume_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20 shape: the part filter broadcasts (257 red parts), the
-    year filter prunes the scan, and the qualification is a grouped
-    HAVING on summed quantity — one lineitem shuffle on l_suppkey."""
+    """Q20 shape: the red-part key set is AQE-sized (SF-scaled, so
+    broadcast only at small SF), the year filter prunes the scan, and
+    the qualification is a grouped HAVING on summed quantity — one
+    lineitem shuffle on l_suppkey."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.year(F.col("l_shipdate").cast("date")) == 2000
     )

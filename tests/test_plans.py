@@ -172,3 +172,26 @@ def test_dsir_single_pass_distributions(spark, sf_dir):
     # partial + final pair for the vocab agg; a second distribution
     # pass would add another pair over the same key
     assert len(token_aggs) <= 2, simple
+
+
+def test_scalable_rank_twins_avoid_data_level_global_windows(spark, sf_dir):
+    # VERDICT r02-r04: the exact ntile/percent_rank anchors funnel the
+    # whole table through 1-3 window tasks. Their _scalable twins must
+    # (a) range-repartition the data (the distributed two-pass rank),
+    # and (b) partition every window that sees DATA rows by the
+    # physical partition id; the only permissible global/near-global
+    # window runs over the O(num_partitions) count rows (sum(__n)).
+    for name in (
+        "order_price_quartiles_scalable",
+        "order_percentile_ranks_scalable",
+    ):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "rangepartitioning" in plan, name
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            if "sum(__n" in line:
+                continue  # offsets window: O(P) rows by construction
+            spec = line.split("], [", 1)[1] if "], [" in line else line
+            assert "__rank_pid" in spec, f"{name}: unpartitioned data window: {line}"

@@ -1,0 +1,70 @@
+"""Sketch-tolerance bounds for the two rows-only approx twins
+(VERDICT r04 item 7): the driver can only rows-check them (sketches
+are engine-specific), so pin their accuracy against the exact anchors
+here instead.
+
+HLL++ with default rsd=0.05 and GK approx_percentile at accuracy
+10000 are both comfortably within ±5 % on these distributions; a
+larger error means the twin's wiring (wrong column, wrong accuracy
+parameter) broke, not that the sketch got unlucky — both sketches are
+deterministic for a fixed input.
+"""
+
+from __future__ import annotations
+
+from calorista_spark.queries import QUERIES
+
+TOL = 0.05
+
+
+def _rel_err(approx: float, exact: float) -> float:
+    return abs(approx - exact) / max(abs(exact), 1e-12)
+
+
+def test_profile_approx_distincts_within_5pct(spark, sf_dir):
+    exact = {
+        r.column_name: r.n_distinct
+        for r in QUERIES["orders_column_profile"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.column_name: r.n_distinct
+        for r in QUERIES["orders_column_profile_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for col in exact:
+        err = _rel_err(approx[col], exact[col])
+        assert err <= TOL, f"{col}: approx {approx[col]} vs exact {exact[col]} ({err:.2%})"
+
+
+def test_approx_stats_within_5pct_of_exact(spark, sf_dir):
+    exact = {
+        r.l_returnflag: r
+        for r in QUERIES["stats_by_returnflag"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["approx_stats_by_returnflag"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    # exact twin has no distinct-order count; recompute the exact
+    # side of approx_orders directly
+    from pyspark.sql import functions as F
+
+    from calorista_spark.catalog import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact_orders = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, row in approx.items():
+        err_med = _rel_err(row.approx_median, exact[flag].price_median)
+        assert err_med <= TOL, f"{flag}: median {row.approx_median} vs {exact[flag].price_median}"
+        err_cnt = _rel_err(row.approx_orders, exact_orders[flag])
+        assert err_cnt <= TOL, f"{flag}: orders {row.approx_orders} vs {exact_orders[flag]}"
