@@ -1,0 +1,218 @@
+"""OAuth 1.0a request signing + authenticated REST transport (S6).
+
+Public-spec HMAC-SHA1 signing (RFC 5849), shaped to match the
+reference client byte-for-byte:
+
+- base string  — ``GET&<url-encoded>&<param-string-encoded>`` with the
+  parameter string built from key-sorted ``k=percent(v)`` pairs
+  (reference ``/root/reference/calorista/utils/api.py:40-62`` and
+  ``auth.py:76-100``);
+- signing key  — ``consumer_secret&token_secret``;
+- request params — ``oauth_consumer_key/nonce/timestamp/signature_
+  method/version/token`` + method params, signature appended last
+  (reference ``api.py:81-97``).
+
+Everything driver-side: tokens are refreshed BEFORE dispatching a
+distributed fetch (executors only ever see read-only credential
+strings — see ``rest.py`` module notes). The HTTP layer is an
+injectable ``transport`` callable so the full retry / token-refresh
+state machine (reference ``api.py:99-120``: refresh on token errors,
+retry on network errors) is unit-testable offline; the default
+transport uses ``requests`` behind an import guard (not installed in
+the build sandbox).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import time
+import urllib.parse
+from collections.abc import Callable, Mapping
+
+# (url, params) -> (status_code, body_text)
+Transport = Callable[[str, Mapping[str, str]], tuple[int, str]]
+
+
+def percent_encode(value: str) -> str:
+    """RFC 5849 §3.6 percent encoding (no safe characters)."""
+    return urllib.parse.quote(str(value), safe="")
+
+
+def parameter_string(params: Mapping[str, object]) -> str:
+    """Key-sorted ``k=percent(v)`` join — the normalized request
+    parameters of RFC 5849 §3.4.1.3.2 as the reference builds them."""
+    return "&".join(
+        f"{k}={percent_encode(v)}" for k, v in sorted(params.items())
+    )
+
+
+def signature_base_string(
+    url: str, params: Mapping[str, object], http_method: str = "GET"
+) -> str:
+    """RFC 5849 §3.4.1.1: ``METHOD&enc(url)&enc(param_string)``."""
+    return "&".join(
+        [
+            http_method.upper(),
+            percent_encode(url),
+            percent_encode(parameter_string(params)),
+        ]
+    )
+
+
+def hmac_sha1_b64(key: str, message: str) -> str:
+    """Base64 HMAC-SHA1 — the OAuth 1.0a signature primitive."""
+    digest = hmac.new(key.encode(), message.encode(), hashlib.sha1).digest()
+    return base64.b64encode(digest).decode()
+
+
+def sign_request(
+    url: str,
+    params: Mapping[str, object],
+    consumer_secret: str,
+    token_secret: str = "",
+    http_method: str = "GET",
+) -> str:
+    """Compute the ``oauth_signature`` value for a request (reference
+    ``api.py:40-62``: signing key ``consumer_secret&token_secret``)."""
+    key = f"{consumer_secret}&{token_secret}"
+    return hmac_sha1_b64(key, signature_base_string(url, params, http_method))
+
+
+def oauth_request_params(
+    api_method: str,
+    consumer_key: str,
+    token: str,
+    *,
+    nonce: str | None = None,
+    timestamp: str | None = None,
+    extra: Mapping[str, object] | None = None,
+) -> dict[str, str]:
+    """The unsigned OAuth parameter set for one API call (reference
+    ``api.py:81-93``). ``nonce``/``timestamp`` injectable for
+    deterministic tests; production defaults match the reference
+    (epoch seconds + md5-of-time nonce)."""
+    now = str(int(time.time()))
+    params: dict[str, str] = {
+        "method": api_method,
+        "format": "json",
+        "oauth_consumer_key": consumer_key,
+        "oauth_token": token,
+        "oauth_timestamp": timestamp or now,
+        "oauth_nonce": nonce
+        or hashlib.md5(str(time.time()).encode()).hexdigest(),
+        "oauth_signature_method": "HMAC-SHA1",
+        "oauth_version": "1.0",
+    }
+    if extra:
+        params.update({k: str(v) for k, v in extra.items()})
+    return params
+
+
+def _requests_transport(url: str, params: Mapping[str, str]) -> tuple[int, str]:
+    """Default transport; import-gated because the sandbox has no
+    ``requests`` (and no network) — tests inject fakes instead."""
+    try:
+        import requests  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            "the default HTTP transport needs the 'requests' package; "
+            "pass an explicit transport= callable instead"
+        ) from exc
+    resp = requests.get(url, params=dict(params), timeout=10)
+    return resp.status_code, resp.text
+
+
+class SignedApiClient:
+    """Authenticated GET client with the reference's retry semantics
+    (``api.py:64-120``): token-error responses trigger a token refresh
+    + retry; transport errors retry up to ``max_retries``; anything
+    else raises. Credentials are plain strings → the client is
+    picklable and safe to ship inside a ``DaySource`` closure."""
+
+    def __init__(
+        self,
+        consumer_key: str,
+        consumer_secret: str,
+        token: str,
+        token_secret: str,
+        *,
+        base_url: str = "https://platform.example.com/rest/server.api",
+        max_retries: int = 2,
+        transport: Transport | None = None,
+        refresh_tokens: Callable[[], tuple[str, str]] | None = None,
+    ):
+        self.consumer_key = consumer_key
+        self.consumer_secret = consumer_secret
+        self.token = token
+        self.token_secret = token_secret
+        self.base_url = base_url
+        self.max_retries = max_retries
+        self.transport = transport or _requests_transport
+        self.refresh_tokens = refresh_tokens
+
+    def signed_params(
+        self, api_method: str, extra: Mapping[str, object] | None = None
+    ) -> dict[str, str]:
+        params = oauth_request_params(
+            api_method, self.consumer_key, self.token, extra=extra
+        )
+        params["oauth_signature"] = sign_request(
+            self.base_url, params, self.consumer_secret, self.token_secret
+        )
+        return params
+
+    def get(
+        self, api_method: str, extra: Mapping[str, object] | None = None
+    ) -> str:
+        attempt = 0
+        while True:
+            try:
+                status, body = self.transport(
+                    self.base_url, self.signed_params(api_method, extra)
+                )
+            except Exception:  # noqa: BLE001 — network layer boundary
+                if attempt >= self.max_retries:
+                    raise
+                attempt += 1
+                continue
+            if status == 200:
+                return body
+            # reference api.py:107-111: a token error is recoverable
+            # once tokens are refreshed
+            if (
+                "token" in body.lower()
+                and self.refresh_tokens is not None
+                and attempt < self.max_retries
+            ):
+                self.token, self.token_secret = self.refresh_tokens()
+                attempt += 1
+                continue
+            raise RuntimeError(f"API request failed ({status}): {body}")
+
+
+def days_since_epoch(date_iso: str) -> int:
+    """The reference's date encoding for day queries
+    (``api.py:127-145``): YYYY-MM-DD → integer days since 1970-01-01."""
+    import datetime
+
+    return (
+        datetime.date.fromisoformat(date_iso) - datetime.date(1970, 1, 1)
+    ).days
+
+
+class HttpDaySource:
+    """``DaySource`` (date-iso → payload) over a :class:`SignedApiClient`
+    — the production twin of ``rest.FileFakeSource``, hitting the
+    day-entries endpoint with the reference's days-since-epoch date
+    encoding (``api.py:127-145``)."""
+
+    def __init__(self, client: SignedApiClient, api_method: str = "food_entries.get.v2"):
+        self.client = client
+        self.api_method = api_method
+
+    def __call__(self, date_iso: str) -> str | None:
+        return self.client.get(
+            self.api_method, {"date": days_since_epoch(date_iso)}
+        )

@@ -38,6 +38,11 @@ if TYPE_CHECKING:  # pragma: no cover
 # payload string, or None for a failed/empty day.
 DaySource = Callable[[str], "str | None"]
 
+# An endpoint source generalizes that to any API method: (api_method,
+# params-dict) → raw JSON payload or None. `oauth.SignedApiClient.get`
+# satisfies it in production; FileFakeEndpointSource in tests.
+EndpointSource = Callable[[str, dict], "str | None"]
+
 
 class FileFakeSource:
     """Fixture-backed stand-in for the HTTP API: one ``<date>.json``
@@ -48,6 +53,25 @@ class FileFakeSource:
 
     def __call__(self, date_iso: str) -> str | None:
         path = os.path.join(self.fixture_dir, f"{date_iso}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+
+
+class FileFakeEndpointSource:
+    """Fixture-backed :data:`EndpointSource`: request
+    ``(method, {k: v})`` reads ``<method>[__k=v[__k=v...]].json``
+    (params key-sorted) from the fixture dir. Picklable."""
+
+    def __init__(self, fixture_dir: str):
+        self.fixture_dir = fixture_dir
+
+    def __call__(self, api_method: str, params: dict) -> str | None:
+        suffix = "".join(
+            f"__{k}={params[k]}" for k in sorted(params or {})
+        )
+        path = os.path.join(self.fixture_dir, f"{api_method}{suffix}.json")
         if not os.path.exists(path):
             return None
         with open(path, encoding="utf-8") as f:
@@ -90,6 +114,52 @@ def fetch_month(spark: SparkSession, source: DaySource, year: int, month: int) -
     )
 
 
+def fetch_exercises(
+    spark: SparkSession, source: EndpointSource, date: str | None = None
+) -> DataFrame:
+    """S5: exercises endpoint (reference api.py:147-159) — optional
+    date filter forwarded to the REQUEST (server-side filtering, not a
+    post-fetch Spark filter). One payload row; normalization is
+    downstream (``sources/payload.py``)."""
+    params = {"date": date} if date else {}
+    payload = source("exercises.get", params)
+    return spark.createDataFrame(
+        [(date, payload)],
+        T.StructType(
+            [
+                T.StructField("date", T.StringType(), True),
+                T.StructField("payload", T.StringType(), True),
+            ]
+        ),
+    )
+
+
+def search_foods(
+    spark: SparkSession,
+    source: EndpointSource,
+    query: str,
+    max_results: int = 10,
+) -> DataFrame:
+    """S5: food search with the LIMIT pushed into the request
+    (reference api.py:161-174: ``max_results`` is a server-side
+    parameter) — the connector-level analogue of Spark's limit
+    pushdown; no over-fetch then discard."""
+    payload = source(
+        "foods.search",
+        {"search_expression": query, "max_results": str(max_results)},
+    )
+    return spark.createDataFrame(
+        [(query, max_results, payload)],
+        T.StructType(
+            [
+                T.StructField("query", T.StringType(), False),
+                T.StructField("max_results", T.IntegerType(), False),
+                T.StructField("payload", T.StringType(), True),
+            ]
+        ),
+    )
+
+
 def date_range_df(
     spark: SparkSession, start: str | datetime.date, end: str | datetime.date
 ) -> DataFrame:
@@ -119,7 +189,10 @@ def fetch_range(
     in-flight requests == partitions.
     """
     dates = date_range_df(spark, start, end)
-    n_days = dates.count()
+    # spine length is closed-form — no Spark job for partition sizing
+    d0 = datetime.date.fromisoformat(str(start))
+    d1 = datetime.date.fromisoformat(str(end))
+    n_days = (d1 - d0).days + 1
     parts = max(1, min(max_parallel_fetches, n_days))
 
     out_schema = T.StructType(

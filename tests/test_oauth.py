@@ -1,0 +1,210 @@
+"""Offline unit tests for OAuth 1.0a signing + the signed client's
+retry / token-refresh state machine, and the S5 endpoint callables
+(fetch_exercises / search_foods) over fixture-backed sources.
+
+Signature vectors are FIXED (precomputed once from the public
+HMAC-SHA1 / RFC 5849 construction) so a refactor that changes a byte
+of the base string or signing key fails loudly — no network involved
+anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from calorista_spark.sources.oauth import (
+    HttpDaySource,
+    SignedApiClient,
+    days_since_epoch,
+    hmac_sha1_b64,
+    oauth_request_params,
+    parameter_string,
+    sign_request,
+    signature_base_string,
+)
+from calorista_spark.sources.rest import (
+    FileFakeEndpointSource,
+    fetch_exercises,
+    search_foods,
+)
+
+URL = "https://platform.example.com/rest/server.api"
+
+FIXED = {
+    "method": "food_entries.get.v2",
+    "format": "json",
+    "oauth_consumer_key": "ck",
+    "oauth_token": "tok",
+    "oauth_timestamp": "1700000000",
+    "oauth_nonce": "abcdef0123456789",
+    "oauth_signature_method": "HMAC-SHA1",
+    "oauth_version": "1.0",
+    "date": 19723,
+}
+
+# precomputed from the public construction — see module docstring
+EXPECTED_BASE = (
+    "GET&https%3A%2F%2Fplatform.example.com%2Frest%2Fserver.api&"
+    "date%3D19723%26format%3Djson%26method%3Dfood_entries.get.v2%26"
+    "oauth_consumer_key%3Dck%26oauth_nonce%3Dabcdef0123456789%26"
+    "oauth_signature_method%3DHMAC-SHA1%26oauth_timestamp%3D1700000000%26"
+    "oauth_token%3Dtok%26oauth_version%3D1.0"
+)
+EXPECTED_SIG = "XaNrfvRm3cdE16pIYRBhPYsaRa4="
+
+
+def test_hmac_sha1_rfc_vector():
+    # public vector: HMAC-SHA1("key", "The quick brown fox ...")
+    assert (
+        hmac_sha1_b64("key", "The quick brown fox jumps over the lazy dog")
+        == "3nybhbi3iqa8ino29wqQcBydtNk="
+    )
+
+
+def test_parameter_string_sorts_and_encodes():
+    s = parameter_string({"b": "x y", "a": "1/2"})
+    assert s == "a=1%2F2&b=x%20y"
+
+
+def test_signature_base_string_fixed_vector():
+    assert signature_base_string(URL, FIXED) == EXPECTED_BASE
+
+
+def test_sign_request_fixed_vector():
+    assert sign_request(URL, FIXED, "cs", "ts") == EXPECTED_SIG
+
+
+def test_oauth_request_params_injectable_and_complete():
+    p = oauth_request_params(
+        "food_entries.get.v2",
+        "ck",
+        "tok",
+        nonce="abcdef0123456789",
+        timestamp="1700000000",
+        extra={"date": 19723},
+    )
+    assert p == {k: str(v) for k, v in FIXED.items()}
+
+
+def test_days_since_epoch_matches_reference_encoding():
+    assert days_since_epoch("1970-01-01") == 0
+    assert days_since_epoch("2024-01-01") == 19723
+
+
+def _client(transport, refresh=None):
+    return SignedApiClient(
+        "ck", "cs", "tok", "ts",
+        base_url=URL, transport=transport, refresh_tokens=refresh,
+    )
+
+
+def test_client_signs_every_request():
+    seen = []
+
+    def transport(url, params):
+        seen.append(dict(params))
+        return 200, '{"ok": true}'
+
+    body = _client(transport).get("profile.get")
+    assert body == '{"ok": true}'
+    p = seen[0]
+    # the signature the client sent verifies against its own params
+    sig = p.pop("oauth_signature")
+    assert sig == sign_request(URL, p, "cs", "ts")
+
+
+def test_client_refreshes_on_token_error_and_resigns():
+    calls = []
+
+    def transport(url, params):
+        calls.append(dict(params))
+        if params["oauth_token"] == "expired":
+            return 401, "invalid token"
+        return 200, "fresh-payload"
+
+    client = SignedApiClient(
+        "ck", "cs", "expired", "old",
+        base_url=URL, transport=transport,
+        refresh_tokens=lambda: ("tok2", "ts2"),
+    )
+    assert client.get("profile.get") == "fresh-payload"
+    assert [c["oauth_token"] for c in calls] == ["expired", "tok2"]
+    sig = calls[1].pop("oauth_signature")
+    assert sig == sign_request(URL, calls[1], "cs", "ts2")
+
+
+def test_client_retries_transport_errors_then_raises():
+    n = {"count": 0}
+
+    def flaky(url, params):
+        n["count"] += 1
+        raise ConnectionError("boom")
+
+    with pytest.raises(ConnectionError):
+        _client(flaky).get("profile.get")
+    assert n["count"] == 3  # initial + max_retries=2
+
+
+def test_client_raises_on_hard_error():
+    with pytest.raises(RuntimeError, match="500"):
+        _client(lambda u, p: (500, "server error")).get("profile.get")
+
+
+def test_http_day_source_encodes_date(tmp_path):
+    seen = {}
+
+    def transport(url, params):
+        seen.update(params)
+        return 200, '{"food_entries": []}'
+
+    src = HttpDaySource(_client(transport))
+    assert src("2024-01-01") == '{"food_entries": []}'
+    assert seen["date"] == "19723"
+    assert seen["method"] == "food_entries.get.v2"
+
+
+@pytest.fixture()
+def endpoint_dir(tmp_path):
+    (tmp_path / "exercises.get.json").write_text(
+        json.dumps({"exercises": [{"name": "walking", "minutes": 30}]})
+    )
+    (tmp_path / "exercises.get__date=2024-01-05.json").write_text(
+        json.dumps({"exercises": [{"name": "running", "minutes": 20}]})
+    )
+    (
+        tmp_path
+        / "foods.search__max_results=2__search_expression=apple.json"
+    ).write_text(json.dumps({"foods": [{"name": "apple"}, {"name": "apple pie"}]}))
+    return str(tmp_path)
+
+
+def test_fetch_exercises_no_date(spark, endpoint_dir):
+    row = fetch_exercises(spark, FileFakeEndpointSource(endpoint_dir)).collect()[0]
+    assert row.date is None
+    assert "walking" in row.payload
+
+
+def test_fetch_exercises_date_filter_reaches_request(spark, endpoint_dir):
+    row = fetch_exercises(
+        spark, FileFakeEndpointSource(endpoint_dir), date="2024-01-05"
+    ).collect()[0]
+    assert row.date == "2024-01-05"
+    assert "running" in row.payload  # date-keyed fixture ⇒ param was sent
+
+
+def test_search_foods_limit_pushdown(spark, endpoint_dir):
+    row = search_foods(
+        spark, FileFakeEndpointSource(endpoint_dir), "apple", max_results=2
+    ).collect()[0]
+    assert row.query == "apple" and row.max_results == 2
+    # max_results-keyed fixture ⇒ the limit rode in the request itself
+    assert len(json.loads(row.payload)["foods"]) == 2
+
+
+def test_search_foods_unknown_query_yields_null_payload(spark, endpoint_dir):
+    row = search_foods(
+        spark, FileFakeEndpointSource(endpoint_dir), "durian", max_results=2
+    ).collect()[0]
+    assert row.payload is None
