@@ -217,8 +217,9 @@ def approx_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            # rsd 0.01: KB-scale registers, ±5 %-testable accuracy
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+            # rsd 0.02: ~1-2% observed error (±5%-testable) without the
+            # heavy register set rsd=0.01 costs
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
                 "approx_orders"
             ),
             F.round(
