@@ -192,6 +192,101 @@ class SignedApiClient:
             raise RuntimeError(f"API request failed ({status}): {body}")
 
 
+def parse_token_response(body: str) -> dict[str, str]:
+    """Decode an ``oauth_token=...&oauth_token_secret=...`` token
+    response (reference ``auth.py:113-115,153-155``)."""
+    return dict(pair.split("=", 1) for pair in body.strip().split("&"))
+
+
+class ThreeLeggedFlow:
+    """OAuth 1.0a 3-legged authorization (RFC 5849 §2), matching the
+    reference's flow (``auth.py:102-180``, ``credential_engine.py:
+    77-103``) with the interactive middle leg abstracted out:
+
+    1. :meth:`request_token` — signed GET against the request-token
+       endpoint (signing key has an EMPTY token secret);
+    2. the caller obtains ``oauth_verifier`` out of band — the
+       reference runs a localhost callback server / scrapes the
+       browser URL; on a headless cluster driver the verifier arrives
+       via operator input, so this class just takes it as an argument;
+    3. :meth:`access_token` — exchange signed with the REQUEST token
+       secret.
+
+    ``transport`` injectable exactly like :class:`SignedApiClient`, so
+    the legs unit-test offline with canned token responses.
+    """
+
+    def __init__(
+        self,
+        consumer_key: str,
+        consumer_secret: str,
+        *,
+        request_token_url: str = "https://auth.example.com/oauth/request_token",
+        access_token_url: str = "https://auth.example.com/oauth/access_token",
+        authorize_url: str = "https://auth.example.com/oauth/authorize",
+        transport: Transport | None = None,
+    ):
+        self.consumer_key = consumer_key
+        self.consumer_secret = consumer_secret
+        self.request_token_url = request_token_url
+        self.access_token_url = access_token_url
+        self.authorize_url = authorize_url
+        self.transport = transport or _requests_transport
+
+    def _leg(
+        self,
+        url: str,
+        extra: Mapping[str, object],
+        token_secret: str = "",
+    ) -> dict[str, str]:
+        # the bare oauth_* set of reference auth.py:64-75 (token legs
+        # carry no method/format/oauth_token of their own)
+        params: dict[str, str] = {
+            "oauth_consumer_key": self.consumer_key,
+            "oauth_nonce": hashlib.md5(
+                str(time.time()).encode()
+            ).hexdigest(),
+            "oauth_signature_method": "HMAC-SHA1",
+            "oauth_timestamp": str(int(time.time())),
+            "oauth_version": "1.0",
+        }
+        params.update({k: str(v) for k, v in extra.items()})
+        params["oauth_signature"] = sign_request(
+            url, params, self.consumer_secret, token_secret
+        )
+        status, body = self.transport(url, params)
+        if status != 200:
+            raise RuntimeError(f"OAuth leg failed ({status}): {body}")
+        return parse_token_response(body)
+
+    def request_token(self, callback_url: str = "oob") -> dict[str, str]:
+        """Leg 1 (reference ``auth.py:102-115``)."""
+        return self._leg(
+            self.request_token_url, {"oauth_callback": callback_url}
+        )
+
+    def authorization_url(self, request_token: str, callback_url: str) -> str:
+        """The URL the user must visit for leg 2 (``auth.py:122-127``)."""
+        return (
+            f"{self.authorize_url}?oauth_token={request_token}"
+            f"&oauth_callback={percent_encode(callback_url)}"
+        )
+
+    def access_token(
+        self,
+        request_token: str,
+        request_token_secret: str,
+        verifier: str,
+    ) -> dict[str, str]:
+        """Leg 3 (reference ``auth.py:136-156``): signed with the
+        request-token secret, carrying the verifier."""
+        return self._leg(
+            self.access_token_url,
+            {"oauth_token": request_token, "oauth_verifier": verifier},
+            token_secret=request_token_secret,
+        )
+
+
 def days_since_epoch(date_iso: str) -> int:
     """The reference's date encoding for day queries
     (``api.py:127-145``): YYYY-MM-DD → integer days since 1970-01-01."""

@@ -208,3 +208,103 @@ def test_search_foods_unknown_query_yields_null_payload(spark, endpoint_dir):
         spark, FileFakeEndpointSource(endpoint_dir), "durian", max_results=2
     ).collect()[0]
     assert row.payload is None
+
+
+# ---------------------------------------------------------------------------
+# 3-legged flow (offline, canned token responses)
+# ---------------------------------------------------------------------------
+
+from calorista_spark.sources.oauth import (  # noqa: E402
+    ThreeLeggedFlow,
+    parse_token_response,
+)
+
+
+def test_parse_token_response():
+    assert parse_token_response("oauth_token=a&oauth_token_secret=b") == {
+        "oauth_token": "a",
+        "oauth_token_secret": "b",
+    }
+
+
+def _flow(transport):
+    return ThreeLeggedFlow(
+        "ck", "cs",
+        request_token_url="https://auth.example.com/oauth/request_token",
+        access_token_url="https://auth.example.com/oauth/access_token",
+        transport=transport,
+    )
+
+
+def test_request_token_leg_signed_with_empty_token_secret():
+    seen = {}
+
+    def transport(url, params):
+        seen["url"], seen["params"] = url, dict(params)
+        return 200, "oauth_token=rt&oauth_token_secret=rts"
+
+    out = _flow(transport).request_token(callback_url="http://cb/done")
+    assert out == {"oauth_token": "rt", "oauth_token_secret": "rts"}
+    p = seen["params"]
+    assert p["oauth_callback"] == "http://cb/done"
+    assert "oauth_token" not in p  # leg 1 carries no token
+    sig = p.pop("oauth_signature")
+    # leg-1 signing key is "cs&" (empty token secret)
+    assert sig == sign_request(seen["url"], p, "cs", "")
+
+
+def test_access_token_leg_signed_with_request_secret_and_verifier():
+    seen = {}
+
+    def transport(url, params):
+        seen["url"], seen["params"] = url, dict(params)
+        return 200, "oauth_token=at&oauth_token_secret=ats"
+
+    out = _flow(transport).access_token("rt", "rts", "verif123")
+    assert out == {"oauth_token": "at", "oauth_token_secret": "ats"}
+    p = seen["params"]
+    assert p["oauth_token"] == "rt" and p["oauth_verifier"] == "verif123"
+    sig = p.pop("oauth_signature")
+    assert sig == sign_request(seen["url"], p, "cs", "rts")
+
+
+def test_authorization_url_encodes_callback():
+    url = _flow(None).authorization_url("rt", "http://localhost:8080/callback")
+    assert "oauth_token=rt" in url
+    assert "http%3A%2F%2Flocalhost%3A8080%2Fcallback" in url
+
+
+def test_flow_leg_raises_on_error():
+    with pytest.raises(RuntimeError, match="401"):
+        _flow(lambda u, p: (401, "denied")).request_token()
+
+
+def test_full_flow_chains_to_usable_client():
+    # end-to-end offline: request token -> verifier -> access token ->
+    # signed API call with the obtained credentials
+    def auth_transport(url, params):
+        if url.endswith("request_token"):
+            return 200, "oauth_token=rt&oauth_token_secret=rts"
+        assert params["oauth_token"] == "rt"
+        return 200, "oauth_token=at&oauth_token_secret=ats"
+
+    flow = _flow(auth_transport)
+    rt = flow.request_token()
+    tokens = flow.access_token(
+        rt["oauth_token"], rt["oauth_token_secret"], "v"
+    )
+
+    seen = {}
+
+    def api_transport(url, params):
+        seen.update(params)
+        return 200, "{}"
+
+    client = SignedApiClient(
+        "ck", "cs", tokens["oauth_token"], tokens["oauth_token_secret"],
+        base_url=URL, transport=api_transport,
+    )
+    client.get("profile.get")
+    sig = seen.pop("oauth_signature")
+    assert seen["oauth_token"] == "at"
+    assert sig == sign_request(URL, seen, "cs", "ats")
