@@ -47,28 +47,32 @@ ORDER BY rank
 @query("corpus_vocab_coverage", _VOCAB_ORACLE)
 def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 vocabulary coverage curve. The token explode reduces to
-    per-term counts with map-side combine; the single-partition rank
-    window then runs over the VOCABULARY (thousands of rows regardless
-    of corpus size), not the token stream — which is why a global
-    window is acceptable here and nowhere else."""
+    per-term counts with map-side combine; then top-100 FIRST
+    (TakeOrderedAndProject — per-partition heaps; an open-vocabulary
+    corpus can have billions of distinct terms, so no window may see
+    the full vocab), the grand total as a broadcast 1-row aggregate,
+    and rank/cumulative windows only over the bounded 100-row result.
+    Identical output to ranking the full vocab: the top-k ordering key
+    equals the rank ordering key (cnt desc, term)."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     terms = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
     )
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__total"))
+    top = freq.orderBy(F.col("cnt").desc(), "term").limit(100)
     w_rank = Window.orderBy(F.col("cnt").desc(), "term")
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
     return (
-        freq.select(
+        top.join(F.broadcast(total))
+        .select(
             F.row_number().over(w_rank).cast("bigint").alias("rank"),
             "term",
             F.col("cnt").cast("bigint").alias("cnt"),
             F.round(
-                F.sum("cnt").over(w_cum) * 1.0 / F.sum("cnt").over(w_all), 6
+                F.sum("cnt").over(w_cum) * 1.0 / F.col("__total"), 6
             ).alias("cum_share"),
         )
-        .filter(F.col("rank") <= 100)
         .orderBy("rank")
     )
 

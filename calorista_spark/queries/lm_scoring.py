@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.operators.checkpoint import stage_checkpoint
 from calorista_spark.queries.registry import query
 
 _WORDS_SQL = "string_split_regex(lower(text), '\\s+')"
@@ -327,11 +328,11 @@ ORDER BY k.doc_id
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting. ONE keyed aggregation produces
     both unigram distributions (raw count + conditional target count —
-    no second pass over the token stream); the corpus totals are global
-    windows over the vocabulary-sized table; the log-ratio table joined
-    back onto the token stream is vocabulary-sized (broadcastable).
-    Words outside the target vocabulary are excluded from the sum and
-    reported as oov_words."""
+    no second pass over the token stream); the corpus totals attach as
+    a broadcast 1-row aggregate; the log-ratio table joined back onto
+    the token stream is vocabulary-sized (broadcastable). Words outside
+    the target vocabulary are excluded from the sum and reported as
+    oov_words."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     words = F.split(F.lower(F.col("text")), r"\s+")
     tok = docs.select(
@@ -341,14 +342,15 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    w_all = Window.partitionBy()
-    u2 = u.select(
-        "term",
-        "cr",
-        "ct",
-        F.sum("cr").over(w_all).alias("tr"),
-        F.sum("ct").over(w_all).alias("tt"),
-    )
+    # corpus totals as a broadcast 1-row aggregate, NOT a
+    # partition-less window: an open vocabulary can be billions of
+    # terms, and an unpartitioned window would funnel them all
+    # through one task just to attach two scalars. Materialize the
+    # vocab table first so the totals branch doesn't re-run the
+    # token-stream aggregation (test_plans pins the single pass).
+    u = stage_checkpoint(u, eager=True)
+    totals = u.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    u2 = u.join(F.broadcast(totals))
     lr = u2.filter(F.col("ct") > 0).select(
         "term",
         F.floor(
