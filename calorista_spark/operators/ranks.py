@@ -75,7 +75,9 @@ def ntile_expr(rank: Column, total: Column, n: int) -> Column:
     """SQL-standard ``ntile(n)`` from a precomputed 1-based rank and
     the partition row count: the first ``total % n`` tiles get
     ``total div n + 1`` rows, the rest ``total div n``."""
-    q = (total / n).cast("long")  # floor for non-negative
+    # double division then floor-cast: exact while total < 2^53 rows
+    # (9e15 — far beyond any realistic partition count)
+    q = (total / n).cast("long")
     rem = total - q * n
     big = q + 1  # size of the first `rem` tiles
     in_big = rank <= rem * big

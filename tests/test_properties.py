@@ -88,3 +88,110 @@ def test_spine_completeness(spark, start, n_days):
     assert len(days) == n_days + 1  # |days| == datediff + 1
     assert days[0] == start and sorted(days)[-1] == end
     assert len(set(days)) == len(days)
+
+
+# ---------------------------------------------------------------------------
+# Distributed two-pass rank == exact window semantics (operators/ranks).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from calorista_spark.operators.ranks import (  # noqa: E402
+    global_row_number,
+    grouped_cume_counts,
+    ntile_expr,
+)
+
+rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group (3 statuses)
+        st.integers(min_value=0, max_value=20),  # value (forces ties)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _rank_df(spark, rows):
+    # unique id column as tiebreak / row identity
+    return spark.createDataFrame(
+        [(i, int(g), int(v)) for i, (g, v) in enumerate(rows)],
+        ["id", "grp", "val"],
+    )
+
+
+@given(rows=rank_rows)
+@_settings
+def test_global_row_number_matches_window(spark, rows):
+    df = _rank_df(spark, rows)
+    got = {
+        r.id: r.global_rn
+        for r in global_row_number(
+            df, ["val", "id"], num_partitions=3
+        ).collect()
+    }
+    w = Window.orderBy("val", "id")
+    want = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(rows=rank_rows, n=st.integers(min_value=1, max_value=5))
+@_settings
+def test_ntile_expr_matches_window_ntile(spark, rows, n):
+    df = _rank_df(spark, rows)
+    ranked = global_row_number(df, ["val", "id"], num_partitions=3)
+    total = df.count()
+    got = {
+        r.id: r.tile
+        for r in ranked.select(
+            "id", ntile_expr(F.col("global_rn"), F.lit(total), n).alias("tile")
+        ).collect()
+    }
+    w = Window.orderBy("val", "id")
+    want = {
+        r.id: r.tile
+        for r in df.select("id", F.ntile(n).over(w).alias("tile")).collect()
+    }
+    assert got == want
+
+
+@given(rows=rank_rows)
+@_settings
+def test_grouped_cume_counts_match_window_rank_semantics(spark, rows):
+    df = _rank_df(spark, rows)
+    cume = grouped_cume_counts(df, "grp", "val", num_partitions=3).collect()
+    got = {
+        (r.grp, r.val): (r.cnt, r.cum_le, r.n_total) for r in cume
+    }
+    # exact window-derived expectations per distinct (grp, val)
+    w = Window.partitionBy("grp").orderBy("val")
+    exact = df.select(
+        "grp",
+        "val",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("le"),  # includes peers: cume_dist numerator
+        F.count(F.lit(1)).over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).collect()
+    # window 'le' with range semantics: Spark's orderBy+rows frame counts
+    # rows not peers — recompute peer-inclusive via max over the tie group
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in exact:
+        by_key[(r.grp, r.val)].append(r)
+    for key, rs in by_key.items():
+        cnt = len(rs)
+        cum_le = max(r.le for r in rs)
+        n_total = rs[0].n
+        assert got[key] == (cnt, cum_le, n_total), key
