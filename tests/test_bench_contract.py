@@ -1,0 +1,68 @@
+"""Pin bench.py's driver contract — the two failure modes that cost
+rounds 3 and 4 their perf signal:
+
+- r3: the summary JSON line printed before other output / with the
+  headline value at the FRONT of a long line, so the driver's
+  tail-truncated capture lost it;
+- r4: no per-query isolation, so one crashing query aborted the whole
+  run with zero timings recorded.
+
+The test runs bench.main() against a patched registry containing a
+healthy query and a crashing one, and asserts the contract directly
+on captured stdout.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench
+
+
+class _NoStopSession:
+    """Proxy handing bench the shared test session but swallowing
+    stop() so the session-scoped fixture survives."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def stop(self):
+        pass
+
+    def __getattr__(self, name):
+        return getattr(self._spark, name)
+
+
+def test_bench_isolates_failures_and_prints_summary_last(
+    spark, sf_dir, monkeypatch, capsys
+):
+    def ok(s, d):
+        return s.range(5).selectExpr("id", "id * 2 AS doubled")
+
+    def boom(s, d):
+        raise RuntimeError("synthetic query failure")
+
+    # 'aaa_boom' sorts FIRST: proves a leading crash can't abort the run
+    monkeypatch.setattr(
+        bench, "QUERIES", {"aaa_boom": boom, "daily_totals": ok, "zzz_ok": ok}
+    )
+    monkeypatch.setattr(bench, "build_session", lambda app_name: _NoStopSession(spark))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+
+    # contract: the summary is the LAST stdout line and parses alone
+    summary = json.loads(out[-1])
+    assert summary["n_ok"] == 2 and summary["n_err"] == 1
+    assert set(summary["queries"]) == {"daily_totals", "zzz_ok"}
+    assert "synthetic query failure" in summary["errors"]["aaa_boom"]
+    assert summary["value"] == pytest.approx(
+        sum(summary["queries"].values()), abs=1e-3
+    )
+    # tail-truncation safety: the headline value is the LAST key of the
+    # serialized line, after the long per-query dict
+    line = out[-1]
+    assert line.rstrip("}").rsplit(",", 1)[-1].strip().startswith('"value":')
