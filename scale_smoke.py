@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Scale smoke: drive the engine's scale-critical operator shapes at
+~100× the sf0.1 row counts (synthetic in-memory data — the driver's
+parquet testdata tops out at sf0.1) and verify both RESULTS and PLAN
+SHAPE invariants hold. This is the "would it survive 100×?" question
+asked concretely: no single-task windows, no all-pairs joins, no
+driver-side collections of data-sized frames.
+
+Run: python scale_smoke.py          (~2-3 min on local[32])
+Env: SPARK_GRAFT_SMOKE_ROWS (default 10_000_000)
+
+Not part of pytest (runtime); the same invariants are pinned at test
+scale by tests/test_plans.py + tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from calorista_spark.operators.dedup import exact_dedup
+from calorista_spark.operators.ranks import (
+    global_row_number,
+    grouped_cume_counts,
+    ntile_expr,
+)
+from calorista_spark.session import build_session
+
+N = int(os.environ.get("SPARK_GRAFT_SMOKE_ROWS", "10000000"))
+
+
+def timed(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    sec = round(time.perf_counter() - t0, 2)
+    print(f"{label}: {sec}s {out if out is not None else ''}")
+    return sec
+
+
+def main() -> None:
+    spark = build_session(app_name="calorista-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+
+    # synthetic orders-like frame: N rows, skewed 3-value status,
+    # continuous price, unique key
+    df = (
+        spark.range(N)
+        .select(
+            F.col("id"),
+            (F.pmod(F.hash("id"), 100) < F.lit(90))
+            .cast("int")
+            .alias("__hot"),  # 90/10 skew
+            F.element_at(
+                F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+                (F.pmod(F.hash("id", F.lit(1)), 3) + 1).cast("int"),
+            ).alias("status"),
+            (F.pmod(F.hash("id", F.lit(2)), 1000000) / 100.0).alias("price"),
+        )
+    )
+
+    # 1. distributed global row_number + ntile at N rows: the window
+    # that would OOM/straggle as Window.orderBy() must stay P-way
+    def rank_check():
+        ranked = global_row_number(df, ["price", "id"], num_partitions=64)
+        total = df.count()
+        tiles = (
+            ranked.select(
+                ntile_expr(F.col("global_rn"), F.lit(total), 4).alias("q")
+            )
+            .groupBy("q")
+            .count()
+            .orderBy("q")
+            .collect()
+        )
+        sizes = [r["count"] for r in tiles]
+        assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1, sizes
+        # rank extremes must be exact
+        mn, mx = ranked.agg(
+            F.min("global_rn"), F.max("global_rn")
+        ).first()
+        assert (mn, mx) == (1, total), (mn, mx)
+        return f"rows={total} quartiles={sizes}"
+
+    results["global_rank_10M"] = timed("global_rank", rank_check)
+
+    # 2. tie-aware grouped cumulative counts on the skewed status key
+    def cume_check():
+        cume = grouped_cume_counts(df, "status", "price", num_partitions=64)
+        agg = cume.groupBy("status").agg(
+            F.sum("cnt").alias("n"), F.max("cum_le").alias("max_le"),
+            F.max("n_total").alias("n_total"),
+        )
+        for r in agg.collect():
+            assert r.n == r.max_le == r.n_total, r
+        return "per-status cum counts consistent"
+
+    results["grouped_cume_10M"] = timed("grouped_cume", cume_check)
+
+    # 3. exact dedup at N rows with 50% duplicates: hash-groupBy with
+    # map-side combine, output must be exactly N/2 keys
+    def dedup_check():
+        dup = df.select(F.pmod(F.col("id"), N // 2).alias("key"), "price")
+        kept = exact_dedup(dup, ["key"], ["price"])
+        n = kept.count()
+        assert n == N // 2, n
+        return f"kept={n}"
+
+    results["exact_dedup_10M"] = timed("exact_dedup", dedup_check)
+
+    # 4. plan-shape invariants at scale: the scalable rank pipeline
+    # must contain a range exchange and no partition-less data window
+    plan = (
+        global_row_number(df, ["price", "id"], num_partitions=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "sum(__n" not in line:
+            spec = line.split("], [", 1)[1] if "], [" in line else line
+            assert "__rank_pid" in spec, line
+    print("plan invariants: ok")
+
+    print(json.dumps({"rows": N, "timings_sec": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
