@@ -115,7 +115,53 @@ def main() -> None:
 
     results["exact_dedup_10M"] = timed("exact_dedup", dedup_check)
 
-    # 4. plan-shape invariants at scale: the scalable rank pipeline
+    # 4. minhash->LSH near-dup at many docs: the pipeline must find the
+    # planted duplicates through bucketed equi-joins only (no all-pairs).
+    # Docs = token sequences; each even id's doc is EXACTLY duplicated
+    # by id+1, everything else is far apart (distinct token vocab).
+    def neardup_check():
+        from calorista_spark.operators.similarity import (
+            lsh_band_keys,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        n_docs = max(N // 50, 1000)  # 200k docs at the default N
+        base = spark.range(n_docs).select(
+            "id",
+            (F.col("id") - F.pmod(F.col("id"), 2)).alias("pair_root"),
+        )
+        docs = base.select(
+            "id",
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"w{j}_"),
+                        F.conv(
+                            F.abs(F.hash("pair_root", F.lit(j))).cast("string"),
+                            10,
+                            16,
+                        ),
+                    )
+                    for j in range(12)
+                ],
+            ).alias("text"),
+        )
+        sigs = minhash_signatures(docs, "id", "text", num_hashes=16, n=3)
+        bands = lsh_band_keys(sigs, "id", rows_per_band=4)
+        pairs = lsh_candidate_pairs(bands, "id")
+        exact_pairs = pairs.filter(
+            F.col("id_b") == F.col("id_a") + 1
+        ).filter(F.pmod(F.col("id_a"), 2) == 0)
+        n_found, n_all = exact_pairs.count(), pairs.count()
+        # identical docs share every band -> all planted pairs found
+        assert n_found == n_docs // 2, (n_found, n_docs // 2)
+        return f"docs={n_docs} planted_found={n_found} candidates={n_all}"
+
+    results["minhash_lsh_200k_docs"] = timed("minhash_lsh", neardup_check)
+
+    # 5. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (
         global_row_number(df, ["price", "id"], num_partitions=64)
