@@ -7,8 +7,9 @@ the full time-series surface; the batch sessionization twin of the
 streaming session_window (ST4) makes the two paths cross-checkable.
 
 Determinism: timestamps compare/bucket with exact interval arithmetic;
-durations are whole microseconds (both engines store micros after the
-nanos repair, so the diff is exact); every averaged double rounds to 4.
+durations are whole microseconds (both engines load micros — natively
+for the current testdata, via the legacy nanos repair otherwise — so
+the diff is exact); every averaged double rounds to 4.
 """
 
 from __future__ import annotations

@@ -1,6 +1,7 @@
-"""Streaming over the REAL events testdata (TIMESTAMP(NANOS) parquet):
-the streamed tumbling aggregation must equal the batch query the
-oracle gate already verifies."""
+"""Streaming over the REAL events testdata (whatever ts layout the
+driver generated — micros today, nanos historically): the streamed
+tumbling aggregation must equal the batch query the oracle gate
+already verifies."""
 
 from __future__ import annotations
 
