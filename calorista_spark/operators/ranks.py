@@ -86,6 +86,38 @@ def ntile_expr(rank: Column, total: Column, n: int) -> Column:
     return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
 
 
+def ordered_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum of ``value_col`` over a total order (include
+    a unique tiebreak; elements may be desc() Columns) WITHOUT a
+    single-partition window — same two-pass shape as
+    :func:`global_row_number` with sums instead of counts. The
+    building block for budget-style selections ("take the best docs
+    until N tokens")."""
+    ranged = _range_partitioned(df, order_cols, num_partitions)
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__rs_local", F.sum(value_col).over(w_local))
+    sums = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__n"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        _PID, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET)
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col(_OFFSET) + F.col("__rs_local"))
+        .drop(_PID, "__rs_local", _OFFSET)
+    )
+
+
 def grouped_cume_counts(
     df: DataFrame,
     group_col: str,

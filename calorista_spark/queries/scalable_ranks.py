@@ -57,6 +57,59 @@ def order_price_quartiles_scalable(
     )
 
 
+_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) AS cum_tokens
+  FROM t
+), b AS (
+  SELECT CAST(FLOOR(SUM(n_tokens) * 0.25) AS BIGINT) AS budget FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens
+FROM c, b
+WHERE cum_tokens <= budget
+ORDER BY cum_tokens
+"""
+
+
+@query("doc_token_budget_selection", _BUDGET_ORACLE)
+def doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedily keep the token-richest
+    documents until 25 % of the corpus' total tokens — the "fill the
+    training budget from the top of the ranking" curation step. The
+    running total uses the distributed prefix sum
+    (:func:`ordered_running_sum`), so no window ever sees the whole
+    corpus; the budget is a broadcast 1-row aggregate. A quality-score
+    ordering drops in by swapping the order columns."""
+    from calorista_spark.operators.ranks import ordered_running_sum
+    from calorista_spark.operators.textstats import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = ordered_running_sum(
+        toks,
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    budget = toks.agg(
+        F.floor(F.sum("n_tokens") * 0.25).cast("long").alias("__budget")
+    )
+    return (
+        cum.join(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select("doc_id", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+    )
+
+
 @query("order_percentile_ranks_scalable", _RANKS_ORACLE)
 def order_percentile_ranks_scalable(
     spark: SparkSession, sf_dir: str

@@ -184,6 +184,7 @@ def test_scalable_rank_twins_avoid_data_level_global_windows(spark, sf_dir):
     for name in (
         "order_price_quartiles_scalable",
         "order_percentile_ranks_scalable",
+        "doc_token_budget_selection",
     ):
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution()\
             .executedPlan().toString()

@@ -195,3 +195,30 @@ def test_grouped_cume_counts_match_window_rank_semantics(spark, rows):
         cum_le = max(r.le for r in rs)
         n_total = rs[0].n
         assert got[key] == (cnt, cum_le, n_total), key
+
+
+@given(rows=rank_rows)
+@_settings
+def test_ordered_running_sum_matches_window(spark, rows):
+    from calorista_spark.operators.ranks import ordered_running_sum
+
+    df = _rank_df(spark, rows)
+    got = {
+        r.id: r.rs
+        for r in ordered_running_sum(
+            df,
+            [F.col("val").desc(), F.col("id")],
+            "val",
+            out_col="rs",
+            num_partitions=3,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("val").desc(), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r.id: r.rs
+        for r in df.select("id", F.sum("val").over(w).alias("rs")).collect()
+    }
+    assert got == want
