@@ -203,3 +203,53 @@ def view_purchase_within_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id", "purchase_id")
     )
+
+
+_UNCONVERTED_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       CAST(p.event_id IS NOT NULL AS BOOLEAN) AS converted
+FROM events v
+LEFT JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view'
+ORDER BY v.user_id, view_id, converted
+"""
+
+
+@query("view_purchase_unconverted", _UNCONVERTED_ORACLE)
+def view_purchase_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6b: LEFT OUTER interval join — every view row, flagged by
+    whether ANY purchase followed within 2 h (unmatched views survive
+    with nulls). The streaming twin is
+    ``stream_interval_join(..., how='left_outer')``, where Spark emits
+    the unmatched side only after the watermark proves no match can
+    still arrive; in batch the same helper degenerates to this plan.
+    Equi-join on user_id + post-join time filter, so no cross
+    product; one row per (view, matching purchase) before the
+    projection keeps the oracle comparable row-for-row."""
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (views["user_id"] == buys["p_user_id"])
+        & (buys["p_ts"] > views["ts"])
+        & (buys["p_ts"] <= views["ts"] + F.expr("INTERVAL 2 HOURS"))
+    )
+    return (
+        views.join(buys, cond, "left_outer")
+        .select(
+            "user_id",
+            "view_id",
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id", "view_id", "converted")
+    )

@@ -125,16 +125,22 @@ def stream_interval_join(
     right_ts: str,
     upper: str,
     watermark: str = "4 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """ST6: stream-stream inner join with a time-interval condition —
+    """ST6: stream-stream join with a time-interval condition —
     "right event follows left event on the same key within ``upper``"
     (view→purchase attribution). Both sides carry watermarks so the
     join state is bounded: a buffered left row can be dropped once
     event time passes left_ts + upper + watermark.
 
+    ``how='left_outer'`` emits unmatched left rows with nulls — in
+    streaming mode Spark holds them until the watermark proves no
+    match can still arrive (the "views that never converted" query);
+    the interval condition supplies the state bound both modes need.
+
     Works identically in batch mode (watermarks are no-ops there),
     which is how the oracle gate checks the semantics; the streaming
-    test drives the same helper through readStream on both sides.
+    tests drive the same helper through readStream on both sides.
     """
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
@@ -143,7 +149,7 @@ def stream_interval_join(
         & (r_wm[right_ts] > l_wm[left_ts])
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return l_wm.join(r_wm, cond, "inner")
+    return l_wm.join(r_wm, cond, how)
 
 
 def running_totals_with_state(

@@ -319,3 +319,65 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_st6b_left_outer_interval_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    # Outer interval join: the unmatched left row may only be emitted
+    # once the watermark PROVES no match can still arrive — which
+    # happens on a later trigger. Two availableNow runs share a
+    # checkpoint: run 1 emits the inner match, run 2 (new data pushes
+    # the watermark far past the expiry) emits the unmatched view with
+    # a null purchase.
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "buys")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _write_batch(
+        spark, vsrc, [(1, _ts(0), 10, 0.0), (2, _ts(0), 11, 0.0)]
+    )
+    _write_batch(spark, psrc, [(101, _ts(10), 10, 9.0)])
+
+    from calorista_spark.streaming.incremental import stream_interval_join
+
+    def run():
+        views = spark.readStream.schema(EVENT_SCHEMA).parquet(vsrc).select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        buys = spark.readStream.schema(EVENT_SCHEMA).parquet(psrc).select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        joined = stream_interval_join(
+            views, buys,
+            key="k", left_ts="vts", right_ts="pts",
+            upper="20 MINUTES", watermark="30 minutes", how="left_outer",
+        ).select("view_id", "purchase_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.view_id, r.purchase_id)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run()
+    assert (1, 101) in first          # inner match emits immediately
+    assert (2, None) not in first     # unmatched still buffered
+
+    # far-future events on BOTH sources: the join's global watermark is
+    # the MIN of the two input watermarks (multipleWatermarkPolicy=min),
+    # so advancing only one side would hold the unmatched row forever
+    far = _ts(0) + datetime.timedelta(hours=10)
+    _write_batch(spark, vsrc, [(998, far, 98, 0.0)])
+    _write_batch(spark, psrc, [(999, far, 99, 9.0)])
+    second = run()
+    assert (2, None) in second        # null-emission after watermark
