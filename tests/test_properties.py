@@ -222,3 +222,77 @@ def test_ordered_running_sum_matches_window(spark, rows):
         for r in df.select("id", F.sum("val").over(w).alias("rs")).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J6) vs pandas merge_asof as an independent reference.
+# ---------------------------------------------------------------------------
+
+asof_sides = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right: (key, ts, value) — unique (key, ts) enforced below
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@given(sides=asof_sides)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, sides):
+    import pandas as pd
+
+    from calorista_spark.operators.joins import asof_join
+
+    lrows, rrows = sides
+    # dedupe right on (key, ts): with duplicates, "which value carries"
+    # is tie-break policy, not as-of semantics — keep the property crisp
+    rmap = {(k, t): v for k, t, v in rrows}
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+
+    left = spark.createDataFrame(
+        [(i, int(k), int(t)) for i, (k, t) in enumerate(lrows)],
+        ["lid", "key", "lts"],
+    )
+    right_schema = "key INT, rts INT, val INT"
+    right = spark.createDataFrame(
+        [(int(k), int(t), int(v)) for k, t, v in rrows], right_schema
+    )
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join(
+            left, right, ["key"], "lts", "rts", ["val"]
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        columns=["lid", "key", "lts"],
+    ).sort_values("lts", kind="stable")
+    rpd = pd.DataFrame(rrows, columns=["key", "rts", "val"]).sort_values(
+        "rts", kind="stable"
+    )
+    if rpd.empty:
+        want = {i: None for i in lpd["lid"]}
+    else:
+        merged = pd.merge_asof(
+            lpd, rpd, left_on="lts", right_on="rts", by="key",
+            direction="backward", allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.val) else int(r.val))
+            for r in merged.itertuples()
+        }
+    assert got == want
