@@ -286,9 +286,9 @@ sig AS (
   FROM seeded GROUP BY doc_id, seed
 ),
 bands AS (
-  SELECT doc_id, CAST(seed / 4 AS INTEGER) AS band,
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
          string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
-  FROM sig GROUP BY doc_id, CAST(seed / 4 AS INTEGER)
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -130,13 +130,17 @@ daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT s.user_id, s.day,
-       ROUND(last_value(d.day_avg IGNORE NULLS) OVER (
+       FLOOR(last_value(d.day_avg IGNORE NULLS) OVER (
          PARTITION BY s.user_id ORDER BY s.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_filled
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5)
+         / 10000 AS value_filled
 FROM (SELECT u.user_id, dy.day FROM users u CROSS JOIN days dy) s
 LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 ORDER BY s.user_id, s.day
 """
+# NB: value_filled quantizes via FLOOR(x*1e4 + 0.5)/1e4 (identical
+# IEEE ops both engines): carried day averages hit round-half
+# boundaries at sf0.1 where engine ROUNDs disagree by 1 ulp.
 
 
 @query("events_locf_gapfill", _LOCF_ORACLE)
@@ -155,7 +159,10 @@ def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, spine, users, ["user_id"], "day", "day_avg", "locf"
     )
     return filled.select(
-        "user_id", "day", F.round("locf", 4).alias("value_filled")
+        "user_id",
+        "day",
+        # floor-quantized, not ROUND: see the oracle's NB comment
+        (F.floor(F.col("locf") * 10000 + 0.5) / 10000).alias("value_filled"),
     ).orderBy("user_id", "day")
 
 

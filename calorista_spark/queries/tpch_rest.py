@@ -62,10 +62,15 @@ ranked AS (
   FROM cand
 )
 SELECT p_partkey, s_name, n_name,
-       ROUND(s_acctbal, 2) AS s_acctbal, ROUND(cost, 4) AS min_cost
+       ROUND(s_acctbal, 2) AS s_acctbal,
+       FLOOR(cost * 10000 + 0.5) / 10000 AS min_cost
 FROM ranked WHERE rk = 1
 ORDER BY p_partkey
 """
+# NB: min_cost quantizes via FLOOR(x*1e4 + 0.5)/1e4 — identical IEEE
+# double ops in both engines — because the raw unit cost
+# (extendedprice/quantity) lands exactly on round-half boundaries at
+# sf0.1 where engine ROUND implementations disagree by 1 ulp.
 
 
 @query("min_cost_supplier_q2", _Q2_ORACLE)
@@ -99,7 +104,8 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
-            F.round("cost", 4).alias("min_cost"),
+            # floor-quantized, not ROUND: see the oracle's NB comment
+            (F.floor(F.col("cost") * 10000 + 0.5) / 10000).alias("min_cost"),
         )
         .orderBy("p_partkey")
     )
