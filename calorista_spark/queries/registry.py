@@ -11,6 +11,16 @@ it does):
 - every aggregate/computed double is wrapped in ``round(x, 4)`` on BOTH
   sides, so sub-ulp differences from parallel summation order never
   reach the hash;
+- round-half BOUNDARIES are the residual risk: when a value lands
+  exactly on x.xxxx5 (observed at sf0.1 for carried averages and
+  unit-cost divisions), Spark's BigDecimal HALF_UP and DuckDB's
+  scaled-double round can disagree by 1 ulp. Boundary-prone outputs
+  quantize via ``FLOOR(x*1e4 + 0.5)/1e4`` instead — identical IEEE
+  ops in both engines (see min_cost_supplier_q2, events_locf_gapfill);
+- ORACLE SQL must floor integer divisions explicitly: DuckDB ``a / b``
+  on integers is FLOAT division, and ``CAST(double AS INTEGER)``
+  ROUNDS — use ``a // b`` to mirror Spark's truncating
+  ``(col / n).cast("int")`` (bit round 5: LSH band assignment);
 - temporal outputs are DATE or formatted strings (the parquet files
   carry timestamp_ntz, so no zone is involved);
 - any "pick one row of a tie" op breaks ties on a total order that
