@@ -24,6 +24,26 @@ def unpivot(
     return df.unpivot(ids, values, var_name, value_name)
 
 
+def pivot_agg(
+    df: DataFrame,
+    ids: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """The inverse reshape: long → wide with one aggregated column per
+    pivot value (the reference's wide dashboard tables, e.g. one
+    column per measure/day).
+
+    ``pivot_values`` is REQUIRED: with an explicit value list Spark
+    skips the extra distinct-collection job AND the output schema is
+    static — at 100 TB an implicit pivot would both scan the data
+    twice and risk an unbounded column explosion from a high-cardinality
+    key. One shuffle on ``ids``; per-value aggregates map-side combine.
+    """
+    return df.groupBy(*ids).pivot(pivot_col, pivot_values).agg(agg)
+
+
 def date_spine(
     spark: SparkSession, start: Column | str, end: Column | str
 ) -> DataFrame:

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from calorista_spark.catalog import read_table
 from calorista_spark.operators.dedup import exact_dedup
 from calorista_spark.operators.merge import merge_classify, merge_upsert, with_row_hash
-from calorista_spark.operators.reshape import date_spine, group_collect, unpivot
+from calorista_spark.operators.reshape import (
+    date_spine,
+    group_collect,
+    pivot_agg,
+    unpivot,
+)
 from calorista_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -293,3 +298,47 @@ def dedup_idempotence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return once.agg(F.count(F.lit(1)).alias("n_once")).crossJoin(
         twice.agg(F.count(F.lit(1)).alias("n_twice"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O-R1 inverse — pivot: long events → one summed column per event type
+# (the reference's wide dashboard tables). Explicit value list: no
+# distinct-scan job, static schema (see operators/reshape.pivot_agg).
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN value END), 0), 4) AS click,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN value END), 0), 4) AS error,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN value END), 0), 4) AS signup,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN value END), 0), 4) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("events_type_pivot", _PIVOT_ORACLE)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot per-user event values into one column per event type —
+    Spark compiles the explicit-values pivot to the same conditional
+    aggregates as the oracle's CASE columns (one shuffle, map-side
+    combine, no second scan)."""
+    ev = read_table(spark, sf_dir, "events")
+    wide = pivot_agg(
+        ev.select("user_id", "event_type", "value"),
+        ids=["user_id"],
+        pivot_col="event_type",
+        pivot_values=EVENT_TYPES,
+        agg=F.sum("value"),
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0.0)), 4).alias(t)
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("user_id")
