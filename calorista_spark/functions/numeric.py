@@ -23,3 +23,28 @@ def share_pct(col: Column | str, total: Column) -> Column:
     reference streamlit_app.py:465-468). Null-safe: 0-total → null."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(total != 0, c / total * 100.0)
+
+
+def quantized_sum(col: Column | str, scale: int = 4) -> Column:
+    """Cross-engine-exact rounded SUM for large aggregates: quantize
+    each row to a scaled integer (``floor(x*10^scale + 0.5)`` — pure
+    IEEE ops, identical in any engine), sum EXACTLY as DECIMAL(38,0)
+    (order-independent, overflow-safe far past 100 TB magnitudes),
+    unscale to double at the end.
+
+    Why not ``round(sum(x), 4)``: at ~1e9+ magnitudes the 4th decimal
+    of a double sum sits inside accumulation-order noise (ulp ≈ 5e-7
+    per add), so two engines — or two partitionings of the SAME
+    engine — can legally disagree by 1 ulp at the rounding boundary.
+    Summing integers removes the order dependence entirely.
+
+    Semantics: sum-of-rounded rather than rounded-sum; per-row error
+    < 0.5/10^scale, bounded and deterministic. Oracle twin snippet:
+    ``CAST(SUM(CAST(FLOOR((x) * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE) /
+    10000.0``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * F.lit(float(10 ** scale)) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    return (F.sum(q).cast("double") / F.lit(float(10 ** scale)))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.functions.numeric import quantized_sum
 from calorista_spark.operators.joins import asof_join, range_bucket_join
 from calorista_spark.operators.windows import moving_avg, rank_latest, share_of_total
 from calorista_spark.queries.registry import query
@@ -24,7 +25,8 @@ _STAR_JOIN_ORACLE = """
 SELECT
   r.r_name                                               AS region_name,
   n.n_name                                               AS nation_name,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)  AS revenue,
+  CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0
+                      + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
   COUNT(*)                                               AS n_lineitems
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -53,8 +55,10 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # quantized_sum, not round(sum(...)): at ~1e9 magnitudes the
+            # 4th decimal of a double sum is accumulation-order noise
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )

@@ -246,11 +246,14 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY label) AS n
   FROM scored
 )
-SELECT label, vec_id, ROUND(sim, 4) AS centroid_sim, rank,
+SELECT label, vec_id, ROUND(sim, 4) + 0 AS centroid_sim, rank,
        rank * 2 <= n + 1 AS kept
 FROM ranked
 ORDER BY label, rank
 """
+# NB: "+ 0" collapses IEEE -0.0 to +0.0 — a similarity rounding to
+# zero can carry either sign depending on the engine's dot-product
+# accumulation order.
 
 
 @query("embedding_semdedup_prune", _SEMDEDUP_ORACLE)
@@ -288,7 +291,8 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "vec_id",
-            F.round("sim", 4).alias("centroid_sim"),
+            # + 0.0 collapses -0.0 (see oracle NB)
+            (F.round("sim", 4) + 0.0).alias("centroid_sim"),
             "rank",
             (F.col("rank") * 2 <= F.col("n") + 1).alias("kept"),
         )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.functions.numeric import quantized_sum
 from calorista_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -245,7 +246,9 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q9_ORACLE = """
-SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+SELECT nation, o_year,
+       CAST(SUM(CAST(FLOOR(amount * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
@@ -289,7 +292,8 @@ def profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        # quantized: the 4th decimal of a ~1e7 double sum is order noise
+        .agg(quantized_sum("amount").alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
 

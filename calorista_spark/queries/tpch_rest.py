@@ -118,18 +118,23 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_ORACLE = """
 WITH vals AS (
-  SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+  SELECT l.l_partkey,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0
+                        + 0.5) AS BIGINT)) AS value_s
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   WHERE n.n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
   GROUP BY l.l_partkey
 )
-SELECT l_partkey, ROUND(value, 4) AS value
+SELECT l_partkey, CAST(value_s AS DOUBLE) / 10000.0 AS value
 FROM vals
-WHERE value > (SELECT 2.0 * SUM(value) / COUNT(*) FROM vals)
+WHERE value_s * (SELECT COUNT(*) FROM vals) > 2 * (SELECT SUM(value_s) FROM vals)
 ORDER BY value DESC, l_partkey
 """
+# NB: quantized sums + an INTEGER-rearranged threshold (value*n > 2*total
+# instead of value > 2*total/n) — both the displayed value and the
+# cutoff MEMBERSHIP are exact in both engines at any magnitude.
 
 
 @query("important_parts_q11", _Q11_ORACLE)
@@ -142,23 +147,27 @@ def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
     )
+    # scaled-integer sums; threshold rearranged to integer arithmetic
+    # (value*n > 2*total) so membership is exact — see the oracle NB
+    q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + 0.5
+    ).cast("decimal(38,0)")
     vals = (
         li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "value"
-            )
-        )
+        .agg(F.sum(q).alias("value_s"))
     )
     threshold = vals.agg(
-        (2.0 * F.sum("value") / F.count(F.lit(1))).alias("cutoff")
+        F.sum("value_s").alias("total_s"), F.count(F.lit(1)).alias("n")
     )
     return (
         vals.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("cutoff"))
-        .select("l_partkey", F.round("value", 4).alias("value"))
+        .filter(F.col("value_s") * F.col("n") > 2 * F.col("total_s"))
+        .select(
+            "l_partkey",
+            (F.col("value_s").cast("double") / 10000.0).alias("value"),
+        )
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
