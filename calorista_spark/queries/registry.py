@@ -17,6 +17,14 @@ it does):
   scaled-double round can disagree by 1 ulp. Boundary-prone outputs
   quantize via ``FLOOR(x*1e4 + 0.5)/1e4`` instead — identical IEEE
   ops in both engines (see min_cost_supplier_q2, events_locf_gapfill);
+- LARGE SUMS amplify it: at ~1e9+ magnitudes the 4th decimal of a
+  double sum sits inside accumulation-order noise (ulp ≈ 5e-7/add),
+  so ``round(sum(x), 4)`` is not engine-stable no matter the rounding
+  mode. Big-aggregate queries use ``functions.numeric.quantized_sum``
+  (scaled-integer per-row quantize → exact decimal sum → unscale);
+  thresholds over such sums rearrange to integer comparisons
+  (important_parts_q11). ``+ 0.0`` collapses IEEE -0.0 wherever a
+  near-zero result's sign depends on accumulation order;
 - ORACLE SQL must floor integer divisions explicitly: DuckDB ``a / b``
   on integers is FLOAT division, and ``CAST(double AS INTEGER)``
   ROUNDS — use ``a // b`` to mirror Spark's truncating
