@@ -48,3 +48,17 @@ def quantized_sum(col: Column | str, scale: int = 4) -> Column:
         "decimal(38,0)"
     )
     return (F.sum(q).cast("double") / F.lit(float(10 ** scale)))
+
+
+def quantized_sum_scaled(col: Column | str, scale: int = 4) -> Column:
+    """The scaled-integer EXACT sum behind :func:`quantized_sum`
+    (DECIMAL, still ×10^scale). Use when a derived column needs the
+    sum as input (e.g. ``floor(scaled/7 + 0.5)/1e4`` for a
+    deterministic divided average) so every downstream op stays in
+    the identical-IEEE regime."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(
+        F.floor(c * F.lit(float(10 ** scale)) + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.functions.numeric import quantized_sum, quantized_sum_scaled
 from calorista_spark.functions.dates import (
     date_to_epoch_days,
     days_in_month,
@@ -31,9 +32,12 @@ from calorista_spark.queries.registry import query
 _DAILY_TOTALS_ORACLE = """
 SELECT
   CAST(l_shipdate AS DATE)                                   AS ship_date,
-  ROUND(SUM(l_quantity), 4)                                  AS total_qty,
-  ROUND(SUM(l_extendedprice), 4)                             AS total_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)          AS total_disc_price,
+  CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                AS total_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                AS total_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 10000.0             AS total_disc_price,
   COUNT(*)                                                   AS n_items
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
@@ -55,11 +59,14 @@ def daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31 23:59:59"))
         .groupBy(F.col("l_shipdate").cast("date").alias("ship_date"))
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "total_disc_price"
-            ),
+            # quantized: per-day sums grow unboundedly with SF, and at
+            # 1e9+ magnitudes round(sum(x),4)'s last decimal is
+            # accumulation-order noise (registry conventions)
+            quantized_sum("l_quantity").alias("total_qty"),
+            quantized_sum("l_extendedprice").alias("total_price"),
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_disc_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("ship_date")
@@ -75,7 +82,8 @@ def daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATEST_DAY_ORACLE = """
 SELECT
   CAST(o_orderdate AS DATE)        AS order_date,
-  ROUND(SUM(o_totalprice), 4)      AS total_price,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                      AS total_price,
   COUNT(*)                         AS n_orders
 FROM orders
 WHERE CAST(o_orderdate AS DATE) =
@@ -100,7 +108,7 @@ def latest_day_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(latest), "order_date")
         .groupBy("order_date")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            quantized_sum("o_totalprice").alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -116,10 +124,12 @@ _WEEKLY_TRENDS_ORACLE = """
 SELECT
   isoyear(CAST(o_orderdate AS DATE))                 AS iso_year,
   week(CAST(o_orderdate AS DATE))                    AS iso_week,
-  ROUND(SUM(o_totalprice), 4)                        AS total_price,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                        AS total_price,
   MIN(CAST(o_orderdate AS DATE))                     AS week_start,
   COUNT(DISTINCT CAST(o_orderdate AS DATE))          AS n_days,
-  ROUND(SUM(o_totalprice) / 7, 4)                    AS avg_daily_price
+  FLOOR(CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 7.0 + 0.5) / 10000.0       AS avg_daily_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -138,10 +148,18 @@ def weekly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             iso_week("order_date").alias("iso_week"),
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            quantized_sum("o_totalprice").alias("total_price"),
             F.min("order_date").alias("week_start"),
             F.countDistinct("order_date").alias("n_days"),
-            F.round(F.sum("o_totalprice") / 7, 4).alias("avg_daily_price"),
+            # deterministic divided average: scaled exact sum / 7,
+            # floor-rounded — every op identical-IEEE in both engines
+            (
+                F.floor(
+                    quantized_sum_scaled("o_totalprice").cast("double") / 7.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("avg_daily_price"),
         )
         .orderBy("iso_year", "iso_week")
     )
@@ -156,11 +174,12 @@ _MONTHLY_TRENDS_ORACLE = """
 SELECT
   CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)   AS month_start,
   strftime(CAST(o_orderdate AS DATE), '%b %Y')                   AS month_label,
-  ROUND(SUM(o_totalprice), 4)                                    AS total_price,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                    AS total_price,
   COUNT(DISTINCT CAST(o_orderdate AS DATE))                      AS n_days,
-  ROUND(SUM(o_totalprice)
-        / day(last_day(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))), 4)
-                                                                 AS avg_daily_price
+  FLOOR(CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / day(last_day(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)))
+        + 0.5) / 10000.0                                         AS avg_daily_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1
@@ -177,16 +196,23 @@ def monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         month_start("order_date").alias("month_start"),
         month_label("order_date").alias("month_label"),
     ).agg(
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        quantized_sum("o_totalprice").alias("total_price"),
         F.countDistinct("order_date").alias("n_days"),
-        F.sum("o_totalprice").alias("_raw_total"),
+        quantized_sum_scaled("o_totalprice").alias("_scaled_total"),
     )
     return (
         grouped.withColumn(
             "avg_daily_price",
-            F.round(F.col("_raw_total") / days_in_month("month_start"), 4),
+            # scaled exact sum / true days-in-month, floor-rounded —
+            # identical IEEE ops in both engines (registry conventions)
+            F.floor(
+                F.col("_scaled_total").cast("double")
+                / days_in_month("month_start")
+                + 0.5
+            )
+            / 10000.0,
         )
-        .drop("_raw_total")
+        .drop("_scaled_total")
         .orderBy("month_start")
     )
 
@@ -200,10 +226,15 @@ _PRICING_SUMMARY_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 4)                                          AS sum_qty,
-  ROUND(SUM(l_extendedprice), 4)                                     AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                  AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)    AS sum_charge,
+  CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                        AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                        AS sum_base_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 10000.0                     AS sum_disc_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                        AS sum_charge,
   ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
   ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
   ROUND(AVG(l_discount), 4)                                          AS avg_disc,
@@ -224,10 +255,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            quantized_sum("l_quantity").alias("sum_qty"),
+            quantized_sum("l_extendedprice").alias("sum_base_price"),
+            quantized_sum(disc_price).alias("sum_disc_price"),
+            quantized_sum(disc_price * (1 + F.col("l_tax"))).alias(
+                "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -286,7 +319,8 @@ _RANGE_SUMMARY_ORACLE = """
 SELECT
   MIN(CAST(o_orderdate AS DATE))  AS first_date,
   MAX(CAST(o_orderdate AS DATE))  AS last_date,
-  ROUND(SUM(o_totalprice), 4)     AS total_price,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                     AS total_price,
   COUNT(*)                        AS n_orders
 FROM orders
 WHERE o_orderstatus = 'F'
@@ -300,7 +334,7 @@ def range_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_orderstatus") == "F").agg(
         F.min(F.col("o_orderdate").cast("date")).alias("first_date"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        quantized_sum("o_totalprice").alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -449,7 +483,8 @@ WITH keyed AS (
 SELECT store_key,
        CAST(string_split(store_key, ':')[-1] AS DATE) AS key_date,
        COUNT(*)                    AS n_orders,
-       ROUND(SUM(o_totalprice), 4) AS total_price
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0                 AS total_price
 FROM keyed
 GROUP BY store_key
 ORDER BY store_key
@@ -476,7 +511,7 @@ def storage_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.groupBy("store_key")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            quantized_sum("o_totalprice").alias("total_price"),
         )
         .select(
             "store_key",
