@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import load_tables, read_table
+from calorista_spark.functions.numeric import quantized_sum
 from calorista_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -323,7 +324,8 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name AS nation_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -364,8 +366,9 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # quantized: per-nation revenue grows unboundedly with SF
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "nation_name")

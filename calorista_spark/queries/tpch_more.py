@@ -19,10 +19,11 @@ shipmode/commitdate columns — predicates adapted to existing columns):
 - Q19 disjunctive OR-of-ANDs join predicate
 - Q22 dormant high-balance customers (NOT EXISTS + scalar avg)
 
-Every double output is round(...,4) on both engines; every dated
-output is cast to DATE; counts from conditional sums are cast to
-BIGINT (DuckDB sums integers into HUGEINT); ties in every top-k break
-on a unique key (registry docstring conventions).
+Determinism: bounded-magnitude double outputs are round(...,4) on both
+engines; SF-unbounded revenue sums use the quantized-sum form (see
+registry conventions); every dated output is cast to DATE; counts from
+conditional sums are cast to BIGINT (DuckDB sums integers into
+HUGEINT); ties in every top-k break on a unique key.
 """
 
 from __future__ import annotations
@@ -79,7 +80,8 @@ def order_priority_check_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
   AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
@@ -101,7 +103,11 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+        .agg(
+            quantized_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue")
+        )
     )
 
 
@@ -111,7 +117,9 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
@@ -167,7 +175,7 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .agg(quantized_sum("volume").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -578,7 +586,8 @@ def large_quantity_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q19_ORACLE = """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0
+                    + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -621,8 +630,8 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -636,7 +645,9 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q22_ORACLE = """
-SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS totacctbal
 FROM (
   SELECT SUBSTRING(c.c_name, LENGTH(c.c_name), 1) AS cntrycode, c.c_acctbal
   FROM customer c
@@ -675,7 +686,7 @@ def dormant_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            quantized_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
