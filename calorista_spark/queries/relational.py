@@ -158,7 +158,9 @@ WITH buckets AS (
          CAST(i * 50 AS VARCHAR) || '-' || CAST((i + 1) * 50 AS VARCHAR) AS bucket
   FROM range(0, 8) t(i)
 )
-SELECT b.bucket, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS total_value
+SELECT b.bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS total_value
 FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.bucket ORDER BY b.bucket
 """
@@ -181,7 +183,7 @@ def events_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            quantized_sum("value").alias("total_value"),
         )
         .orderBy("bucket")
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.functions.numeric import quantized_sum
 from calorista_spark.queries.registry import query
 from calorista_spark.streaming.incremental import session_agg, sliding_agg, tumbling_agg
 
@@ -21,7 +22,8 @@ SELECT
   CAST(date_trunc('day', ts) AS TIMESTAMP)                    AS win_start,
   CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)   AS win_end,
   COUNT(*)                                                    AS n_events,
-  ROUND(SUM(value), 4)                                        AS total_value
+  CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 10000.0                                                   AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1
@@ -39,7 +41,7 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            quantized_sum("value").alias("total_value"),
         ],
     )
     return out.select(
@@ -65,7 +67,8 @@ WITH assigned AS (
 SELECT win_start,
        CAST(win_start + INTERVAL 7 DAY AS TIMESTAMP) AS win_end,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0   AS total_value
 FROM assigned
 GROUP BY 1, 2
 ORDER BY 1
@@ -83,7 +86,7 @@ def events_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            quantized_sum("value").alias("total_value"),
         ],
     )
     return out.select(
@@ -120,7 +123,8 @@ SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP)                       AS session_start,
        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP)  AS session_end,
        COUNT(*)                                         AS n_events,
-       ROUND(SUM(value), 4)                             AS total_value
+       CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0                               AS total_value
 FROM numbered
 GROUP BY user_id, session_no
 ORDER BY user_id, session_start
@@ -139,7 +143,7 @@ def events_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            quantized_sum("value").alias("total_value"),
         ],
     )
     return out.select(

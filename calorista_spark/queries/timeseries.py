@@ -25,6 +25,7 @@ from calorista_spark.operators.timeseries import (
     resample,
     sessionize,
 )
+from calorista_spark.functions.numeric import quantized_sum
 from calorista_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -35,7 +36,8 @@ _HOURLY_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
        COUNT(*) AS n_events,
        ROUND(AVG(value), 4) AS avg_value,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS total_value
 FROM events
 GROUP BY 1
 ORDER BY 1
@@ -54,7 +56,7 @@ def events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "n_events": F.count(F.lit(1)),
             "avg_value": F.round(F.avg("value"), 4),
-            "total_value": F.round(F.sum("value"), 4),
+            "total_value": quantized_sum("value"),
         },
     )
     return out.orderBy("bucket")
@@ -173,7 +175,8 @@ def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTOGRAM_ORACLE = """
 SELECT CAST(FLOOR(value / 25) AS INTEGER) * 25 AS bucket_lo,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS total_value
 FROM events
 GROUP BY 1
 ORDER BY 1
@@ -192,7 +195,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         25.0,
         {
             "n_events": F.count(F.lit(1)),
-            "total_value": F.round(F.sum("value"), 4),
+            "total_value": quantized_sum("value"),
         },
     ).orderBy("bucket_lo")
 

@@ -17,6 +17,8 @@ def test_streamed_tumbling_equals_batch_on_real_events(spark, sf_dir):
     # no watermark: complete-mode agg doesn't need one, and watermarks
     # require TIMESTAMP (ltz) — the ntz repair keeps values tz-stable
     # for the oracle comparison instead
+    from calorista_spark.functions.numeric import quantized_sum
+
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_agg(
         stream,
@@ -24,7 +26,9 @@ def test_streamed_tumbling_equals_batch_on_real_events(spark, sf_dir):
         "1 day",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # same quantized form as the batch query: stream-vs-batch
+            # accumulation orders differ, so round(sum) could diverge
+            quantized_sum("value").alias("total_value"),
         ],
     ).select(
         F.col("win.start").alias("win_start"), "n_events", "total_value"
