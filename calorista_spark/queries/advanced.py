@@ -18,7 +18,8 @@ from calorista_spark.queries.registry import query
 
 _ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_price
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -35,7 +36,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            quantized_sum("o_totalprice").alias("total_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -46,7 +47,8 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       COUNT(*) AS n_items, ROUND(SUM(l_quantity), 4) AS total_qty
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -61,7 +63,7 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            quantized_sum("l_quantity").alias("total_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),

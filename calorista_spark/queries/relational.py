@@ -319,7 +319,7 @@ WITH nation_rev AS (
   GROUP BY 1, 2
 )
 SELECT region_name, nation_name,
-       ROUND(nation_total, 4) AS nation_total,
+       FLOOR(nation_total * 10000.0 + 0.5) / 10000.0 AS nation_total,
        ROUND(nation_total / SUM(nation_total) OVER (PARTITION BY region_name) * 100, 4)
          AS region_share_pct
 FROM nation_rev
@@ -350,7 +350,10 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.select(
         "region_name",
         "nation_name",
-        F.round("nation_total", 4).alias("nation_total"),
+        # floor-quantized: determinate-boundary-safe (registry conv.)
+        (F.floor(F.col("nation_total") * 10000.0 + 0.5) / 10000.0).alias(
+            "nation_total"
+        ),
         F.round("region_share_pct", 4).alias("region_share_pct"),
     ).orderBy("region_name", "nation_name")
 

@@ -21,6 +21,7 @@ from calorista_spark.operators.reshape import (
     pivot_agg,
     unpivot,
 )
+from calorista_spark.functions.numeric import quantized_sum
 from calorista_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -32,9 +33,9 @@ _UNPIVOT_ORACLE = """
 WITH wide AS (
   SELECT
     l_returnflag,
-    ROUND(SUM(l_quantity), 4)       AS total_qty,
-    ROUND(SUM(l_extendedprice), 4)  AS total_price,
-    ROUND(SUM(l_discount), 4)       AS total_discount
+    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_price,
+    CAST(SUM(CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_discount
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'total_qty' AS measure, total_qty AS amount FROM wide
@@ -51,9 +52,9 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-R1: native ``unpivot`` over aggregated measures."""
     li = read_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
-        F.round(F.sum("l_discount"), 4).alias("total_discount"),
+        quantized_sum("l_quantity").alias("total_qty"),
+        quantized_sum("l_extendedprice").alias("total_price"),
+        quantized_sum("l_discount").alias("total_discount"),
     )
     return unpivot(
         wide,
@@ -77,7 +78,7 @@ WITH spine AS (
 ),
 daily AS (
   SELECT CAST(o_orderdate AS DATE) AS order_date,
-         ROUND(SUM(o_totalprice), 4) AS total_price,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_price,
          COUNT(*) AS n_orders
   FROM orders
   WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
@@ -99,7 +100,7 @@ def date_spine_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            quantized_sum("o_totalprice").alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -70,7 +70,10 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q17_ORACLE = """
 SELECT p.p_brand,
-       ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+       CAST(FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 1e4 + CAST(0.5 AS DOUBLE))
+                         AS DECIMAL(38,0))) AS DOUBLE) / CAST(7 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+         / 1e4 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_quantity < (
