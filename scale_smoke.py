@@ -161,7 +161,27 @@ def main() -> None:
 
     results["minhash_lsh_200k_docs"] = timed("minhash_lsh", neardup_check)
 
-    # 5. plan-shape invariants at scale: the scalable rank pipeline
+    # 5. quantized-sum partition invariance: the same 10M doubles
+    # summed under three different partitionings must agree EXACTLY —
+    # the determinism property round(sum(x), 4) lacks at 1e9+
+    # magnitudes (registry conventions; round-5 parity work)
+    def qsum_check():
+        from calorista_spark.functions.numeric import quantized_sum
+
+        vals = df.select((F.col("price") * 1.000173).alias("x"))
+        outs = []
+        for parts in (7, 32, 111):
+            outs.append(
+                vals.repartition(parts)
+                .agg(quantized_sum("x").alias("s"))
+                .first()["s"]
+            )
+        assert outs[0] == outs[1] == outs[2], outs
+        return f"sum={outs[0]} identical across partitionings 7/32/111"
+
+    results["quantized_sum_invariance"] = timed("qsum_invariance", qsum_check)
+
+    # 6. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (
         global_row_number(df, ["price", "id"], num_partitions=64)
