@@ -29,7 +29,9 @@ def epoch_days_to_date(col: Column | str) -> Column:
 def date_to_epoch_days(col: Column | str) -> Column:
     """O-S2: date → days since 1970-01-01 (reference api.py:140-144)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.datediff(c.cast("date"), F.to_date(F.lit(_EPOCH)))
+    # long, not int: int64 matches what SQL engines emit for datediff,
+    # keeping the driver's arrow value-hash symmetric with the oracle.
+    return F.datediff(c.cast("date"), F.to_date(F.lit(_EPOCH))).cast("long")
 
 
 def iso_year(col: Column | str) -> Column:
@@ -43,7 +45,7 @@ def iso_week(col: Column | str) -> Column:
     """O-S5: ISO week number 1-53 (``isocalendar()[1]``); Spark's
     ``weekofyear`` is ISO-8601."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.weekofyear(c.cast("date"))
+    return F.weekofyear(c.cast("date")).cast("long")
 
 
 def month_start(col: Column | str) -> Column:

@@ -65,7 +65,10 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) AS cum_tokens
+         -- DuckDB widens SUM(BIGINT) to HUGEINT; Spark emits int64.
+         -- Cast so the arrow value-hash compares like-for-like.
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id)
+              AS BIGINT) AS cum_tokens
   FROM t
 ), b AS (
   SELECT CAST(FLOOR(SUM(n_tokens) * 0.25) AS BIGINT) AS budget FROM t

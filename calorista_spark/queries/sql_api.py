@@ -33,7 +33,7 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 _SQL_REVENUE = """
 SELECT n.n_name,
        CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0
-                           + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                           + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
          AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem l

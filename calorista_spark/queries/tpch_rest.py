@@ -151,7 +151,7 @@ def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (value*n > 2*total) so membership is exact — see the oracle NB
     q = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + 0.5
-    ).cast("decimal(38,0)")
+    ).cast("decimal(18,0)")
     vals = (
         li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])

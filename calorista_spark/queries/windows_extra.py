@@ -37,9 +37,9 @@ def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "order_date",
-        F.datediff("order_date", F.lag("order_date").over(w)).alias(
-            "days_since_prev"
-        ),
+        F.datediff("order_date", F.lag("order_date").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
         (F.col("order_date") == F.first("order_date").over(w)).alias(
             "is_first_order"
         ),
@@ -71,7 +71,7 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_ORACLE = """
 SELECT p.p_brand,
        CAST(FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 1e4 + CAST(0.5 AS DOUBLE))
-                         AS DECIMAL(38,0))) AS DOUBLE) / CAST(7 AS DOUBLE)
+                         AS DECIMAL(18,0))) AS DOUBLE) / CAST(7 AS DOUBLE)
                   + CAST(0.5 AS DOUBLE)) AS DOUBLE)
          / 1e4 AS avg_yearly
 FROM lineitem l

@@ -99,3 +99,84 @@ def _rows_close(a: tuple, b: tuple, tol: float) -> bool:
             if x != y:
                 return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Arrow-dtype parity (r6): the driver's value hash folds the arrow
+# TYPE FAMILY of each column, not just the Python values — r5's one
+# red row (doc_token_budget_selection) was int64 values hashed under
+# decimal128 on the DuckDB side (HUGEINT window sum). Values matched;
+# the hash didn't. This check catches that class locally: canonical
+# arrow type of every oracle column must equal the canonical type of
+# the Spark schema. Int widths are compared strictly (cheap to align,
+# see functions/dates.py casts) even though the driver tolerates them.
+# ---------------------------------------------------------------------------
+
+
+def canon_arrow_type(t) -> str:
+    """pyarrow DataType → canonical family string."""
+    s = str(t)
+    if s.startswith(("string", "large_string")):
+        return "string"
+    if s.startswith("date"):
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith(("list", "large_list")):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if s.startswith("decimal"):
+        return f"decimal({t.precision},{t.scale})"
+    return s
+
+
+def canon_spark_type(dt) -> str:
+    """Spark DataType → the arrow family Spark's collect emits."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    return str(dt)
+
+
+def compare_arrow_types(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return per-column canonical-dtype mismatches (empty == parity).
+
+    Spark side is schema-only (no job); the oracle runs at the test SF
+    (cheap) because DuckDB exposes result arrow types only on execute.
+    """
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    oschema = con.sql(oracle_sql).arrow().schema
+    otypes = {f.name: canon_arrow_type(f.type) for f in oschema}
+    stypes = {
+        f.name: canon_spark_type(f.dataType) for f in spark_df.schema.fields
+    }
+    problems = []
+    for c in sorted(set(otypes) | set(stypes)):
+        a, b = stypes.get(c), otypes.get(c)
+        if a != b:
+            problems.append(f"column {c!r}: spark={a} oracle={b}")
+    return problems
