@@ -44,6 +44,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warmup failure is non-fatal
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    # Fixed-cost calibration (r6, VERDICT advice): a data-independent
+    # probe whose cost is pure engine+machine, so rounds can normalize
+    # away environment drift (r3→r5 showed a ~1.4× uniform inflation
+    # on untouched queries). Median of 3 to shed scheduler noise.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(10_000_000).selectExpr(
+                "count(distinct id % 1000) as c", "sum(id) as s"
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 4)
+
+    calibration = _calibrate()
+
     # One query crashing must never abort the run: record the error,
     # keep timing the rest, and emit the summary line LAST so a
     # tail-truncated capture still contains the total.
@@ -70,6 +86,7 @@ def main() -> None:
         **({"errors": errors} if errors else {}),
         "metric": "total wall-clock for the SURVEY §2 query set",
         "unit": "sec",
+        "calibration_sec": calibration,
         "sf": _sf_of(sf_dir),
         "n_ok": len(timings),
         "n_err": len(errors),

@@ -6,12 +6,14 @@ resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages —
 the L6 escape hatch, used here because byte-level media decoding is
 genuinely outside Spark SQL's expression language.
 
-The actual codec calls are STUBBED (this container has no image/audio
-libraries): ``decode_image_stub`` raises ``NotImplementedError`` when
-asked for a real codec and otherwise applies a deterministic fake
-decode, so the Spark-side contract — schema in/out, Arrow batch
-shapes, partition behavior — is real and tested, and swapping in PIL/
-ffmpeg later touches exactly one function.
+The codec itself lives in :mod:`calorista_spark.operators.codecs`
+(r6): a REAL pure-numpy NetPBM (P5/P6) decode/resize/encode path that
+runs in any environment, with Pillow picked up automatically for
+PNG/JPEG when importable. Payloads no codec can handle surface as
+nulls in the batched operators and as :class:`UnsupportedImageError`
+(a ``NotImplementedError`` subclass) in the scalar helpers; the
+deterministic fake path below remains for plumbing tests that want
+assertable values on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -24,6 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from calorista_spark.operators.codecs import (
+    decode_image_bytes,
+    encode_netpbm,
+    mean_luma,
+    resize_nearest,
+)
+
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
@@ -34,28 +43,43 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("content_sha256", T.StringType(), True),
         T.StructField("fake_mean_luma", T.DoubleType(), True),
+        # real-decode features (r6): null when no codec handles the bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
     ]
 )
 
 
 def decode_image_stub(content: bytes | None, real_codec: bool = False) -> float | None:
-    """Stand-in for a real image decode.
+    """Image decode → mean luma in [0, 1].
 
-    ``real_codec=True`` is the seam where PIL/libvips would plug in —
-    explicitly unimplemented in this container. The fake path returns
-    a deterministic pseudo-luma derived from the byte histogram, so
-    pipelines exercising the plumbing get stable, assertable values.
+    ``real_codec=True`` runs the REAL codec (NetPBM via numpy; other
+    formats via Pillow when importable) and raises
+    ``UnsupportedImageError`` — a ``NotImplementedError`` subclass —
+    for bytes nothing can decode. The default fake path returns a
+    deterministic pseudo-luma from the byte histogram, so plumbing
+    tests get stable values on arbitrary payloads.
     """
     if content is None:
         return None
     if real_codec:
-        raise NotImplementedError(
-            "real image decoding requires an image library not present "
-            "in this environment; wire PIL/libvips here"
-        )
+        return mean_luma(decode_image_bytes(content))
     if len(content) == 0:
         return 0.0
     return sum(content) / (len(content) * 255.0)
+
+
+def _try_decode(content: bytes | None):
+    """(width, height, mean_luma) or (None, None, None) when the
+    payload is null or no available codec handles it."""
+    if content is None:
+        return (None, None, None)
+    try:
+        arr = decode_image_bytes(content)
+    except (NotImplementedError, ValueError):
+        return (None, None, None)
+    return (int(arr.shape[1]), int(arr.shape[0]), mean_luma(arr))
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -72,6 +96,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
         for pdf in batches:
             content = pdf["content"]
+            decoded = content.map(_try_decode)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -85,6 +110,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         else None
                     ),
                     "fake_mean_luma": content.map(decode_image_stub),
+                    "width": decoded.map(lambda t: t[0]).astype("Int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("Int32"),
+                    "mean_luma": decoded.map(lambda t: t[2]),
                 }
             )
 
@@ -134,17 +162,20 @@ RESIZE_SCHEMA = T.StructType(
 def resize_image_stub(
     content: bytes | None, width: int, height: int, real_codec: bool = False
 ) -> bytes | None:
-    """Stand-in for a real image resize (the PIL/libvips seam, like
-    :func:`decode_image_stub`). The fake path emits a deterministic
-    ``width*height``-byte payload by tiling the source bytes, so the
-    1→1 byte-transform plumbing (binary in, binary out, size change)
-    is real and assertable without a codec."""
+    """Image resize → bytes.
+
+    ``real_codec=True`` runs the REAL path: decode (NetPBM/numpy, or
+    Pillow when importable) → nearest-neighbor resample → re-encode as
+    NetPBM (uncompressed, so output bytes are bit-deterministic across
+    platforms); undecodable bytes raise ``UnsupportedImageError``. The
+    default fake path emits a deterministic ``width*height``-byte
+    payload by tiling the source bytes, so the 1→1 byte-transform
+    plumbing is assertable on arbitrary payloads."""
     if content is None:
         return None
     if real_codec:
-        raise NotImplementedError(
-            "real image resizing requires an image library not present "
-            "in this environment; wire PIL/libvips here"
+        return encode_netpbm(
+            resize_nearest(decode_image_bytes(content), width, height)
         )
     target = width * height
     if len(content) == 0:
@@ -153,20 +184,34 @@ def resize_image_stub(
     return (content * reps)[:target]
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    assets: DataFrame, width: int, height: int, real_codec: bool = False
+) -> DataFrame:
     """Arrow-batched resize over multimodal assets: one ``mapInPandas``
     pass, no shuffle, binary column in → binary column out with typed
     target dimensions. At 100 TB this is the pattern for any byte-level
     media transform: partition-local, batch-at-a-time, fixed schema so
-    everything around it stays Catalyst-planned."""
+    everything around it stays Catalyst-planned.
+
+    With ``real_codec=True``, decodable images are really resampled
+    (nearest-neighbor) and re-encoded as NetPBM; undecodable payloads
+    yield null rather than failing the batch."""
+
+    def _resize_one(b: bytes | None) -> bytes | None:
+        if not real_codec:
+            return resize_image_stub(b, width, height)
+        if b is None:
+            return None
+        try:
+            return resize_image_stub(b, width, height, real_codec=True)
+        except (NotImplementedError, ValueError):
+            return None
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            resized = pdf["content"].map(
-                lambda b: resize_image_stub(b, width, height)
-            )
+            resized = pdf["content"].map(_resize_one)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -180,6 +225,63 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return assets.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def synthetic_image_assets(
+    spark, n: int = 64, width: int = 24, height: int = 16, rgb: bool = False
+) -> DataFrame:
+    """Deterministic REAL images for the codec path: asset ``i`` is a
+    NetPBM row-gradient where every pixel in row ``y`` has value
+    ``(i + y) % 256`` (P5 grayscale by default; ``rgb=True`` tiles the
+    same gradient across 3 channels as P6).
+
+    Generated executor-side via ``mapInPandas`` over ``spark.range`` —
+    no driver materialization, so the generator itself scales. The
+    closed-form pixel values make decoded features (mean luma per
+    asset) independently computable by an SQL oracle."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["id"]:
+                y = (np.arange(height, dtype=np.int64) + int(aid)) % 256
+                arr = np.repeat(y.astype(np.uint8)[:, None], width, axis=1)
+                if rgb:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                rows.append(
+                    (
+                        int(aid),
+                        "image",
+                        encode_netpbm(arr),
+                        "image/x-portable-pixmap"
+                        if rgb
+                        else "image/x-portable-graymap",
+                        width,
+                        height,
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=ASSET_SCHEMA)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:

@@ -14,6 +14,7 @@ from calorista_spark.queries import curation_extra  # noqa: F401
 from calorista_spark.queries import curation_pipeline  # noqa: F401
 from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import lm_scoring  # noqa: F401
+from calorista_spark.queries import multimodal_codec  # noqa: F401
 from calorista_spark.queries import product_analytics  # noqa: F401
 from calorista_spark.queries import profiling  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401

@@ -1,0 +1,96 @@
+"""Oracle-checked REAL-codec multimodal queries (SURVEY §2.11 L5, r6).
+
+Until r6 the codec seam was honest-but-stubbed; these queries close it
+with a real decode → (resample → re-encode →) decode pipeline that an
+SQL oracle can verify. The trick: :func:`synthetic_image_assets`
+generates NetPBM row-gradient images with closed-form pixel values
+(``pixel(y, x) = (asset_id + y) % 256``), so the mean luminance the
+codec extracts is independently computable by DuckDB from
+``range()`` series — the oracle never needs to decode bytes.
+
+Determinism notes (registry conventions): pixel sums are integer-exact
+in both engines; the two divisions (``/n_rows`` then ``/255``) are
+correctly-rounded IEEE quotients of identical reals, so the doubles
+match bit-for-bit; mean luma is still quantized via
+``FLOOR(x*1e6 + 0.5)/1e6`` as belt-and-braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    synthetic_image_assets,
+)
+from calorista_spark.queries.registry import query
+
+_N, _W, _H = 256, 24, 16
+_RW, _RH = 12, 8  # resize target: rows sampled at stride 2
+
+
+def _luma6(col: str):
+    return (F.floor(F.col(col) * 1e6 + F.lit(0.5)) / 1e6).alias(col)
+
+
+_FEATURES_ORACLE = f"""
+SELECT a.asset_id,
+       CAST({_W} AS INTEGER) AS width,
+       CAST({_H} AS INTEGER) AS height,
+       FLOOR((SUM((a.asset_id + y.y) % 256) * 1.0 / {_H}) / 255.0 * 1e6 + 0.5)
+         / 1e6 AS mean_luma
+FROM range({_N}) AS a(asset_id), range({_H}) AS y(y)
+GROUP BY a.asset_id
+ORDER BY a.asset_id
+"""
+
+
+@query("multimodal_image_features", _FEATURES_ORACLE)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode on the executors: P5 gradient assets →
+    Arrow-batched ``mapInPandas`` decode (operators/codecs.py) →
+    per-asset dimensions + mean luminance, verified against the
+    closed-form oracle. ``sf_dir`` is unused — the assets are
+    generated, not read (the only registry query with no table input,
+    by design: the oracle must be able to re-derive pixel values)."""
+    assets = synthetic_image_assets(spark, n=_N, width=_W, height=_H)
+    return (
+        extract_features(assets)
+        .select("asset_id", "width", "height", _luma6("mean_luma"))
+        .orderBy("asset_id")
+    )
+
+
+_RESIZE_ORACLE = f"""
+SELECT a.asset_id,
+       CAST({_RW} AS INTEGER) AS width,
+       CAST({_RH} AS INTEGER) AS height,
+       FLOOR((SUM((a.asset_id + y.y * ({_H} // {_RH})) % 256) * 1.0 / {_RH})
+             / 255.0 * 1e6 + 0.5) / 1e6 AS mean_luma
+FROM range({_N}) AS a(asset_id), range({_RH}) AS y(y)
+GROUP BY a.asset_id
+ORDER BY a.asset_id
+"""
+
+
+@query("multimodal_resize_roundtrip", _RESIZE_ORACLE)
+def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end codec roundtrip: decode → nearest-neighbor resample
+    → re-encode (NetPBM) → decode again. Nearest-neighbor row picks
+    are pure index arithmetic (``(arange(h_out) * h_in) // h_out`` =
+    stride 2 here), so the oracle recomputes the resampled gradient's
+    mean luma exactly — if any stage of the real codec drifted, the
+    hash would break."""
+    assets = synthetic_image_assets(spark, n=_N, width=_W, height=_H)
+    resized = resize_images(assets, _RW, _RH, real_codec=True).select(
+        "asset_id",
+        F.lit("image").alias("modality"),
+        F.col("resized").alias("content"),
+    )
+    return (
+        extract_features(resized)
+        .select("asset_id", "width", "height", _luma6("mean_luma"))
+        .orderBy("asset_id")
+    )

@@ -58,6 +58,8 @@ def test_bench_isolates_failures_and_prints_summary_last(
     summary = json.loads(out[-1])
     assert summary["n_ok"] == 2 and summary["n_err"] == 1
     assert set(summary["queries"]) == {"daily_totals", "zzz_ok"}
+    # r6: fixed-cost calibration probe for cross-round drift attribution
+    assert summary["calibration_sec"] > 0
     assert "synthetic query failure" in summary["errors"]["aaa_boom"]
     assert summary["value"] == pytest.approx(
         sum(summary["queries"].values()), abs=1e-3

@@ -178,3 +178,73 @@ def test_multiprobe_ivf_recall_dominates_single_probe(spark, sf_dir):
     h1, h3 = hits("embedding_topk_ivf"), hits("embedding_topk_ivf_probe3")
     assert all(h3.get(q, 0) >= h1.get(q, 0) for q in h1)
     assert sum(h3.values()) >= sum(h1.values())
+
+
+def test_real_codec_netpbm_roundtrip():
+    import numpy as np
+
+    from calorista_spark.operators.codecs import (
+        UnsupportedImageError,
+        decode_image_bytes,
+        decode_netpbm,
+        encode_netpbm,
+        mean_luma,
+        resize_nearest,
+        sniff_format,
+    )
+
+    gray = np.arange(48, dtype=np.uint8).reshape(4, 12)
+    rgb = np.dstack([gray, gray // 2, gray // 3])
+    for arr, fmt in [(gray, "pgm"), (rgb, "ppm")]:
+        payload = encode_netpbm(arr)
+        assert sniff_format(payload) == fmt
+        assert (decode_netpbm(payload) == arr).all()
+        assert (decode_image_bytes(payload) == arr).all()
+    # header comments + arbitrary whitespace per the NetPBM spec
+    commented = b"P5\n# gradient\n 12   4\n255\n" + gray.tobytes()
+    assert (decode_netpbm(commented) == gray).all()
+    # nearest-neighbor resample = pure index arithmetic
+    small = resize_nearest(gray, 6, 2)
+    assert small.shape == (2, 6)
+    assert (small == gray[[0, 2]][:, [0, 2, 4, 6, 8, 10]]).all()
+    # luma: grayscale mean; RGB BT.601
+    assert mean_luma(np.full((2, 2), 255, np.uint8)) == 1.0
+    with pytest.raises(UnsupportedImageError):
+        decode_image_bytes(b"\x00\x01\x02")
+    # PNG magic without Pillow must name the gap, not crash obscurely
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_real_codec_extract_and_resize(spark):
+    from calorista_spark.operators.multimodal import (
+        resize_images,
+        synthetic_image_assets,
+    )
+
+    assets = synthetic_image_assets(spark, n=5, width=10, height=6)
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert len(feats) == 5
+    for aid, r in feats.items():
+        assert (r.width, r.height) == (10, 6)
+        # closed-form gradient: mean over rows of (aid + y) % 256
+        expected = sum((aid + y) % 256 for y in range(6)) / 6 / 255.0
+        assert r.mean_luma == pytest.approx(expected, abs=1e-12)
+    # non-image payloads produce null real features, not failures
+    junk = synthetic_assets(spark, n=3)
+    jf = extract_features(junk).collect()
+    assert all(r.width is None and r.mean_luma is None for r in jf)
+    assert all(r.fake_mean_luma is not None for r in jf)
+    # real resize: decode → stride resample → NetPBM re-encode
+    out = {r.asset_id: r for r in
+           resize_images(assets, 5, 3, real_codec=True).collect()}
+    for aid, r in out.items():
+        assert bytes(r.resized).startswith(b"P5")
+        from calorista_spark.operators.codecs import decode_netpbm
+
+        arr = decode_netpbm(bytes(r.resized))
+        assert arr.shape == (3, 5)
+        assert list(arr[:, 0]) == [(aid + y * 2) % 256 for y in range(3)]
+    # undecodable bytes → null resized under real_codec
+    jr = resize_images(junk, 5, 3, real_codec=True).collect()
+    assert all(r.resized is None for r in jr)
