@@ -19,6 +19,17 @@ sampling seed is fixed per input split, and the offsets are derived
 from actual counts, so boundaries don't affect the result), and scales
 as O(N/P) per task.
 
+DETERMINISTIC-INPUT REQUIREMENT: the pattern evaluates its input
+TWICE (the local-rank branch and the per-partition-count branch share
+lineage but may recompute). With a deterministic upstream both
+branches observe identical range-partition boundaries and row
+placement — the offsets are then exact. If the input contains
+``rand()``, a ``sample()`` without a seed, a non-deterministic UDF,
+or reads a source that can change between job launches, the branches
+can silently diverge and corrupt the global ranks: ``.persist()`` or
+checkpoint the input first (or pass it through
+``materialize.cached_view``) before calling into this module.
+
 Reference parity note: the reference computes ranks/quantiles with
 pandas on a single frame (e.g. /root/reference/calorista/
 streamlit_app.py trend tables); this module is the distributed
@@ -82,7 +93,13 @@ def ntile_expr(rank: Column, total: Column, n: int) -> Column:
     big = q + 1  # size of the first `rem` tiles
     in_big = rank <= rem * big
     tile_big = F.floor((rank - 1) / big) + 1
-    tile_small = rem + F.floor((rank - 1 - rem * big) / q) + 1
+    # guard q=0 (total < n): the otherwise() branch is never TAKEN
+    # then, but Spark still EVALUATES it per row — under
+    # spark.sql.ansi.enabled=true an unguarded /q would raise
+    # DIVIDE_BY_ZERO at runtime
+    tile_small = (
+        rem + F.floor((rank - 1 - rem * big) / F.greatest(q, F.lit(1))) + 1
+    )
     return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
 
 
@@ -98,7 +115,14 @@ def ordered_running_sum(
     single-partition window — same two-pass shape as
     :func:`global_row_number` with sums instead of counts. The
     building block for budget-style selections ("take the best docs
-    until N tokens")."""
+    until N tokens").
+
+    EXACTNESS: reproduces a sequential window running sum exactly for
+    integer/decimal ``value_col`` (partial sums are associative).
+    For doubles the two-pass accumulation order differs from a
+    sequential window and can diverge in the last ulp — quantize
+    double inputs first (``functions.numeric`` conventions) when
+    cross-engine-stable output matters."""
     ranged = _range_partitioned(df, order_cols, num_partitions)
     w_local = (
         Window.partitionBy(_PID)

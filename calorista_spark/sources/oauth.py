@@ -41,10 +41,16 @@ def percent_encode(value: str) -> str:
 
 
 def parameter_string(params: Mapping[str, object]) -> str:
-    """Key-sorted ``k=percent(v)`` join — the normalized request
-    parameters of RFC 5849 §3.4.1.3.2 as the reference builds them."""
+    """Normalized request parameters of RFC 5849 §3.4.1.3.2:
+    ``enc(k)=enc(v)`` pairs sorted by ENCODED key (r6 — previously
+    keys were unencoded/raw-sorted; a byte-for-byte no-op for every
+    key the protocol actually uses, all URL-safe, but correct for any
+    future key needing encoding)."""
     return "&".join(
-        f"{k}={percent_encode(v)}" for k, v in sorted(params.items())
+        sorted(
+            f"{percent_encode(k)}={percent_encode(v)}"
+            for k, v in params.items()
+        )
     )
 
 
@@ -124,12 +130,42 @@ def _requests_transport(url: str, params: Mapping[str, str]) -> tuple[int, str]:
     return resp.status_code, resp.text
 
 
+def default_token_error(status: int, body: str) -> bool:
+    """Decide whether a non-200 response is a REFRESHABLE token error.
+
+    The reference (``api.py:107-111``) substring-matches ``"token"``
+    against any error body, which also swallows e.g. a 400 complaining
+    about an unrelated ``token`` request parameter. This default is
+    stricter: prefer the structured JSON error shape
+    (``{"error": {"code": ..., "message": ...}}``) and look at its
+    message; fall back to the substring heuristic only on 401/403,
+    the statuses an expired token can actually produce. Inject your
+    API's exact predicate via ``is_token_error=`` for anything else.
+    """
+    try:
+        import json
+
+        err = json.loads(body).get("error")
+        if isinstance(err, Mapping):
+            return "token" in str(err.get("message", "")).lower()
+    except (ValueError, AttributeError):
+        pass
+    return status in (401, 403) and "token" in body.lower()
+
+
 class SignedApiClient:
     """Authenticated GET client with the reference's retry semantics
     (``api.py:64-120``): token-error responses trigger a token refresh
     + retry; transport errors retry up to ``max_retries``; anything
     else raises. Credentials are plain strings → the client is
-    picklable and safe to ship inside a ``DaySource`` closure."""
+    picklable and safe to ship inside a ``DaySource`` closure.
+
+    NOTE on distribution: ``refresh_tokens`` (and the ``self.token``
+    mutation it implies) is DRIVER-SIDE ONLY. Executors receive
+    pickled COPIES of this client, so a refresh on one would be
+    invisible to the others — which is why ``rest.py`` refreshes
+    before dispatching a distributed fetch and ships refresh-less
+    clients (``refresh_tokens=None``) inside closures."""
 
     def __init__(
         self,
@@ -142,6 +178,7 @@ class SignedApiClient:
         max_retries: int = 2,
         transport: Transport | None = None,
         refresh_tokens: Callable[[], tuple[str, str]] | None = None,
+        is_token_error: Callable[[int, str], bool] = default_token_error,
     ):
         self.consumer_key = consumer_key
         self.consumer_secret = consumer_secret
@@ -151,6 +188,7 @@ class SignedApiClient:
         self.max_retries = max_retries
         self.transport = transport or _requests_transport
         self.refresh_tokens = refresh_tokens
+        self.is_token_error = is_token_error
 
     def signed_params(
         self, api_method: str, extra: Mapping[str, object] | None = None
@@ -180,9 +218,10 @@ class SignedApiClient:
             if status == 200:
                 return body
             # reference api.py:107-111: a token error is recoverable
-            # once tokens are refreshed
+            # once tokens are refreshed (detection via the injectable
+            # predicate — see default_token_error)
             if (
-                "token" in body.lower()
+                self.is_token_error(status, body)
                 and self.refresh_tokens is not None
                 and attempt < self.max_retries
             ):
@@ -285,6 +324,143 @@ class ThreeLeggedFlow:
             {"oauth_token": request_token, "oauth_verifier": verifier},
             token_secret=request_token_secret,
         )
+
+    def complete_from_callback(
+        self,
+        request_token_response: Mapping[str, str],
+        callback_request: "str | Mapping[str, str]",
+    ) -> dict[str, str]:
+        """Close legs 2+3 from a captured callback request (r6,
+        reference ``auth.py:55-62``): extract ``oauth_verifier`` (and
+        optionally ``oauth_token``) from the provider's redirect,
+        check the echoed token matches leg 1's, exchange for the
+        access token. ``callback_request`` may be a raw request line,
+        a URL/path, or a query-param mapping — whatever the serving
+        layer hands over."""
+        cb = parse_callback_request(callback_request)
+        expected = request_token_response["oauth_token"]
+        got = cb.get("oauth_token")
+        if got is not None and got != expected:
+            raise ValueError(
+                f"callback oauth_token {got!r} does not match the "
+                f"request token {expected!r} — crossed flows?"
+            )
+        return self.access_token(
+            expected,
+            request_token_response["oauth_token_secret"],
+            cb["oauth_verifier"],
+        )
+
+
+def parse_callback_request(
+    request: "str | Mapping[str, str]",
+) -> dict[str, str]:
+    """Extract ``oauth_token``/``oauth_verifier`` from a leg-2 callback
+    (the query params the provider appends when redirecting to
+    ``callback_url`` — reference ``auth.py:55-62``'s Flask route).
+
+    Accepts the raw HTTP request line (``GET /callback?... HTTP/1.1``),
+    a full URL or path-with-query, or an already-parsed query mapping,
+    so any serving layer (thread server below, WSGI, manual paste)
+    feeds the same function."""
+    if isinstance(request, Mapping):
+        qs = {k: str(v) for k, v in request.items()}
+    else:
+        target = request.split(" ", 2)[1] if request.startswith("GET ") else request
+        parsed = urllib.parse.urlsplit(target)
+        qs = {
+            k: vs[0]
+            for k, vs in urllib.parse.parse_qs(parsed.query).items()
+        }
+    if "oauth_verifier" not in qs:
+        raise ValueError("callback request carries no oauth_verifier")
+    return {
+        k: qs[k] for k in ("oauth_token", "oauth_verifier") if k in qs
+    }
+
+
+class CallbackVerifierReceiver:
+    """Localhost callback endpoint for leg 2 — the reference runs a
+    Flask app on a daemon thread and polls for the captured verifier
+    (``auth.py:55-62,117-134``); this is the same shape on stdlib
+    ``http.server`` with an EPHEMERAL port (the reference's fixed
+    :8080 collides with anything else listening).
+
+    Offline-testable at two levels: :meth:`handle` takes a request
+    line/mapping directly (no sockets), and :meth:`start`/:meth:`wait`
+    run the real loopback server for integration tests or actual
+    interactive use on a workstation driver."""
+
+    RESPONSE_BODY = "Authentication complete. You may close this window."
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host = host
+        self.port = port
+        self.captured: dict[str, str] | None = None
+        self._httpd = None
+
+    # -- socket-free core ------------------------------------------------
+    def handle(self, request: "str | Mapping[str, str]") -> str:
+        """Process one callback request; returns the body to serve."""
+        self.captured = parse_callback_request(request)
+        return self.RESPONSE_BODY
+
+    @property
+    def verifier(self) -> str | None:
+        return (self.captured or {}).get("oauth_verifier")
+
+    # -- real loopback server (daemon thread, like the reference) --------
+    def start(self) -> str:
+        """Bind + serve on a daemon thread; returns the callback URL to
+        register with the provider."""
+        import http.server
+        import threading
+
+        receiver = self
+
+        class _Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - http.server API
+                try:
+                    body = receiver.handle(self.path)
+                    status = 200
+                except ValueError as exc:
+                    body, status = str(exc), 400
+                payload = body.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *args):  # silence request logging
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            (self.host, self.port), _Handler
+        )
+        self.port = self._httpd.server_address[1]
+        threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        ).start()
+        return f"http://{self.host}:{self.port}/callback"
+
+    def wait(self, timeout: float = 300.0, poll: float = 0.05) -> dict[str, str]:
+        """Block until a callback arrives (reference polls 1 s forever;
+        here the interval and deadline are bounded and injectable)."""
+        deadline = time.monotonic() + timeout
+        while self.captured is None:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"no OAuth callback received within {timeout}s"
+                )
+            time.sleep(poll)
+        return self.captured
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
 
 
 def days_since_epoch(date_iso: str) -> int:

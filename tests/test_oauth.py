@@ -308,3 +308,112 @@ def test_full_flow_chains_to_usable_client():
     sig = seen.pop("oauth_signature")
     assert seen["oauth_token"] == "at"
     assert sig == sign_request(URL, seen, "cs", "ats")
+
+
+# ---------------------------------------------------------------------------
+# r6: callback leg (reference auth.py:55-62,117-134) + stricter
+# token-error detection (ADVICE round 5).
+# ---------------------------------------------------------------------------
+
+from calorista_spark.sources.oauth import (  # noqa: E402
+    CallbackVerifierReceiver,
+    default_token_error,
+    parse_callback_request,
+)
+
+
+def test_parse_callback_request_forms():
+    want = {"oauth_token": "rt", "oauth_verifier": "v123"}
+    assert parse_callback_request(
+        "GET /callback?oauth_token=rt&oauth_verifier=v123 HTTP/1.1"
+    ) == want
+    assert parse_callback_request(
+        "http://localhost:8080/callback?oauth_token=rt&oauth_verifier=v123"
+    ) == want
+    assert parse_callback_request(
+        "/callback?oauth_verifier=v123&oauth_token=rt"
+    ) == want
+    assert parse_callback_request(want) == want
+    # verifier-only callbacks are legal (token echo is optional)
+    assert parse_callback_request("/cb?oauth_verifier=v") == {
+        "oauth_verifier": "v"
+    }
+    with pytest.raises(ValueError, match="no oauth_verifier"):
+        parse_callback_request("/callback?oauth_token=rt")
+
+
+def test_receiver_handle_is_socket_free():
+    r = CallbackVerifierReceiver()
+    body = r.handle("GET /callback?oauth_token=rt&oauth_verifier=zz HTTP/1.1")
+    assert body == CallbackVerifierReceiver.RESPONSE_BODY
+    assert r.verifier == "zz"
+    assert r.captured == {"oauth_token": "rt", "oauth_verifier": "zz"}
+
+
+def test_complete_from_callback_closes_legs_2_and_3():
+    seen = {}
+
+    def transport(url, params):
+        seen["url"], seen["params"] = url, dict(params)
+        return 200, "oauth_token=at&oauth_token_secret=ats"
+
+    flow = _flow(transport)
+    rt = {"oauth_token": "rt", "oauth_token_secret": "rts"}
+    out = flow.complete_from_callback(
+        rt, "/callback?oauth_token=rt&oauth_verifier=v9"
+    )
+    assert out == {"oauth_token": "at", "oauth_token_secret": "ats"}
+    p = seen["params"]
+    assert p["oauth_token"] == "rt" and p["oauth_verifier"] == "v9"
+    sig = p.pop("oauth_signature")
+    assert sig == sign_request(seen["url"], p, "cs", "rts")
+
+
+def test_complete_from_callback_rejects_crossed_token():
+    flow = _flow(lambda u, p: (200, "oauth_token=at&oauth_token_secret=x"))
+    rt = {"oauth_token": "rt", "oauth_token_secret": "rts"}
+    with pytest.raises(ValueError, match="does not match"):
+        flow.complete_from_callback(
+            rt, "/callback?oauth_token=OTHER&oauth_verifier=v"
+        )
+
+
+def test_receiver_loopback_server_end_to_end():
+    # the real daemon-thread server, like the reference — but on an
+    # ephemeral port and bounded wait. Skip gracefully if the sandbox
+    # forbids even loopback sockets.
+    import urllib.error
+    import urllib.request
+
+    r = CallbackVerifierReceiver()
+    try:
+        cb_url = r.start()
+    except OSError as exc:  # pragma: no cover - sandbox dependent
+        pytest.skip(f"loopback sockets unavailable: {exc}")
+    try:
+        with urllib.request.urlopen(
+            f"{cb_url}?oauth_token=rt&oauth_verifier=live1", timeout=5
+        ) as resp:
+            assert resp.read().decode() == CallbackVerifierReceiver.RESPONSE_BODY
+        assert r.wait(timeout=5) == {
+            "oauth_token": "rt",
+            "oauth_verifier": "live1",
+        }
+    finally:
+        r.stop()
+
+
+def test_default_token_error_scoping():
+    # structured JSON error: message decides, any status
+    assert default_token_error(
+        400, '{"error": {"code": 13, "message": "Invalid token"}}'
+    )
+    assert not default_token_error(
+        400, '{"error": {"code": 2, "message": "Missing scope"}}'
+    )
+    # unstructured bodies: only auth statuses may substring-match
+    assert default_token_error(401, "invalid token")
+    assert not default_token_error(
+        400, "parameter 'token' is not recognized"
+    )
+    assert not default_token_error(500, "token store on fire")

@@ -296,3 +296,28 @@ def test_asof_join_matches_pandas_merge_asof(spark, sides):
             for r in merged.itertuples()
         }
     assert got == want
+
+
+def test_ntile_expr_safe_under_ansi_when_total_lt_n(spark):
+    # ADVICE r5: with total < n the small-tile branch divides by q=0 on
+    # every row (Spark evaluates both when() branches); under ANSI mode
+    # an unguarded divide raises DIVIDE_BY_ZERO. Pin the guard.
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["id", "val"])
+        ranked = global_row_number(df, ["val", "id"], num_partitions=2)
+        got = {
+            r.id: r.tile
+            for r in ranked.select(
+                "id",
+                ntile_expr(F.col("global_rn"), F.lit(3), 4).alias("tile"),
+            ).collect()
+        }
+        # SQL ntile(4) over 3 rows: one row per tile 1..3
+        assert got == {1: 1, 2: 2, 3: 3}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
