@@ -181,7 +181,137 @@ def main() -> None:
 
     results["quantized_sum_invariance"] = timed("qsum_invariance", qsum_check)
 
-    # 6. plan-shape invariants at scale: the scalable rank pipeline
+    # 6. Structured Streaming at ~1M events (r6): watermarked dedup +
+    # tumbling agg driven through real micro-batches. What 100× safety
+    # means for streams is BOUNDED STATE — the state store must scale
+    # with windows/keys-in-flight, not with events processed. Asserted
+    # from the query's own state-operator metrics.
+    def streaming_check():
+        import json as _json
+        import shutil
+        import tempfile
+
+        from calorista_spark.functions.numeric import quantized_sum
+        from calorista_spark.streaming.incremental import (
+            tumbling_agg,
+            watermarked_dedup,
+        )
+
+        n_ev = max(N // 10, 100_000)  # 1M at the default N
+        days = 30
+        src = tempfile.mkdtemp(prefix="smoke_stream_")
+        try:
+            # duplicate copies share the KEY-derived ts: a re-delivery
+            # carries the original event time, so it arrives within the
+            # watermark and dropDuplicatesWithinWatermark must catch it
+            # (copies farther apart than the delay are out of contract)
+            ev = spark.range(n_ev).select(
+                F.pmod(F.col("id"), n_ev * 9 // 10).alias("event_id"),  # ~10% dupes
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000)
+                    + F.pmod(
+                        F.hash(F.pmod(F.col("id"), n_ev * 9 // 10)),
+                        days * 86_400,
+                    ).cast("long")
+                    * 1_000_000
+                ).alias("ts"),
+                F.pmod(F.col("id"), 50_000).alias("user_id"),
+                (F.pmod(F.hash("id", F.lit(3)), 10_000) / 100.0).alias("value"),
+            )
+            # 16 time-slice files delivered IN EVENT-TIME ORDER (file
+            # streams process by modification time; stamping mtimes
+            # makes the arrival order chronological, as a real ingest
+            # would be) — so the 2-day watermark never classifies a
+            # whole slice as late. maxFilesPerTrigger=4 → 4 micro-batches.
+            ranged = ev.repartitionByRange(16, "ts")
+            ranged.write.mode("overwrite").parquet(src)
+            files = sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            # part-file NAME order == range order (partition index is
+            # embedded in the name), so stamp mtimes along it
+            base_mtime = time.time() - len(files)
+            for i, f in enumerate(files):
+                os.utime(os.path.join(src, f), (base_mtime + i, base_mtime + i))
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "4")
+                .parquet(src)
+            )
+
+            # 6a. watermarked dedup: output = distinct keys; state is
+            # keys-in-flight, evicted as the watermark passes
+            q1 = (
+                watermarked_dedup(stream, ["event_id"], "ts", delay="2 days")
+                .writeStream.format("memory")
+                .queryName("smoke_dedup")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q1.awaitTermination()
+            prog1 = [_json.loads(p.json) for p in q1.recentProgress]
+            dedup_out = spark.table("smoke_dedup").count()
+            n_distinct = n_ev * 9 // 10
+            assert dedup_out == n_distinct, (dedup_out, n_distinct)
+            batches = [p for p in prog1 if p.get("numInputRows", 0) > 0]
+            assert len(batches) > 1, "expected multiple micro-batches"
+            state1 = max(
+                s["numRowsTotal"]
+                for p in batches
+                for s in p.get("stateOperators", [])
+            )
+            assert 0 < state1 <= n_distinct, state1
+
+            # 6b. tumbling daily agg (quantized sums): streamed result
+            # must equal the batch twin EXACTLY, and state must be
+            # O(#windows), not O(#events)
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                quantized_sum("value").alias("total"),
+            ]
+            q2 = (
+                tumbling_agg(stream, "ts", "1 day", aggs)
+                .select(F.col("win.start").alias("day"), "n", "total")
+                .writeStream.format("memory")
+                .queryName("smoke_tumbling")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+            prog2 = [_json.loads(p.json) for p in q2.recentProgress]
+            streamed = sorted(
+                (r.day, r.n, r.total)
+                for r in spark.table("smoke_tumbling").collect()
+            )
+            batch = sorted(
+                (r.day, r.n, r.total)
+                for r in tumbling_agg(ev, "ts", "1 day", aggs)
+                .select(F.col("win.start").alias("day"), "n", "total")
+                .collect()
+            )
+            assert streamed == batch, "stream != batch"
+            state2 = max(
+                s["numRowsTotal"]
+                for p in prog2
+                for s in p.get("stateOperators", [])
+            )
+            n_windows = len(batch)
+            assert state2 <= n_windows + 2, (state2, n_windows)
+            return (
+                f"events={n_ev} dedup_state<= {state1} (keys={n_distinct}), "
+                f"agg_state={state2} (windows={n_windows}), "
+                f"batches={len(batches)}, stream==batch"
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    results["streaming_1M_events"] = timed("streaming", streaming_check)
+
+    # 7. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (
         global_row_number(df, ["price", "id"], num_partitions=64)
