@@ -19,16 +19,23 @@ sampling seed is fixed per input split, and the offsets are derived
 from actual counts, so boundaries don't affect the result), and scales
 as O(N/P) per task.
 
-DETERMINISTIC-INPUT REQUIREMENT: the pattern evaluates its input
-TWICE (the local-rank branch and the per-partition-count branch share
-lineage but may recompute). With a deterministic upstream both
-branches observe identical range-partition boundaries and row
-placement — the offsets are then exact. If the input contains
-``rand()``, a ``sample()`` without a seed, a non-deterministic UDF,
-or reads a source that can change between job launches, the branches
-can silently diverge and corrupt the global ranks: ``.persist()`` or
-checkpoint the input first (or pass it through
-``materialize.cached_view``) before calling into this module.
+WHY THE RANGED FRAME IS STAGE-MATERIALIZED (r6): the pattern consumes
+the range-partitioned frame TWICE — the local-rank branch and the
+per-partition-offset branch. Those two branches are only consistent
+if they observe the SAME partition boundaries. Relying on plan-subtree
+identity (ReusedExchange) for that is silently fragile: when the
+input carries any column the offsets branch doesn't need, Catalyst
+column-prunes that branch into a DIFFERENT exchange, each exchange
+samples its own range boundaries, and the global ranks corrupt
+nondeterministically — observed in r6 on a fully deterministic
+parquet input (corpus_token_offsets, where a passenger ``source``
+column flipped ~90 % of rows wrong at sf0.1). ``localCheckpoint
+(eager=False)`` freezes exactly one evaluation of the exchange, so
+boundaries are sampled once and every consumer (and task retry) reads
+the same blocks. Cost: one disk/memory-backed write of the ranged
+data — O(N/P) per executor, the same order as the shuffle it already
+paid; it also removes the old nondeterministic-input caveat (rand()/
+unseeded sample upstream) for free.
 
 Reference parity note: the reference computes ranks/quantiles with
 pandas on a single frame (e.g. /root/reference/calorista/
@@ -50,9 +57,24 @@ def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # explicit numPartitions: AQE must not re-coalesce this exchange,
     # or the pid-keyed offsets below could drift between branches
-    return df.repartitionByRange(p, *order_cols).withColumn(
+    ranged = df.repartitionByRange(p, *order_cols).withColumn(
         "__rank_pid", F.spark_partition_id()
     )
+    # freeze ONE evaluation — see module docstring (branch-divergence
+    # bug). persist, not checkpoint: cache substitution happens during
+    # ANALYSIS, before the optimizer's column pruning can split the
+    # branches into distinct exchanges, so both consumers resolve to
+    # the same InMemoryRelation (one materialization, one boundary
+    # sample) while keeping lineage for executor-loss recovery and
+    # column-prunable cache scans. SERIALIZED memory+disk: the cache
+    # is data-sized, and the deserialized default's on-heap row
+    # objects cost several × the serialized footprint (observed OOM
+    # at 10M rows in scale_smoke under a default driver heap).
+    # Callers batching many rank ops can spark.catalog.clearCache()
+    # between them.
+    from pyspark import StorageLevel
+
+    return ranged.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def global_row_number(

@@ -45,7 +45,13 @@ def timed(label, fn):
 
 
 def main() -> None:
-    spark = build_session(app_name="calorista-scale-smoke")
+    spark = build_session(
+        app_name="calorista-scale-smoke",
+        # single-JVM local mode defaults to a 1g heap; the rank
+        # operators stage-materialize their ranged frames (r6), so
+        # give the smoke the memory a real executor would have
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, float] = {}
 
@@ -90,6 +96,7 @@ def main() -> None:
         return f"rows={total} quartiles={sizes}"
 
     results["global_rank_10M"] = timed("global_rank", rank_check)
+    spark.catalog.clearCache()  # drop the rank op's staged frame
 
     # 2. tie-aware grouped cumulative counts on the skewed status key
     def cume_check():
@@ -103,6 +110,7 @@ def main() -> None:
         return "per-status cum counts consistent"
 
     results["grouped_cume_10M"] = timed("grouped_cume", cume_check)
+    spark.catalog.clearCache()
 
     # 3. exact dedup at N rows with 50% duplicates: hash-groupBy with
     # map-side combine, output must be exactly N/2 keys

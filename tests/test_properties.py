@@ -321,3 +321,29 @@ def test_ntile_expr_safe_under_ansi_when_total_lt_n(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_two_pass_rank_consistent_with_passenger_columns(spark):
+    from calorista_spark.operators.ranks import ordered_running_sum
+
+    # r6 regression: a column the offsets branch doesn't need used to
+    # let Catalyst prune that branch into a DIFFERENT range exchange;
+    # the two exchanges sampled different boundaries and the prefix
+    # sums corrupted nondeterministically (seen live at sf0.1 in
+    # corpus_token_offsets). The ranged frame is now stage-persisted,
+    # so both branches must read identical partitions.
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 50), f"src{i % 7}", "x" * rng.randint(0, 9))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "passenger_a", "passenger_b"])
+    out = ordered_running_sum(df, [F.col("id")], "v", out_col="cum")
+    got = sorted((r.id, r.v, r.cum) for r in out.collect())
+    run = 0
+    for _id, v, cum in got:
+        run += v
+        assert cum == run, (_id, cum, run)
+    assert len(got) == 4000
