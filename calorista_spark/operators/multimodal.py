@@ -241,7 +241,12 @@ ASSET_SCHEMA = T.StructType(
 
 
 def synthetic_image_assets(
-    spark, n: int = 64, width: int = 24, height: int = 16, rgb: bool = False
+    spark,
+    n: int = 64,
+    width: int = 24,
+    height: int = 16,
+    rgb: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL images for the codec path: asset ``i`` is a
     NetPBM row-gradient where every pixel in row ``y`` has value
@@ -251,7 +256,18 @@ def synthetic_image_assets(
     Generated executor-side via ``mapInPandas`` over ``spark.range`` —
     no driver materialization, so the generator itself scales. The
     closed-form pixel values make decoded features (mean luma per
-    asset) independently computable by an SQL oracle."""
+    asset) independently computable by an SQL oracle.
+
+    Partitioning: defaults to ~64 assets per partition (capped at the
+    session default parallelism). ``spark.range``'s raw default —
+    one split per core — puts a Python-worker spin-up behind every
+    handful of rows at small ``n``, which dominated the benched cost
+    of the codec queries 10×."""
+    if num_partitions is None:
+        num_partitions = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, n // 64 or 1),
+        )
 
     def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -281,7 +297,9 @@ def synthetic_image_assets(
                 rows, columns=[f.name for f in ASSET_SCHEMA.fields]
             )
 
-    return spark.range(n).mapInPandas(_gen, schema=ASSET_SCHEMA)
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(
+        _gen, schema=ASSET_SCHEMA
+    )
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:

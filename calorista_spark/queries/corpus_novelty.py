@@ -8,15 +8,17 @@ doc only if ≥ x ppm of it is new"), and the aggregate curve
 (novelty vs doc_id) shows when a corpus stops contributing new text.
 
 Scale shape: one explode to the gram stream, a distinct on
-(doc_id, h), a groupBy h for first-occurrence, an equi-join back, a
-groupBy doc — every stage keyed, nothing all-pairs, no windows at
-all. The 60-bit md5-prefix gram hash is the same cross-engine
-convention as doc_dup_span_report (lm_scoring.py).
+(doc_id, h), ONE unordered window over the h partition for the
+first-occurrence doc (min — no sort, and it saves the groupBy+
+join-back's extra shuffle, the same single-pass-over-the-hash-key
+trick as doc_dup_span_report), then a groupBy doc. Every stage keyed,
+nothing all-pairs. The 60-bit md5-prefix gram hash is the same
+cross-engine convention as doc_dup_span_report (lm_scoring.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
@@ -75,9 +77,9 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("hs").cast("bigint").alias("h"))
         .distinct()
     )
-    firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("h"))
     per_doc = (
-        grams.join(firsts, "h")
+        grams.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
