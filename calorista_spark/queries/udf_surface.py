@@ -113,10 +113,15 @@ ORDER BY doc_id, pos
 @query("doc_word_positions_udtf", _UDTF_ORACLE)
 def doc_word_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: the table-function extension point (Spark 4
-    ``udtf``), emitting (pos, word) rows per document."""
+    ``udtf``), emitting (pos, word) rows per document.
+    ``useArrow=True``: rows cross the JVM↔Python boundary as Arrow
+    batches (ArrowEvalPythonUDTF) instead of pickled rows — the last
+    row-at-a-time Python stage in the registry, removed r6 (the
+    bench-visible cost at 10 docs is nil; the plan shape is the
+    point)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, word string")
+    @udtf(returnType="pos int, word string", useArrow=True)
     class WordPositions:
         def eval(self, text: str):
             if text is None:
