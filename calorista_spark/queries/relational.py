@@ -311,7 +311,7 @@ def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARE_ORACLE = """
 WITH nation_rev AS (
   SELECT r.r_name AS region_name, n.n_name AS nation_name,
-         SUM(o.o_totalprice) AS nation_total
+         SUM(CAST(FLOOR(o.o_totalprice * 1e4 + 0.5) AS HUGEINT)) AS ns
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -319,9 +319,10 @@ WITH nation_rev AS (
   GROUP BY 1, 2
 )
 SELECT region_name, nation_name,
-       FLOOR(nation_total * 10000.0 + 0.5) / 10000.0 AS nation_total,
-       ROUND(nation_total / SUM(nation_total) OVER (PARTITION BY region_name) * 100, 4)
-         AS region_share_pct
+       CAST(ns AS DOUBLE) / 1e4 AS nation_total,
+       FLOOR(CAST(ns AS DOUBLE)
+             / CAST(SUM(ns) OVER (PARTITION BY region_name) AS DOUBLE)
+             * 100 * 1e4 + 0.5) / 1e4 AS region_share_pct
 FROM nation_rev
 ORDER BY region_name, nation_name
 """
@@ -330,7 +331,18 @@ ORDER BY region_name, nation_name
 @query("nation_revenue_share", _SHARE_ORACLE)
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: c / sum(c) over (partition by grp) ×100
-    (streamlit_app.py:459-468's ratio generalized to groups)."""
+    (streamlit_app.py:459-468's ratio generalized to groups).
+
+    r6 boundary fix: the per-nation revenue is SF-unbounded, so it
+    sums as scaled integers (quantized_sum_scaled) — a plain double
+    sum floor-quantized AFTER the fact carried accumulation-order
+    noise across the quantize boundary on the ×7-magnitude stress
+    dataset. The exact integer sum is then handed to the W2
+    share_of_total window as an int-valued double (< 2^53, so the
+    ≤|nations-per-region| window sum is still exact and
+    order-invariant), and the share floor-quantizes."""
+    from calorista_spark.functions.numeric import quantized_sum_scaled
+
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
@@ -342,19 +354,18 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
         )
-        .agg(F.sum("o_totalprice").alias("nation_total"))
+        .agg(quantized_sum_scaled("o_totalprice").cast("double").alias("ns"))
     )
     shared = share_of_total(
-        nation_rev, ["region_name"], "nation_total", "region_share_pct"
+        nation_rev, ["region_name"], "ns", "region_share_pct"
     )
     return shared.select(
         "region_name",
         "nation_name",
-        # floor-quantized: determinate-boundary-safe (registry conv.)
-        (F.floor(F.col("nation_total") * 10000.0 + 0.5) / 10000.0).alias(
-            "nation_total"
+        (F.col("ns") / 1e4).alias("nation_total"),
+        (F.floor(F.col("region_share_pct") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "region_share_pct"
         ),
-        F.round("region_share_pct", 4).alias("region_share_pct"),
     ).orderBy("region_name", "nation_name")
 
 

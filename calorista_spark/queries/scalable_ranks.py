@@ -48,7 +48,9 @@ def order_price_quartiles_scalable(
         ranked.join(F.broadcast(total))
         .select(
             "o_orderkey",
-            F.round("o_totalprice", 4).alias("total_price"),
+            (F.floor(F.col("o_totalprice") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "total_price"
+            ),
             ntile_expr(F.col("__rn"), F.col("__total"), 4).alias(
                 "price_quartile"
             ),

@@ -48,7 +48,7 @@ def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NTILE_ORACLE = """
 SELECT o_orderkey,
-       ROUND(o_totalprice, 4) AS total_price,
+       FLOOR(o_totalprice * 1e4 + 0.5) / 1e4 AS total_price,
        CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS price_quartile
 FROM orders
 ORDER BY o_orderkey
@@ -58,12 +58,16 @@ ORDER BY o_orderkey
 @query("order_price_quartiles", _NTILE_ORACLE)
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing over a global order (deterministic via the
-    unique-key tiebreak)."""
+    unique-key tiebreak). total_price display uses the FLOOR quantize
+    (identical IEEE ops both engines) — round-half engines disagree on
+    adversarial >2-decimal inputs (r6 stress dataset)."""
     orders = read_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return orders.select(
         "o_orderkey",
-        F.round("o_totalprice", 4).alias("total_price"),
+        (F.floor(F.col("o_totalprice") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "total_price"
+        ),
         F.ntile(4).over(w).alias("price_quartile"),
     ).orderBy("o_orderkey")
 
