@@ -164,6 +164,48 @@ def ordered_running_sum(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    out_col: str = "group_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based row number WITHIN each group over ``order_cols``
+    (which must totalize the order inside a group — include a unique
+    tiebreak) WITHOUT per-group single-task windows.
+
+    ``Window.partitionBy(group)`` funnels each group through ONE task —
+    fine for many small groups, a straggler/OOM when a group is a
+    whole data source at 100 TB. Same two-pass shape as
+    :func:`global_row_number`, keyed by group: range-partition on
+    ``(group, *order_cols)`` (a group larger than a partition spans
+    ADJACENT partitions, each handling O(N/P) rows), rank locally per
+    ``(partition, group)``, then add per-group offsets accumulated
+    across partition ids — an O(P + |groups|)-row window, never O(N).
+    The building block for per-stratum quota selection ("smallest k
+    hashes per source") and per-epoch shuffle orders."""
+    ranged = _range_partitioned(df, [group_col, *order_cols], num_partitions)
+    w_local = Window.partitionBy(_PID, group_col).orderBy(*order_cols)
+    local = ranged.withColumn(_LOCAL, F.row_number().over(w_local))
+    pg = ranged.groupBy(_PID, group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pg.select(
+        _PID,
+        group_col,
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET),
+    )
+    return (
+        local.join(F.broadcast(offsets), [_PID, group_col])
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("int"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
 def grouped_cume_counts(
     df: DataFrame,
     group_col: str,

@@ -11,6 +11,7 @@ from calorista_spark.queries import compression_drift  # noqa: F401
 from calorista_spark.queries import core  # noqa: F401
 from calorista_spark.queries import corpus_layout  # noqa: F401
 from calorista_spark.queries import corpus_lm  # noqa: F401
+from calorista_spark.queries import corpus_sampling  # noqa: F401
 from calorista_spark.queries import corpus_novelty  # noqa: F401
 from calorista_spark.queries import curation_extra  # noqa: F401
 from calorista_spark.queries import curation_pipeline  # noqa: F401

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
-from calorista_spark.functions.vectors import l2_distance
+from calorista_spark.functions.vectors import cosine_similarity, l2_distance
 from calorista_spark.queries.registry import query
 
 _WORDS = "string_split_regex(lower(text), '\\s+')"
@@ -225,3 +225,89 @@ def embedding_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "dist", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3: hard-negative mining — for each probe, the single most similar
+# vector with a DIFFERENT label (the contrastive-training negative).
+# ---------------------------------------------------------------------------
+
+_COS_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+_HARD_NEG_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_COS_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS q_vec, norm AS q_norm
+  FROM norms WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.q_id, q.q_label, c.vec_id AS cand_id, c.label AS cand_label,
+         ROUND({_COS_DOT.format(a='q.q_vec', b='c.embedding')}
+               / (q.q_norm * c.norm), 6) AS sim
+  FROM q JOIN norms c ON c.label <> q.q_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT q_id, q_label, cand_id, cand_label, sim
+FROM ranked WHERE rn = 1
+ORDER BY q_id
+"""
+
+
+@query("embedding_hard_negatives", _HARD_NEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe
+    (vec_id < 8), the top-1 cosine neighbor whose label differs.
+    The probe batch broadcasts; candidates stream through a single
+    partial-aggregatable ``max(struct(sim, -cand_id, ...))`` per
+    query — map-side combine keeps the shuffle at |probes| rows, so
+    (unlike a per-query window over all candidates) no task ever
+    holds a query's full candidate set. Ties break to the smaller
+    candidate id via the negated-id struct field."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("cand_label") != F.col("q_label")
+    ).select(
+        "q_id",
+        "q_label",
+        "cand_id",
+        "cand_label",
+        F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("sim"),
+    )
+    best = scored.groupBy("q_id", "q_label").agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("sim"),
+                (-F.col("cand_id")).alias("__neg"),
+                F.col("cand_id").alias("cand_id"),
+                F.col("cand_label").alias("cand_label"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "q_id",
+        "q_label",
+        F.col("m.cand_id").alias("cand_id"),
+        F.col("m.cand_label").alias("cand_label"),
+        F.col("m.sim").alias("sim"),
+    ).orderBy("q_id")

@@ -347,3 +347,47 @@ def test_two_pass_rank_consistent_with_passenger_columns(spark):
         run += v
         assert cum == run, (_id, cum, run)
     assert len(got) == 4000
+
+
+@given(rows=rank_rows)
+@_settings
+def test_grouped_row_number_matches_window(spark, rows):
+    from calorista_spark.operators.ranks import grouped_row_number
+
+    df = _rank_df(spark, rows)
+    got = {
+        r.id: r.group_rn
+        for r in grouped_row_number(
+            df, "grp", ["val", "id"], num_partitions=3
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("val", "id")
+    want = {
+        r.id: r.rn
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_consistent_with_passenger_columns(spark):
+    # same branch-divergence regression class as ordered_running_sum:
+    # passenger columns must not split the two branches onto different
+    # range exchanges (the ranged frame is stage-persisted)
+    import random
+
+    from calorista_spark.operators.ranks import grouped_row_number
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(0, 50), f"g{i % 4}", "p" * rng.randint(0, 9))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "grp", "passenger"])
+    out = grouped_row_number(df, "grp", [F.col("v"), F.col("id")], out_col="rn")
+    got = sorted((r.grp, r.v, r.id, r.rn) for r in out.collect())
+    per_group: dict = {}
+    for grp, v, _id, rn in got:
+        per_group.setdefault(grp, []).append(rn)
+    assert len(got) == 4000
+    for grp, rns in per_group.items():
+        assert rns == list(range(1, len(rns) + 1)), grp
