@@ -150,14 +150,17 @@ def test_lm_scoring_reads_only_needed_columns(spark, sf_dir):
     assert "Window" in simple
 
 
-def test_profile_approx_twin_has_no_expand(spark, sf_dir):
-    # VERDICT r01 #2: the exact profile's 6-way multi-distinct rides an
-    # Expand that multiplies input 13x; the approx (HLL++) twin — the
-    # 100 TB default — must compile to a plain partial/final aggregate
+def test_profile_has_no_expand(spark, sf_dir):
+    # VERDICT r01 #2 + r6 rework: neither profile form may ride an
+    # Expand (the multi-distinct single agg multiplied input 13x).
+    # The approx (HLL++) twin is a plain partial/final aggregate; the
+    # exact form is now a union of per-column groupBy+summary pairs
+    # (pruned single-column scans, map-side combine, no row blowup).
     plan = plan_of(QUERIES["orders_column_profile_approx"](spark, sf_dir))
     assert "Expand" not in plan
     exact = plan_of(QUERIES["orders_column_profile"](spark, sf_dir))
-    assert "Expand" in exact  # the anchor keeps its documented shape
+    assert "Expand" not in exact
+    assert exact.count("Union") >= 1
 
 
 def test_dsir_single_pass_distributions(spark, sf_dir):
