@@ -20,6 +20,7 @@ from calorista_spark.queries import lm_scoring  # noqa: F401
 from calorista_spark.queries import multimodal_codec  # noqa: F401
 from calorista_spark.queries import product_analytics  # noqa: F401
 from calorista_spark.queries import profiling  # noqa: F401
+from calorista_spark.queries import quality_audit  # noqa: F401
 from calorista_spark.queries import relational  # noqa: F401
 from calorista_spark.queries import retrieval_decontam  # noqa: F401
 from calorista_spark.queries import scalable_ranks  # noqa: F401
