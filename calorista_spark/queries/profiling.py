@@ -128,3 +128,40 @@ def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     ).orderBy("column_name")
+
+
+@query("events_distinct_users_sketch_rollup", None)
+def events_distinct_users_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB pattern for distinct
+    counts over any time range WITHOUT rescanning raw data: per-day
+    HLL sketches (Apache DataSketches via ``hll_sketch_agg``) are
+    materialized once, then ANY range's distinct count is a
+    ``hll_union_agg`` over the tiny sketch table. Emits per-day
+    estimates plus two totals that MUST agree exactly —
+    ``TOTAL(merged)`` (union of the 30 daily sketches) and
+    ``TOTAL(direct)`` (one sketch over the raw table) — the lossless-
+    mergeability property that makes pre-aggregation sound
+    (pinned ±5% of exact and merged==direct in
+    tests/test_sketch_tolerance.py). Sketch output ⇒ rows-only
+    driver check, like the other sketch twins."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est_users")
+    ).select(F.lit("TOTAL(merged)").alias("day"), "est_users")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("est_users")
+    ).select(F.lit("TOTAL(direct)").alias("day"), "est_users")
+    return per_day.unionAll(merged).unionAll(direct).orderBy("day")

@@ -139,3 +139,49 @@ def doc_word_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, wp.pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-AGG pandas_udf: many rows -> one scalar per group — the
+# fourth UDF shape (scalar / grouped-map / UDTF / grouped-agg).
+# ---------------------------------------------------------------------------
+
+_GEOMEAN_ORACLE = """
+SELECT event_type,
+       FLOOR(exp(AVG(ln(value))) * 1e4 + 0.5) / 1e4 AS geo_mean_value
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("event_geomean_grouped_agg_udf", _GEOMEAN_ORACLE)
+def event_geomean_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (Arrow batches in, ONE scalar out
+    per group): geometric mean of event values per type. Spark plans
+    it as a real aggregate — partial batches stream through the
+    Python worker per group partition; no grouped-map-style whole-
+    group materialization in the plan's exchange. The log-mean is
+    FLOOR-quantized on both sides (magnitude-bounded output, mean
+    noise ~1e-13, registry conventions)."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(T.DoubleType())
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(geomean("value").alias("__g"))
+        .select(
+            "event_type",
+            (F.floor(F.col("__g") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "geo_mean_value"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -29,6 +29,7 @@ from calorista_spark.operators.dedup import exact_dedup
 from calorista_spark.operators.ranks import (
     global_row_number,
     grouped_cume_counts,
+    grouped_row_number,
     ntile_expr,
 )
 from calorista_spark.session import build_session
@@ -110,6 +111,29 @@ def main() -> None:
         return "per-status cum counts consistent"
 
     results["grouped_cume_10M"] = timed("grouped_cume", cume_check)
+    spark.catalog.clearCache()
+
+    # 2b. grouped two-pass row_number (r6): per-status ranks at N rows
+    # with a 3-value group key — each group FAR larger than a
+    # partition, exactly the case where Window.partitionBy(group)
+    # funnels a whole group through one task. Each group's ranks must
+    # tile 1..|group| exactly.
+    def grouped_rank_check():
+        ranked = grouped_row_number(
+            df, "status", [F.col("price"), F.col("id")], num_partitions=64
+        )
+        agg = ranked.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("group_rn").alias("mn"),
+            F.max("group_rn").alias("mx"),
+            F.sum(F.col("group_rn").cast("long")).alias("s"),
+        )
+        for r in agg.collect():
+            assert r.mn == 1 and r.mx == r.n, r
+            assert r.s == r.n * (r.n + 1) // 2, r  # exact permutation
+        return "per-status ranks tile 1..n exactly"
+
+    results["grouped_rank_10M"] = timed("grouped_rank", grouped_rank_check)
     spark.catalog.clearCache()
 
     # 3. exact dedup at N rows with 50% duplicates: hash-groupBy with

@@ -68,3 +68,34 @@ def test_approx_stats_within_5pct_of_exact(spark, sf_dir):
         assert err_med <= TOL, f"{flag}: median {row.approx_median} vs {exact[flag].price_median}"
         err_cnt = _rel_err(row.approx_orders, exact_orders[flag])
         assert err_cnt <= TOL, f"{flag}: orders {row.approx_orders} vs {exact_orders[flag]}"
+
+
+def test_sketch_rollup_merge_is_lossless_and_close(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from calorista_spark.catalog import read_table
+
+    rows = {
+        r.day: r.est_users
+        for r in QUERIES["events_distinct_users_sketch_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    merged, direct = rows["TOTAL(merged)"], rows["TOTAL(direct)"]
+    # union of the daily sketches must equal the single-pass sketch:
+    # HLL merge is lossless at equal lgConfigK
+    assert merged == direct, (merged, direct)
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id"))
+        .first()[0]
+    )
+    assert abs(merged - exact) <= max(0.05 * exact, 2), (merged, exact)
+    # per-day estimates exist for every day present in the data
+    n_days = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days + 2
