@@ -10,7 +10,7 @@ of counts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
@@ -93,4 +93,101 @@ def user_behavior_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.groupBy("signature")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy(F.col("n_users").desc(), "signature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue-concentration (Pareto) curve by customer decile.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5) AS HUGEINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per_cust
+),
+agg AS (
+  SELECT CAST(((rn - 1) * 10) // n + 1 AS INTEGER) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(rev) AS BIGINT) AS rev_scaled
+  FROM ranked GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev_scaled) AS BIGINT) AS total FROM agg)
+SELECT decile, n_customers,
+       CAST(rev_scaled AS DOUBLE) / 1e4 AS revenue,
+       FLOOR(rev_scaled * 100.0 / total * 1e4 + 0.5) / 1e4 AS share_pct,
+       FLOOR(SUM(rev_scaled) OVER (ORDER BY decile) * 100.0 / total * 1e4
+             + 0.5) / 1e4 AS cum_share_pct
+FROM agg, tot
+ORDER BY decile
+"""
+
+
+@query("customer_revenue_pareto", _PARETO_ORACLE)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (the Pareto / "top 10%
+    of customers drive X% of revenue" curve). Per-customer revenue is
+    a bounded keyed sum of scaled integers (exact); deciles come from
+    the distributed two-pass row number (no single-task sort of the
+    customer dimension); the only partition-less window is the
+    10-row cumulative share — bounded O(deciles)."""
+    from calorista_spark.operators.ranks import global_row_number
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 1e4 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    ranked = global_row_number(
+        per_cust, [F.col("rev").desc(), F.col("o_custkey")], out_col="rn"
+    )
+    n = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    agg = (
+        ranked.join(F.broadcast(n))
+        .select(
+            (
+                F.floor((F.col("rn") - 1) * 10 / F.col("__n")).cast("int") + 1
+            ).alias("decile"),
+            "rev",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("rev_scaled"),
+        )
+    )
+    tot = agg.agg(F.sum("rev_scaled").alias("__total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("rev_scaled").cast("double") / 1e4).alias("revenue"),
+            (
+                F.floor(
+                    F.col("rev_scaled") * 100.0 / F.col("__total") * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("share_pct"),
+            (
+                F.floor(
+                    F.sum("rev_scaled").over(w)
+                    * 100.0
+                    / F.col("__total")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("cum_share_pct"),
+        )
+        .orderBy("decile")
     )

@@ -377,3 +377,65 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing over the reference-LM scores.
+# ---------------------------------------------------------------------------
+
+_CCNET_BUCKETS_ORACLE = f"""
+WITH scores AS ({_LM_SCORE_ORACLE.rsplit("ORDER BY", 1)[0]}),
+b AS (
+  SELECT doc_id, lang, avg_nll_micronats,
+         COUNT(*) OVER (PARTITION BY lang ORDER BY avg_nll_micronats)
+           AS cnt_le,
+         COUNT(*) OVER (PARTITION BY lang) AS n_tot
+  FROM scores WHERE avg_nll_micronats IS NOT NULL
+)
+SELECT doc_id, lang, avg_nll_micronats,
+       CASE WHEN 3 * cnt_le <= n_tot THEN 'head'
+            WHEN 3 * cnt_le <= 2 * n_tot THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b
+UNION ALL
+SELECT doc_id, lang, avg_nll_micronats, 'oov' AS bucket
+FROM scores WHERE avg_nll_micronats IS NULL
+ORDER BY doc_id
+"""
+
+
+@query("doc_ccnet_buckets", _CCNET_BUCKETS_ORACLE)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: per language, docs sort
+    by reference-LM perplexity (avg NLL, integer micro-nats from
+    :func:`doc_lm_quality_score`) and the best/middle/worst thirds
+    become the quality tiers the pipeline samples from. Tie-aware and
+    value-based — the tercile test is 3·cum_le ≤ k·n in INTEGERS
+    (identical in any engine; ties share a bucket), computed at the
+    distinct (lang, score) level via the two-pass grouped cumulative
+    counts (no per-language single-task window). Docs with no covered
+    bigrams land in an explicit 'oov' bucket."""
+    from calorista_spark.operators.ranks import grouped_cume_counts
+
+    scores = doc_lm_quality_score(spark, sf_dir).select(
+        "doc_id", "lang", "avg_nll_micronats"
+    )
+    scored = scores.filter(F.col("avg_nll_micronats").isNotNull())
+    cume = grouped_cume_counts(scored, "lang", "avg_nll_micronats")
+    per_value = cume.select(
+        F.col("lang").alias("__lang"),
+        F.col("avg_nll_micronats").alias("__nll"),
+        F.when(3 * F.col("cum_le") <= F.col("n_total"), F.lit("head"))
+        .when(3 * F.col("cum_le") <= 2 * F.col("n_total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    bucketed = scored.join(
+        per_value,
+        (F.col("lang") == F.col("__lang"))
+        & (F.col("avg_nll_micronats") == F.col("__nll")),
+    ).select("doc_id", "lang", "avg_nll_micronats", "bucket")
+    oov = scores.filter(F.col("avg_nll_micronats").isNull()).select(
+        "doc_id", "lang", "avg_nll_micronats", F.lit("oov").alias("bucket")
+    )
+    return bucketed.unionAll(oov).orderBy("doc_id")

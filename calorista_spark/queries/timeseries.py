@@ -296,3 +296,80 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "new_users", "cum_users")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly detection over the daily value series.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e4
+           AS total_value
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, total_value,
+         AVG(total_value) OVER
+           (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m7,
+         STDDEV_SAMP(total_value) OVER
+           (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+         COUNT(*) OVER
+           (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+  FROM daily
+),
+z AS (
+  SELECT day, total_value,
+         CASE WHEN n7 >= 3 AND s7 > 0
+              THEN FLOOR((total_value - m7) / s7 * 1e4 + 0.5) / 1e4 END AS z
+  FROM w
+)
+SELECT day, total_value, z,
+       CAST(CASE WHEN z IS NOT NULL AND ABS(z) >= 2.0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_anomaly
+FROM z
+ORDER BY day
+"""
+
+
+@query("events_daily_anomaly_flags", _ANOMALY_ORACLE)
+def events_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's total value
+    z-scored against the previous ≤7 days (never including itself);
+    |z| ≥ 2 flags the day. Daily totals are quantized sums (exact,
+    partition-order-invariant); the z is FLOOR-quantized and the flag
+    derives from the QUANTIZED z, so both engines flag identically.
+    The day-ordered window is partition-less over O(days) rows —
+    bounded, same class as cumulative_new_users."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / 1e4
+        ).alias("total_value")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    z_raw = (F.col("total_value") - F.avg("total_value").over(w)) / F.stddev_samp(
+        "total_value"
+    ).over(w)
+    base = daily.select(
+        "day",
+        "total_value",
+        F.when(
+            (F.count(F.lit(1)).over(w) >= 3)
+            & (F.stddev_samp("total_value").over(w) > 0),
+            F.floor(z_raw * 1e4 + F.lit(0.5)) / 1e4,
+        ).alias("z"),
+    )
+    return base.select(
+        "day",
+        "total_value",
+        "z",
+        F.when(F.col("z").isNotNull() & (F.abs("z") >= 2.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("day")
