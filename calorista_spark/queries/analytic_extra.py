@@ -87,7 +87,7 @@ def events_trailing_3d_range_window(spark: SparkSession, sf_dir: str) -> DataFra
 
 _RANKS_ORACLE = """
 SELECT o_orderkey, o_orderstatus,
-       ROUND(o_totalprice, 2) AS o_totalprice,
+       FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
        ROUND(percent_rank() OVER w, 6) AS pct_rank,
        ROUND(cume_dist() OVER w, 6) AS cume_dist
 FROM orders
@@ -106,7 +106,11 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        # FLOOR quantize, not ROUND: >2-decimal inputs half-break
+        # (r6 stress audit, same class as order_price_quartiles)
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "o_totalprice"
+        ),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
     ).orderBy("o_orderkey")

@@ -150,7 +150,8 @@ def order_percentile_ranks_scalable(
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100)
+            .alias("o_totalprice"),
             "pct_rank",
             "cume_dist",
         )

@@ -105,8 +105,11 @@ def events_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH seq AS (
-  SELECT user_id, ts, value,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  SELECT user_id, ts, value, event_id,
+         -- event_id tiebreak: under duplicate (user_id, ts) rows the
+         -- lag/cumsum tie order is otherwise engine-arbitrary (r6
+         -- stress audit); session_window itself is tie-robust
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
@@ -115,7 +118,7 @@ flagged AS (
   FROM seq
 ),
 numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged
 )

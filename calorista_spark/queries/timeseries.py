@@ -35,7 +35,8 @@ from calorista_spark.queries.registry import query
 _HOURLY_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 4) AS avg_value,
+       FLOOR(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS HUGEINT)) * 1.0
+             / COUNT(*) + 0.5) / 10000.0 AS avg_value,
        CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          / 10000.0 AS total_value
 FROM events
@@ -55,7 +56,19 @@ def events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         {
             "n_events": F.count(F.lit(1)),
-            "avg_value": F.round(F.avg("value"), 4),
+            # deterministic divided average: exact scaled-int sum /
+            # count, then FLOOR — raw AVG's last-ulp accumulation noise
+            # crossed the round boundary on the r6 stress dataset
+            "avg_value": F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 10000.0,
             "total_value": quantized_sum("value"),
         },
     )
@@ -128,7 +141,9 @@ WITH days AS (
 ),
 users AS (SELECT DISTINCT user_id FROM events),
 daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS day_avg
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         FLOOR(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS HUGEINT)) * 1.0
+               / COUNT(*) + 0.5) / 10000.0 AS day_avg
   FROM events GROUP BY 1, 2
 )
 SELECT s.user_id, s.day,
@@ -154,7 +169,23 @@ def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.avg("value").alias("day_avg"))
+    ).agg(
+        # deterministic divided average (see _HOURLY_ORACLE note): the
+        # carried value must be identical in both engines BEFORE the
+        # display quantize, or LOCF propagates a 1-ulp divergence
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("day_avg")
+    )
     users = ev.select("user_id").distinct()
     spine = date_spine(spark, "2024-01-01", "2024-01-30")
     filled = locf_gapfill(

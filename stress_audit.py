@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Magnitude-stress oracle audit: rebuild the adversarial dataset the
+round-5/6 boundary audits used ad hoc, then sweep the FULL oracle
+registry (Spark vs DuckDB) on it.
+
+The stress transform, applied to a source sf dir:
+
+- fact/corpus tables self-union to 2× rows (duplicated rows get their
+  primary key shifted by +10_000_000, foreign keys to other duplicated
+  facts shifted consistently; dimension tables stay as-is so
+  referential integrity holds);
+- monetary/value doubles scale by ×7.003 — this both (a) multiplies
+  aggregate magnitudes ~14× (accumulation-order noise amplifier) and
+  (b) produces >2-decimal per-row values (round-half boundary
+  amplifier). Quantities, ratios, dates, text, embeddings unchanged.
+
+Both engines read the SAME stressed parquet, so any divergence is
+engine arithmetic — exactly what the registry's determinism
+conventions (quantized sums, FLOOR-quantize, integer thresholds)
+claim to prevent. Running ALL oracle queries (not just the 22
+SF-unbounded ones of the manual audits) makes the audit future-proof
+for new queries.
+
+Run: python stress_audit.py [src_sf_dir] [out_dir]
+     (defaults: /root/testdata/sf0.1  /tmp/stress_sf)
+Prints one JSON line: {"built": ..., "checked": N, "mismatches": [...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SHIFT = 10_000_000
+SCALE = 7.003
+
+# table -> (duplicate?, key-shift columns, price-scale columns)
+_SPEC = {
+    "region": (False, [], []),
+    "nation": (False, [], []),
+    "customer": (False, [], ["c_acctbal"]),
+    "supplier": (False, [], ["s_acctbal"]),
+    "part": (False, [], ["p_retailprice"]),
+    "orders": (True, ["o_orderkey"], ["o_totalprice"]),
+    "lineitem": (True, ["l_orderkey"], ["l_extendedprice"]),
+    "events": (True, ["event_id"], ["value"]),
+    "documents": (True, ["doc_id"], []),
+    "embeddings": (True, ["vec_id"], []),
+}
+
+
+def build(src: str, out: str) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, (dup, shift_cols, scale_cols) in _SPEC.items():
+        src_path = os.path.join(src, f"{table}.parquet")
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{src_path}')"
+            ).fetchall()
+        ]
+
+        def proj(shifted: bool) -> str:
+            parts = []
+            for c in cols:
+                expr = c
+                if shifted and c in shift_cols:
+                    expr = f"{c} + {SHIFT}"
+                if c in scale_cols:
+                    # FLOOR to 4 decimals so parquet carries the exact
+                    # value both engines then aggregate
+                    expr = f"FLOOR(({expr}) * {SCALE} * 1e4 + 0.5) / 1e4"
+                parts.append(f"{expr} AS {c}")
+            return ", ".join(parts)
+
+        base = f"SELECT {proj(False)} FROM read_parquet('{src_path}')"
+        if dup:
+            base += (
+                f" UNION ALL SELECT {proj(True)} "
+                f"FROM read_parquet('{src_path}')"
+            )
+        con.execute(
+            f"COPY ({base}) TO '{os.path.join(out, table + '.parquet')}' "
+            "(FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def sweep(out: str) -> tuple[int, list]:
+    import duckdb
+
+    import __spark_entry__ as e
+    from calorista_spark.session import build_session
+
+    spark = build_session(
+        app_name="calorista-stress-audit",
+        extra_conf={"spark.driver.memory": "10g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, osql = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in _SPEC:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(out, t + '.parquet')}')"
+        )
+    bad = []
+    for i, name in enumerate(sorted(osql)):
+        try:
+            sdf = qs[name](spark, out)
+            srows = sorted(
+                tuple(str(x) for x in r) for r in sdf.collect()
+            )
+            orows = sorted(
+                tuple(str(x) for x in r)
+                for r in con.sql(osql[name]).fetchall()
+            )
+            if srows != orows:
+                diff = sum(1 for a, b in zip(srows, orows) if a != b)
+                bad.append(
+                    {
+                        "query": name,
+                        "spark_rows": len(srows),
+                        "oracle_rows": len(orows),
+                        "first_diffs": diff,
+                    }
+                )
+                print(f"MISMATCH {name}", file=sys.stderr, flush=True)
+        except Exception as ex:  # noqa: BLE001 — audit must not abort
+            bad.append({"query": name, "error": repr(ex)[:200]})
+            print(f"ERROR {name}: {ex!r}"[:200], file=sys.stderr, flush=True)
+        if i % 20 == 0:
+            spark.catalog.clearCache()
+            print(f"... {i}/{len(osql)}", file=sys.stderr, flush=True)
+    spark.stop()
+    return len(osql), bad
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress_sf"
+    build(src, out)
+    checked, bad = sweep(out)
+    print(json.dumps({"built": out, "checked": checked, "mismatches": bad}))
+
+
+if __name__ == "__main__":
+    main()
