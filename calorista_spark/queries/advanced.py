@@ -30,14 +30,34 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (status → status+priority → grand
     total) in one pass — Spark expands the grouping sets without
-    re-scanning."""
+    re-scanning. The grand-total row comes from an explicit global
+    aggregate unioned under the detailed sets: SQL requires the ()
+    grouping set to emit one row even over EMPTY input (DuckDB does),
+    but Spark's rollup returns zero rows there — the union form is
+    identical on non-empty input and standard-compliant on empty
+    (r6 empty-input audit)."""
     orders = read_table(spark, sf_dir, "orders")
-    return (
+    detailed = (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             quantized_sum("o_totalprice").alias("total_price"),
+            F.grouping_id().alias("__gid"),
         )
+        .filter(F.col("__gid") != 3)
+        .drop("__gid")
+    )
+    grand = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        quantized_sum("o_totalprice").alias("total_price"),
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "total_price",
+    )
+    return (
+        detailed.unionByName(grand)
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -57,14 +77,31 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 @query("cube_flag_status", _CUBE_ORACLE)
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All grouping combinations (the OLAP cube over two dims)."""
+    """All grouping combinations (the OLAP cube over two dims). Same
+    explicit-grand-total union as rollup_status_priority: the ()
+    grouping set must emit one row even over empty input."""
     li = read_table(spark, sf_dir, "lineitem")
-    return (
+    detailed = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             quantized_sum("l_quantity").alias("total_qty"),
+            F.grouping_id().alias("__gid"),
         )
+        .filter(F.col("__gid") != 3)
+        .drop("__gid")
+    )
+    grand = li.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        quantized_sum("l_quantity").alias("total_qty"),
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n_items",
+        "total_qty",
+    )
+    return (
+        detailed.unionByName(grand)
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),

@@ -241,7 +241,9 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         parent_side = pk.agg(
-            F.sum("__cnt").alias("n_parent"),
+            # coalesce: SUM over an EMPTY parent is null; the audit
+            # must report 0 rows, not null (r6 empty-input audit)
+            F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_parent"),
             F.count(F.when(F.col("__cnt") > 1, 1)).alias("n_dup_parent_keys"),
         )
         rows.append(

@@ -23,6 +23,11 @@ for new queries.
 
 Run: python stress_audit.py [src_sf_dir] [out_dir]
      (defaults: /root/testdata/sf0.1  /tmp/stress_sf)
+     python stress_audit.py --empty [src_sf_dir] [out_dir]
+     (LIMIT 0 tables — the empty-input totality audit; default out
+     /tmp/empty_sf. First r6 run found 3 real edge bugs: cube/rollup
+     dropping the SQL-required grand-total row on empty input, and a
+     null-vs-0 parent count in the integrity audit.)
 Prints one JSON line: {"built": ..., "checked": N, "mismatches": [...]}.
 """
 
@@ -52,13 +57,20 @@ _SPEC = {
 }
 
 
-def build(src: str, out: str) -> None:
+def build(src: str, out: str, empty: bool = False) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table, (dup, shift_cols, scale_cols) in _SPEC.items():
         src_path = os.path.join(src, f"{table}.parquet")
+        if empty:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src_path}') LIMIT 0) "
+                f"TO '{os.path.join(out, table + '.parquet')}' "
+                "(FORMAT PARQUET)"
+            )
+            continue
         cols = [
             r[0]
             for r in con.sql(
@@ -143,9 +155,15 @@ def sweep(out: str) -> tuple[int, list]:
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress_sf"
-    build(src, out)
+    args = [a for a in sys.argv[1:] if a != "--empty"]
+    empty = "--empty" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = (
+        args[1]
+        if len(args) > 1
+        else ("/tmp/empty_sf" if empty else "/tmp/stress_sf")
+    )
+    build(src, out, empty=empty)
     checked, bad = sweep(out)
     print(json.dumps({"built": out, "checked": checked, "mismatches": bad}))
 
