@@ -31,9 +31,11 @@ from calorista_spark.functions.vectors import dot, l2_norm
 
 
 def words_of(text: Column | str) -> Column:
-    """Lowercased whitespace tokens."""
+    """Lowercased whitespace tokens. TOTAL on null: null text behaves
+    as the empty document (r6 null-injection audit convention) —
+    mirrored by COALESCE(text, '') in every oracle tokenizer."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+")
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

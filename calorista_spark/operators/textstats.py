@@ -31,8 +31,11 @@ EN_STOPWORDS: tuple[str, ...] = (
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count; empty/blank text → 0."""
-    c = F.col(text) if isinstance(text, str) else text
+    """Whitespace token count; null/empty/blank text → 0 (TOTAL —
+    null text is the empty document, r6 convention)."""
+    c = F.coalesce(
+        F.col(text) if isinstance(text, str) else text, F.lit("")
+    )
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(c), r"\s+"))
     )
@@ -42,7 +45,9 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     """Sub-word-ish token count: runs of letters, runs of digits, and
     single punctuation marks each count as one token (a regex stand-in
     for BPE segmentation — deliberately simple and deterministic)."""
-    c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(
+        F.col(text) if isinstance(text, str) else text, F.lit("")
+    )
     return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
 
 
@@ -93,7 +98,9 @@ def predict_lang(text: Column | str, words: Column | None = None) -> Column:
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Deterministic quality signals (length / punctuation / stopword
     ratios — the classic pre-training corpus filters)."""
-    c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(
+        F.col(text) if isinstance(text, str) else text, F.lit("")
+    )
     n_chars = F.length(c)
     n_tok = token_count(c)
     w = words_of(c)
@@ -139,8 +146,11 @@ def bag_fingerprint(text: Column | str) -> Column:
 def rolling_hash(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over character codes (order-SENSITIVE
     counterpart to ``bag_fingerprint``). aggregate() folds left-to-
-    right so the result is deterministic and engine-portable."""
-    c = F.col(text) if isinstance(text, str) else text
+    right so the result is deterministic and engine-portable. TOTAL on
+    null: null text hashes like the empty string (0)."""
+    c = F.coalesce(
+        F.col(text) if isinstance(text, str) else text, F.lit("")
+    )
     chars = F.split(c, "")
     return F.aggregate(
         chars,

@@ -128,10 +128,14 @@ WITH e AS (
   FROM events
 )
 SELECT user_id,
-       arg_min(event_type, ord) AS first_type,
-       arg_max(event_type, ord) AS last_type,
-       ROUND(arg_min(value, ord), 4) AS first_value,
-       ROUND(arg_max(value, ord), 4) AS last_value,
+       -- first/last (ORDER BY), not arg_min/arg_max: DuckDB's
+       -- arg_min IGNORES null values, silently substituting a later
+       -- event's value; Spark's min_by carries the null faithfully
+       -- (r6 null-injection audit)
+       first(event_type ORDER BY ord) AS first_type,
+       last(event_type ORDER BY ord) AS last_type,
+       ROUND(first(value ORDER BY ord), 4) AS first_value,
+       ROUND(last(value ORDER BY ord), 4) AS last_value,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM e
 GROUP BY user_id

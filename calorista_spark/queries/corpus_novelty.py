@@ -26,7 +26,7 @@ from calorista_spark.queries.registry import query
 
 _NOVELTY_ORACLE = """
 WITH base AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(lower(COALESCE(text, '')), '\\s+') AS w FROM documents
 ),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -63,7 +63,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 words emit 0 grams and a null ppm)."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     base = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+        "doc_id", F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w")
     )
     gram_hashes = F.expr(
         "CASE WHEN size(w) >= 8 THEN "

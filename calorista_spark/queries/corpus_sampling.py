@@ -187,8 +187,8 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS = """
   SELECT doc_id, source,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS n_tokens
   FROM documents
 """
 

@@ -30,7 +30,7 @@ from calorista_spark.queries.registry import query
 _PACK_ORACLE = """
 WITH t AS (
   SELECT source, doc_id,
-         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         len(string_split_regex(lower(COALESCE(text, '')), '\\s+')) AS n_tokens
   FROM documents
 ),
 packed AS (
@@ -57,7 +57,7 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins never cross sources, so packing parallelizes per source
     exactly like the training-shard writer would."""
     docs = read_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    n_tokens = F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
     t = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
     w = (
         Window.partitionBy("source")

@@ -21,7 +21,7 @@ from calorista_spark.queries.registry import query
 
 _CURATION_ORACLE = """
 WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(lower(COALESCE(text, '')), '\\s+')) AS term
   FROM documents
 ),
 metrics AS (
@@ -71,7 +71,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     # per-row metrics: no explode/groupBy/self-join needed — word and
     # distinct-word counts are array expressions on the tokenized row
-    w = F.split(F.lower(F.col("text")), r"\s+")
+    w = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     flagged = docs.select(
         "doc_id",
         "source",

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from calorista_spark.catalog import read_table
 from calorista_spark.queries.registry import query
 
-_WORDS_SQL = "string_split_regex(lower(text), '\\s+')"
+_WORDS_SQL = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +178,7 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk identity is reported as an md5 so the verify payload stays
     small regardless of chunk text size."""
     docs = read_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(30)
     )
@@ -242,7 +242,7 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to per-doc stats — partial aggregation makes the shuffle
     carry one row per distinct gram, not per token."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     terms = docs.select("doc_id", F.explode(words).alias("term"))
     tc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
     word_stats = tc.groupBy("doc_id").agg(
@@ -323,7 +323,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer-ratio doubles, so the keep/drop verdict is
     bit-identical across engines."""
     docs = read_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     terms = docs.select("doc_id", "source", F.explode(words).alias("term"))
     per_doc = terms.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_words"),

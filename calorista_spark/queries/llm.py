@@ -35,7 +35,7 @@ from calorista_spark.operators.textstats import (
 from calorista_spark.queries.registry import query
 
 # Shared oracle fragments (DuckDB dialect) mirroring similarity.py.
-_WORDS = "string_split_regex(lower(text), '\\s+')"
+_WORDS = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
 _SHINGLES = (
     f"CASE WHEN len({_WORDS}) >= 3 THEN "
     f"list_transform(range(1, len({_WORDS}) - 1), "
@@ -82,10 +82,10 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_STATS_ORACLE = f"""
 SELECT
   doc_id,
-  length(text)                                  AS n_chars,
-  CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))   AS n_bpe_tokens,
+  length(COALESCE(text, ''))                                  AS n_chars,
+  CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+       ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS n_tokens,
+  len(regexp_extract_all(COALESCE(text, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))   AS n_bpe_tokens,
   len(list_distinct({_WORDS}))                  AS n_distinct_tokens
 FROM documents
 ORDER BY doc_id
@@ -98,10 +98,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
         token_count("text").cast("long").alias("n_tokens"),
         bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
-        F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")))
+        F.size(F.array_distinct(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")))
         .cast("long")
         .alias("n_distinct_tokens"),
     ).orderBy("doc_id")
@@ -119,11 +119,11 @@ _STOPWORDS_SQL = (
 _QUALITY_ORACLE = f"""
 WITH feat AS (
   SELECT doc_id,
-    length(text) AS n_chars,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    length(COALESCE(text, '')) AS n_chars,
+    CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS n_tokens,
     len(list_filter({_WORDS}, w -> list_contains({_STOPWORDS_SQL}, w))) AS n_stop,
-    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+    len(regexp_extract_all(COALESCE(text, ''), '[^\\w\\s]')) AS n_punct
   FROM documents
 )
 SELECT doc_id,
@@ -195,7 +195,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels), so the gate verifies the deterministic classifier, not
     label recovery."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    with_words = docs.withColumn("__words", F.split(F.lower(F.col("text")), r"\s+"))
+    with_words = docs.withColumn("__words", F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
     return with_words.select(
         "doc_id",
         "lang",
@@ -213,7 +213,7 @@ SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS bag_fp,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                 list_transform(string_split(COALESCE(text, ''), ''), ch -> CAST(ascii(ch) AS BIGINT))),
     (a, c) -> (a * 31 + c) % 1000000007) AS rolling_fp
 FROM documents
 ORDER BY doc_id
@@ -327,7 +327,7 @@ def doc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_ORACLE = """
 WITH words AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS word
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(COALESCE(text, '')), '\\s+'))) AS word
   FROM documents
 ),
 hashed AS (
@@ -357,7 +357,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_CTE = """
 WITH words AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS word
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(COALESCE(text, '')), '\\s+'))) AS word
   FROM documents
 ),
 hashed AS (

@@ -37,7 +37,7 @@ from calorista_spark.catalog import read_table
 from calorista_spark.operators.checkpoint import stage_checkpoint
 from calorista_spark.queries.registry import query
 
-_WORDS_SQL = "string_split_regex(lower(text), '\\s+')"
+_WORDS_SQL = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
 
 # ---------------------------------------------------------------------------
 # Duplicated-span report: sliding 8-grams, duplicate = gram hash seen
@@ -103,7 +103,7 @@ def doc_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Docs shorter than 8 words surface with zero spans via the
     final vocabulary-independent left join on doc_id."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     base = docs.select("doc_id", words.alias("w"))
     # guard: sequence(1, 0) would DESCEND in Spark, so gate on size>=8
     gram_hashes = F.expr(
@@ -229,7 +229,7 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than two words have no bigrams and drop out (both engines
     alike)."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     base = docs.select("doc_id", "lang", words.alias("w"))
     m = F.greatest(F.size("w") - 1, F.lit(0))
     pairs = F.explode(
@@ -334,7 +334,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target vocabulary are excluded from the sum and reported as
     oov_words."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     tok = docs.select(
         "doc_id", "source", "lang", F.explode(words).alias("term")
     )

@@ -47,8 +47,8 @@ from calorista_spark.queries.registry import query
 
 _TOKENS = """
   SELECT doc_id, source,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS n_tokens
   FROM documents
 """
 
@@ -109,7 +109,7 @@ def doc_length_percentile_by_source(
     )
 
 
-_WORDS = "string_split_regex(lower(text), '\\s+')"
+_WORDS = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
 _SHINGLES = (
     f"CASE WHEN len({_WORDS}) >= 3 THEN "
     f"list_transform(range(1, len({_WORDS}) - 1), "

@@ -204,15 +204,20 @@ WITH tagged AS (
   FROM events WHERE event_type = 'purchase'
 ),
 carried AS (
+  -- carry ONE struct keyed on the non-null event id: carrying value
+  -- and id separately with IGNORE NULLS skips a legit null-VALUED
+  -- view and resurrects an older value (r6 null-injection audit)
   SELECT *,
-    last_value(r_value IGNORE NULLS) OVER w AS view_value,
-    last_value(r_event_id IGNORE NULLS) OVER w AS view_event_id
+    last_value(CASE WHEN side = 0
+                    THEN {'eid': r_event_id, 'val': r_value} END
+               IGNORE NULLS) OVER w AS view_row
   FROM tagged
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, r_value, r_event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, r_event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, ROUND(value, 4) AS value,
-       ROUND(view_value, 4) AS view_value, view_event_id
+       ROUND(view_row.val, 4) AS view_value,
+       view_row.eid AS view_event_id
 FROM carried WHERE side = 1
 ORDER BY event_id
 """
@@ -235,7 +240,11 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_keys=["user_id"],
         left_ts="ts",
         right_ts="ts",
-        value_cols=["value", "event_id"],
+        # event_id FIRST: the tie-break struct must lead with a
+        # non-null unique field — nullable `value` first would order
+        # same-ts ties NULLS FIRST in Spark but NULLS LAST in DuckDB
+        # (r6 null-injection audit)
+        value_cols=["event_id", "value"],
         suffix="_view",
     )
     return joined.select(

@@ -32,7 +32,7 @@ from calorista_spark.operators.similarity import shingles, words_of
 from calorista_spark.queries.registry import query
 
 # DuckDB fragments mirroring operators/similarity.py (same as llm.py).
-_WORDS = "string_split_regex(lower(text), '\\s+')"
+_WORDS = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
 _SHINGLES = (
     f"CASE WHEN len({_WORDS}) >= 3 THEN "
     f"list_transform(range(1, len({_WORDS}) - 1), "

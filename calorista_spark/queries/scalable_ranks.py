@@ -62,8 +62,8 @@ def order_price_quartiles_scalable(
 _BUDGET_ORACLE = """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,

@@ -3,7 +3,7 @@ word bigrams, exact TF-IDF, per-label centroids, euclidean top-k.
 
 Tokenization matches the corpus convention used across llm.py:
 ``split(lower(text), '\\s+')`` == DuckDB
-``string_split_regex(lower(text), '\\s+')``. Logarithms and square
+``string_split_regex(lower(COALESCE(text, '')), '\\s+')``. Logarithms and square
 roots are correctly-rounded IEEE ops, identical across engines; sums
 are left folds; every ranking breaks ties on the term / candidate id.
 """
@@ -17,7 +17,7 @@ from calorista_spark.catalog import read_table
 from calorista_spark.functions.vectors import cosine_similarity, l2_distance
 from calorista_spark.queries.registry import query
 
-_WORDS = "string_split_regex(lower(text), '\\s+')"
+_WORDS = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +46,7 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams: zip words with their tail (no
     self-join), explode, count. Ties break on the bigram string."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     n = F.size(words)
     bigrams = F.zip_with(
         F.slice(words, 1, n - 1),
@@ -101,7 +101,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     — broadcast onto the tf side; ranking on (rounded score, term)."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
     terms = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+        "doc_id", F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -137,7 +137,7 @@ _CENTROID_ORACLE = """
 WITH dims AS (
   SELECT label, CAST(unnest(range(1, 65)) AS INTEGER) AS dim,
          unnest(embedding) AS val
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT label, dim, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val,
        CAST(COUNT(*) AS BIGINT) AS n_vectors
@@ -152,7 +152,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elementwise per-label mean in long form: posexplode → groupBy
     (label, dim). One shuffle keyed on (label, dim) — 64·|labels|
     groups regardless of corpus size."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    # null vectors are excluded EXPLICITLY on both sides: DuckDB's
+    # zipped unnest emits 64 null rows for a null list (inflating
+    # COUNT) while posexplode emits none (r6 null-injection audit)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     dims = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -179,11 +184,12 @@ _L2_DOT = (
 )
 
 _EUCLID_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+WITH nn AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM nn WHERE vec_id < 5),
 scored AS (
   SELECT q.q_id, c.vec_id AS cand_id,
          ROUND(sqrt({_L2_DOT.format(a='q.q_vec', b='c.embedding')}), 6) AS dist
-  FROM q CROSS JOIN embeddings c
+  FROM q CROSS JOIN nn c
   WHERE c.vec_id <> q.q_id
 ),
 ranked AS (
@@ -202,7 +208,11 @@ def embedding_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest neighbors by L2 distance for a probe batch —
     same crossJoin + per-query window as the cosine baseline, ranking
     ascending on (rounded distance, candidate id)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    # ANN indexes exclude null vectors; a null distance would also
+    # rank NULLS FIRST in Spark vs NULLS LAST in DuckDB
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

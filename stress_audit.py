@@ -23,6 +23,10 @@ for new queries.
 
 Run: python stress_audit.py [src_sf_dir] [out_dir]
      (defaults: /root/testdata/sf0.1  /tmp/stress_sf)
+     python stress_audit.py --nulls [src_sf_dir] [out_dir]
+     (NULL-inject ~6% of rows in text/value/props/priority/discount/
+      phone/embedding — the null-handling divergence audit; default
+      out /tmp/nulls_sf.)
      python stress_audit.py --empty [src_sf_dir] [out_dir]
      (LIMIT 0 tables — the empty-input totality audit; default out
      /tmp/empty_sf. First r6 run found 3 real edge bugs: cube/rollup
@@ -42,6 +46,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SHIFT = 10_000_000
 SCALE = 7.003
 
+# --nulls mode: (column, row-key) pairs per table; ~1/16 of rows get
+# the column NULLed (md5-prefix predicate on the key, deterministic).
+_NULL_SPEC = {
+    "documents": [("text", "doc_id")],
+    "events": [("value", "event_id"), ("props", "event_id")],
+    "orders": [("o_orderpriority", "o_orderkey")],
+    "lineitem": [("l_discount", "l_orderkey")],
+    "customer": [("c_phone", "c_custkey")],
+    "embeddings": [("embedding", "vec_id")],
+}
+
 # table -> (duplicate?, key-shift columns, price-scale columns)
 _SPEC = {
     "region": (False, [], []),
@@ -57,7 +72,7 @@ _SPEC = {
 }
 
 
-def build(src: str, out: str, empty: bool = False) -> None:
+def build(src: str, out: str, empty: bool = False, nulls: bool = False) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -67,6 +82,31 @@ def build(src: str, out: str, empty: bool = False) -> None:
         if empty:
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src_path}') LIMIT 0) "
+                f"TO '{os.path.join(out, table + '.parquet')}' "
+                "(FORMAT PARQUET)"
+            )
+            continue
+        if nulls:
+            null_cols = dict(
+                (c, k) for c, k in _NULL_SPEC.get(table, [])
+            )
+            cols0 = [
+                r[0]
+                for r in con.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{src_path}')"
+                ).fetchall()
+            ]
+            proj_n = ", ".join(
+                (
+                    f"CASE WHEN substr(md5(CAST({null_cols[c]} AS VARCHAR)),"
+                    f" 1, 1) = 'a' THEN NULL ELSE {c} END AS {c}"
+                )
+                if c in null_cols
+                else c
+                for c in cols0
+            )
+            con.execute(
+                f"COPY (SELECT {proj_n} FROM read_parquet('{src_path}')) "
                 f"TO '{os.path.join(out, table + '.parquet')}' "
                 "(FORMAT PARQUET)"
             )
@@ -155,15 +195,15 @@ def sweep(out: str) -> tuple[int, list]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--empty"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     empty = "--empty" in sys.argv[1:]
+    nulls = "--nulls" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
-    out = (
-        args[1]
-        if len(args) > 1
-        else ("/tmp/empty_sf" if empty else "/tmp/stress_sf")
+    default_out = (
+        "/tmp/empty_sf" if empty else ("/tmp/nulls_sf" if nulls else "/tmp/stress_sf")
     )
-    build(src, out, empty=empty)
+    out = args[1] if len(args) > 1 else default_out
+    build(src, out, empty=empty, nulls=nulls)
     checked, bad = sweep(out)
     print(json.dumps({"built": out, "checked": checked, "mismatches": bad}))
 
