@@ -27,6 +27,9 @@ Run: python stress_audit.py [src_sf_dir] [out_dir]
      (NULL-inject ~6% of rows in text/value/props/priority/discount/
       phone/embedding — the null-handling divergence audit; default
       out /tmp/nulls_sf.)
+     python stress_audit.py --unicode [src_sf_dir] [out_dir]
+     (append multibyte text — accents/CJK/emoji — to ~6% of documents;
+      the codepoint-semantics audit. Default out /tmp/unicode_sf.)
      python stress_audit.py --empty [src_sf_dir] [out_dir]
      (LIMIT 0 tables — the empty-input totality audit; default out
      /tmp/empty_sf. First r6 run found 3 real edge bugs: cube/rollup
@@ -72,7 +75,16 @@ _SPEC = {
 }
 
 
-def build(src: str, out: str, empty: bool = False, nulls: bool = False) -> None:
+_UNICODE_SUFFIX = " h\u00e9llo w\u00f6rld \u6f22\u5b57 \U0001f642 \u00f1a\u00efve"
+
+
+def build(
+    src: str,
+    out: str,
+    empty: bool = False,
+    nulls: bool = False,
+    unicode_: bool = False,
+) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -85,6 +97,24 @@ def build(src: str, out: str, empty: bool = False, nulls: bool = False) -> None:
                 f"TO '{os.path.join(out, table + '.parquet')}' "
                 "(FORMAT PARQUET)"
             )
+            continue
+        if unicode_:
+            if table == "documents":
+                con.execute(
+                    f"COPY (SELECT doc_id, "
+                    f"CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+                    f" = 'b' THEN text || '{_UNICODE_SUFFIX}' ELSE text END"
+                    f" AS text, lang, source, n_chars "
+                    f"FROM read_parquet('{src_path}')) "
+                    f"TO '{os.path.join(out, table + '.parquet')}' "
+                    "(FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_path}')) "
+                    f"TO '{os.path.join(out, table + '.parquet')}' "
+                    "(FORMAT PARQUET)"
+                )
             continue
         if nulls:
             null_cols = dict(
@@ -198,12 +228,19 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     empty = "--empty" in sys.argv[1:]
     nulls = "--nulls" in sys.argv[1:]
+    unicode_ = "--unicode" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     default_out = (
-        "/tmp/empty_sf" if empty else ("/tmp/nulls_sf" if nulls else "/tmp/stress_sf")
+        "/tmp/empty_sf"
+        if empty
+        else (
+            "/tmp/nulls_sf"
+            if nulls
+            else ("/tmp/unicode_sf" if unicode_ else "/tmp/stress_sf")
+        )
     )
     out = args[1] if len(args) > 1 else default_out
-    build(src, out, empty=empty, nulls=nulls)
+    build(src, out, empty=empty, nulls=nulls, unicode_=unicode_)
     checked, bad = sweep(out)
     print(json.dumps({"built": out, "checked": checked, "mismatches": bad}))
 
