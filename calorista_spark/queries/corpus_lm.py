@@ -151,3 +151,26 @@ def corpus_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2", "w3")
     )
+
+
+@query("corpus_bpe_merges", None)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 8 BPE merges learned from the
+    corpus (Sennrich subword units — see operators/bpe.py for the
+    scale shape: one corpus pass for word counts, then vocab-sized
+    iterations with a 1-row collect per learned merge). Iterative ⇒
+    rows-only driver check; the algorithm is pinned against a pure-
+    python reference implementation in tests/test_bpe.py, including
+    the non-overlapping left-to-right merge semantics and the
+    deterministic (count desc, pair asc) tie-break."""
+    from calorista_spark.operators.bpe import learn_bpe_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_merges(docs, 8)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "merge_rank int, left string, right string, pair_count long",
+    ).orderBy("merge_rank")
