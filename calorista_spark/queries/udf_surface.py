@@ -101,11 +101,19 @@ def event_zscores_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _UDTF_ORACLE = """
+WITH t AS (
+  -- empty tokens filtered: the UDTF uses python str.split(), which
+  -- drops leading/trailing empties that a regex split keeps
+  -- (r6 whitespace-edge audit); null text => no rows on both sides
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE doc_id < 10
+)
 SELECT doc_id,
-       CAST(generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS INTEGER) AS pos,
-       unnest(string_split_regex(lower(text), '\\s+')) AS word
-FROM documents
-WHERE doc_id < 10
+       CAST(generate_subscripts(w, 1) AS INTEGER) AS pos,
+       unnest(w) AS word
+FROM t
 ORDER BY doc_id, pos
 """
 

@@ -30,6 +30,9 @@ Run: python stress_audit.py [src_sf_dir] [out_dir]
      python stress_audit.py --unicode [src_sf_dir] [out_dir]
      (append multibyte text — accents/CJK/emoji — to ~6% of documents;
       the codepoint-semantics audit. Default out /tmp/unicode_sf.)
+     python stress_audit.py --whitespace [src_sf_dir] [out_dir]
+     (decorate ~6% of documents with leading/trailing spaces, tabs,
+      newlines — the tokenizer-edge audit. Default out /tmp/ws_sf.)
      python stress_audit.py --empty [src_sf_dir] [out_dir]
      (LIMIT 0 tables — the empty-input totality audit; default out
      /tmp/empty_sf. First r6 run found 3 real edge bugs: cube/rollup
@@ -75,6 +78,7 @@ _SPEC = {
 }
 
 
+_WS_DECOR = ("  ", " \t x\n\n y  ")
 _UNICODE_SUFFIX = " h\u00e9llo w\u00f6rld \u6f22\u5b57 \U0001f642 \u00f1a\u00efve"
 
 
@@ -84,6 +88,7 @@ def build(
     empty: bool = False,
     nulls: bool = False,
     unicode_: bool = False,
+    whitespace: bool = False,
 ) -> None:
     import duckdb
 
@@ -97,6 +102,25 @@ def build(
                 f"TO '{os.path.join(out, table + '.parquet')}' "
                 "(FORMAT PARQUET)"
             )
+            continue
+        if whitespace:
+            if table == "documents":
+                pre, post = _WS_DECOR
+                con.execute(
+                    f"COPY (SELECT doc_id, "
+                    f"CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+                    f" = 'c' THEN '{pre}' || text || e'{post}' ELSE text END"
+                    f" AS text, lang, source, n_chars "
+                    f"FROM read_parquet('{src_path}')) "
+                    f"TO '{os.path.join(out, table + '.parquet')}' "
+                    "(FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_path}')) "
+                    f"TO '{os.path.join(out, table + '.parquet')}' "
+                    "(FORMAT PARQUET)"
+                )
             continue
         if unicode_:
             if table == "documents":
@@ -229,6 +253,7 @@ def main() -> None:
     empty = "--empty" in sys.argv[1:]
     nulls = "--nulls" in sys.argv[1:]
     unicode_ = "--unicode" in sys.argv[1:]
+    whitespace = "--whitespace" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     default_out = (
         "/tmp/empty_sf"
@@ -236,11 +261,18 @@ def main() -> None:
         else (
             "/tmp/nulls_sf"
             if nulls
-            else ("/tmp/unicode_sf" if unicode_ else "/tmp/stress_sf")
+            else (
+                "/tmp/unicode_sf"
+                if unicode_
+                else ("/tmp/ws_sf" if whitespace else "/tmp/stress_sf")
+            )
         )
     )
     out = args[1] if len(args) > 1 else default_out
-    build(src, out, empty=empty, nulls=nulls, unicode_=unicode_)
+    build(
+        src, out, empty=empty, nulls=nulls, unicode_=unicode_,
+        whitespace=whitespace,
+    )
     checked, bad = sweep(out)
     print(json.dumps({"built": out, "checked": checked, "mismatches": bad}))
 
