@@ -174,3 +174,42 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_rank int, left string, right string, pair_count long",
     ).orderBy("merge_rank")
+
+
+@query("corpus_bpe_compression", None)
+def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY path: after learning 8 BPE merges, the
+    per-source compression report — words, characters, BPE tokens,
+    and chars-per-token — by joining each source's word stream
+    against the trained vocabulary's symbol counts (vocab-sized
+    broadcast side; the corpus pass is one explode + one keyed agg).
+    The "how much does this tokenizer compress each feed" question a
+    tokenizer-training run answers before committing. Iterative
+    upstream ⇒ rows-only, like corpus_bpe_merges."""
+    from calorista_spark.operators.bpe import learn_bpe_merges
+    from calorista_spark.operators.similarity import words_of
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, vocab = learn_bpe_merges(docs, 8)
+    sym_counts = vocab.select(
+        "word", F.size("symbols").alias("n_sym"), F.length("word").alias("n_chr")
+    )
+    words = docs.select(
+        "source", F.explode(words_of("text")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(sym_counts), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chr").alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            (
+                F.floor(
+                    F.sum("n_chr") * 1.0 / F.sum("n_sym") * 1e4 + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
