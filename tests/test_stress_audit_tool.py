@@ -66,3 +66,13 @@ def test_unicode_build_appends_multibyte(tmp_path):
         "WHERE text LIKE '%漢字%'"
     ).fetchone()[0]
     assert hit > 0
+
+
+def test_whitespace_build_decorates_documents(tmp_path):
+    out = str(tmp_path / "ws")
+    stress_audit.build("/root/testdata/sf0.001", out, whitespace=True)
+    hit = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet') "
+        "WHERE text LIKE '  %' AND text LIKE '%' || chr(10) || '%'"
+    ).fetchone()[0]
+    assert hit > 0
