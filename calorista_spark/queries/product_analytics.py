@@ -142,3 +142,72 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].unionByName(counts[1]).unionByName(counts[2])
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention matrix.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (
+  SELECT user_id, day,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM d
+),
+w AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+         (day - first_day) // 7 AS week_offset
+  FROM f
+),
+sized AS (
+  SELECT cohort_week,
+         CAST(week_offset AS INTEGER) AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM w GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       FLOOR(n_active * 1.0
+             / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week) * 1e4 + 0.5) / 1e4
+         AS retention_pct
+FROM sized
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("user_weekly_retention", _RETENTION_ORACLE)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention matrix: users grouped by first-seen
+    week (Monday-truncated in both engines), activity bucketed by
+    whole weeks since each user's first day, retention as the share
+    of the cohort's week-0 size. Every stage is a keyed aggregation;
+    the only window runs per cohort over O(weeks) rows."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = d.withColumn(
+        "first_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    w = f.select(
+        "user_id",
+        F.trunc("first_day", "week").alias("cohort_week"),
+        F.floor(F.datediff("day", "first_day") / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).distinct()
+    sized = w.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w0 = Window.partitionBy("cohort_week")
+    base = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w0)
+    return sized.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.floor(F.col("n_active") * 1.0 / base * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "retention_pct"
+        ),
+    ).orderBy("cohort_week", "week_offset")

@@ -404,3 +404,68 @@ def events_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average over the daily series.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e4
+           AS total_value
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT day, total_value,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM daily
+),
+s AS (
+  SELECT day, total_value,
+         SUM(total_value * power(0.7, -rn)) OVER
+           (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS num,
+         SUM(power(0.7, -rn)) OVER
+           (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS den
+  FROM r
+)
+SELECT day, total_value,
+       FLOOR(num / den * 1e4 + 0.5) / 1e4 AS ewma
+FROM s
+ORDER BY day
+"""
+
+
+@query("events_daily_ewma", _EWMA_ORACLE)
+def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.3, adjust-normalized: s_t = Σ(1-α)^(t-i)·x_i /
+    Σ(1-α)^(t-i)) in CLOSED FORM — two windowed sums of pre-scaled
+    terms whose common (1-α)^t factor cancels in the ratio, so no
+    recursive/sequential dependency exists in the plan. Both engines
+    fold the window in day order → bit-identical doubles; output
+    FLOOR-quantized. The (1-α)^(-rn) rescaling grows with series
+    length (0.7^-31 ≈ 6e4 here — fine for O(days) windows; a years-
+    long horizon would chunk + renormalize)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / 1e4
+        ).alias("total_value")
+    )
+    # O(days)-bounded global windows — cumulative_new_users class
+    w_rn = Window.orderBy("day")
+    r = daily.withColumn("rn", F.row_number().over(w_rn))
+    w_cum = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    num = F.sum(F.col("total_value") * F.pow(F.lit(0.7), -F.col("rn"))).over(
+        w_cum
+    )
+    den = F.sum(F.pow(F.lit(0.7), -F.col("rn"))).over(w_cum)
+    return r.select(
+        "day",
+        "total_value",
+        (F.floor(num / den * 1e4 + F.lit(0.5)) / 1e4).alias("ewma"),
+    ).orderBy("day")
