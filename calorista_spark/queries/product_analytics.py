@@ -211,3 +211,96 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_pct"
         ),
     ).orderBy("cohort_week", "week_offset")
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency distribution: as-of view → purchase lag.
+# ---------------------------------------------------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, 0 AS side, event_id AS r_event_id, ts AS r_ts,
+         NULL::BIGINT AS event_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, NULL, NULL, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0
+                    THEN {'eid': r_event_id, 'vts': r_ts} END
+               IGNORE NULLS) OVER w AS v
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, r_event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lags AS (
+  SELECT isodow(ts) AS purchase_dow,
+         date_diff('microsecond', v.vts, ts) / 1000000.0 AS lag_s
+  FROM carried WHERE side = 1 AND v IS NOT NULL
+)
+SELECT CAST(purchase_dow AS INTEGER) AS purchase_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       FLOOR(quantile_cont(lag_s, 0.5) * 1e4 + 0.5) / 1e4 AS median_lag_s,
+       FLOOR(quantile_cont(lag_s, 0.9) * 1e4 + 0.5) / 1e4 AS p90_lag_s
+FROM lags
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("view_purchase_latency_stats", _CONV_LATENCY_ORACLE)
+def view_purchase_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: for every purchase, the lag since
+    the user's most recent prior view (the LINEAR as-of union-window
+    shape — never the quadratic per-user view×purchase join), then
+    exact interpolated median/p90 per ISO weekday of the purchase.
+    Lag seconds are exact (integer micros / 1e6); percentile
+    interpolation parity is the stats_by_returnflag precedent;
+    outputs FLOOR-quantized."""
+    from calorista_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("v_eid"), F.col("ts").alias("v_ts")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        partition_keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["v_eid", "v_ts"],
+    )
+    lags = joined.filter(F.col("v_eid_asof").isNotNull()).select(
+        (F.weekday("ts") + 1).cast("int").alias("purchase_dow"),
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, v_ts_asof, ts)"
+            ).cast("double")
+            / 1e6
+        ).alias("lag_s"),
+    )
+    pcts = F.percentile("lag_s", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        lags.groupBy("purchase_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            pcts.alias("__p"),
+        )
+        .select(
+            "purchase_dow",
+            "n_conversions",
+            (F.floor(F.element_at("__p", 1) * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "median_lag_s"
+            ),
+            (F.floor(F.element_at("__p", 2) * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "p90_lag_s"
+            ),
+        )
+        .orderBy("purchase_dow")
+    )
