@@ -193,6 +193,34 @@ def main() -> None:
 
     results["minhash_lsh_200k_docs"] = timed("minhash_lsh", neardup_check)
 
+    # 4b. BPE merge learning at many docs: the corpus pass (word-freq
+    # groupBy) is the only data-scaled stage; the 3 merge iterations
+    # run over the vocabulary. Deterministic: two runs must learn the
+    # IDENTICAL merge table.
+    def bpe_check():
+        from calorista_spark.operators.bpe import learn_bpe_merges
+
+        n_docs = max(N // 50, 1000)
+        docs = spark.range(n_docs).select(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash("id", F.lit(j)), 500).cast("string"),
+                    )
+                    for j in range(12)
+                ],
+            ).alias("text")
+        )
+        m1, _ = learn_bpe_merges(docs, 3)
+        m2, _ = learn_bpe_merges(docs, 3)
+        assert m1 == m2 and len(m1) == 3, (m1, m2)
+        return f"docs={n_docs} merges={[(a, b) for a, b, _ in m1]}"
+
+    results["bpe_train_200k_docs"] = timed("bpe_train", bpe_check)
+    spark.catalog.clearCache()
+
     # 5. quantized-sum partition invariance: the same 10M doubles
     # summed under three different partitionings must agree EXACTLY —
     # the determinism property round(sum(x), 4) lacks at 1e9+
