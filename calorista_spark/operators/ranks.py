@@ -182,7 +182,13 @@ def grouped_row_number(
     ``(group, *order_cols)`` (a group larger than a partition spans
     ADJACENT partitions, each handling O(N/P) rows), rank locally per
     ``(partition, group)``, then add per-group offsets accumulated
-    across partition ids — an O(P + |groups|)-row window, never O(N).
+    across partition ids. The offsets frame has one row per
+    (partition, group) pair — O(P·|groups|), never O(N) — and is
+    BROADCAST, so this pattern assumes LOW-CARDINALITY groups (all
+    current callers group by ≤ |sources|/|epochs|/|status|); for a
+    high-cardinality group column use a plain
+    ``Window.partitionBy(group)`` instead (many small groups spread
+    fine across tasks — it's the few-huge-groups case this fixes).
     The building block for per-stratum quota selection ("smallest k
     hashes per source") and per-epoch shuffle orders."""
     ranged = _range_partitioned(df, [group_col, *order_cols], num_partitions)

@@ -96,16 +96,16 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_corpus"),
         F.floor(F.sum("c") * 20 / 100).cast("long").alias("n_target"),
     )
+    # integer `div`, not floor-of-double /: when n_target*c exceeds
+    # 2^53 (plausible at 100 TB doc counts) the double quotient loses
+    # ulps and its floor can differ by 1 from the oracle's exact `//`
     alloc = per_src.join(F.broadcast(tot)).select(
         "source",
         "c",
-        F.floor(F.col("n_target") * F.col("c") / F.col("n_corpus"))
-        .cast("long")
-        .alias("base"),
+        F.expr("n_target * c div n_corpus").cast("long").alias("base"),
         (
             F.col("n_target") * F.col("c")
-            - F.floor(F.col("n_target") * F.col("c") / F.col("n_corpus"))
-            .cast("long")
+            - F.expr("n_target * c div n_corpus").cast("long")
             * F.col("n_corpus")
         ).alias("rem"),
         "n_target",

@@ -168,9 +168,11 @@ ORDER BY event_type
 def event_geomean_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas_udf (Arrow batches in, ONE scalar out
     per group): geometric mean of event values per type. Spark plans
-    it as a real aggregate — partial batches stream through the
-    Python worker per group partition; no grouped-map-style whole-
-    group materialization in the plan's exchange. The log-mean is
+    it as a real aggregate node (ArrowAggregatePython). Note: grouped-
+    aggregate pandas UDFs do NOT support partial aggregation — each
+    group's rows are fully materialized in the Python worker; the win
+    over grouped-map is plan shape (one scalar out per group instead
+    of a whole re-emitted frame), not map-side combine. The log-mean is
     FLOOR-quantized on both sides (magnitude-bounded output, mean
     noise ~1e-13, registry conventions)."""
     import numpy as np
