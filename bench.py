@@ -22,6 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from calorista_spark.cache import cached_rdd_count, release_caches  # noqa: E402
 from calorista_spark.queries import QUERIES  # noqa: E402
 from calorista_spark.session import build_session  # noqa: E402
 
@@ -74,8 +75,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
+            release_caches(spark)
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        # cache-hygiene epilogue (r7): the persisting ops (two-pass
+        # ranks, doc_ccnet_buckets, iterative localCheckpoints) are
+        # reclaimed after each materialization, so a full-registry run
+        # carries no net cache growth — asserted via cached_rdds_end.
+        release_caches(spark)
 
     total = round(sum(timings.values()), 4)
     # Key order matters: the driver may keep only the TAIL of stdout,
@@ -87,6 +94,7 @@ def main() -> None:
         "metric": "total wall-clock for the SURVEY §2 query set",
         "unit": "sec",
         "calibration_sec": calibration,
+        "cached_rdds_end": cached_rdd_count(spark),
         "sf": _sf_of(sf_dir),
         "n_ok": len(timings),
         "n_err": len(errors),

@@ -112,6 +112,130 @@ def merge_pair_expr(left: str, right: str) -> Column:
     )
 
 
+def _ltr_merge(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    """Non-overlapping left-to-right merge of (left, right) — the
+    driver-side twin of :func:`merge_pair_expr` (same semantics,
+    pinned equal in tests/test_bpe.py)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe_merges_driver(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Real-vocab-capable BPE training: ONE Spark pass builds the
+    word-frequency table (the only data-scaled stage), which is then
+    collected and the merge loop runs driver-side — the classic
+    Sennrich setup, where the training state is the vocabulary, not
+    the corpus.
+
+    Why this exists alongside :func:`learn_bpe_merges` (the all-Spark
+    loop): a production 30k-merge train through the Spark loop is
+    ~45k driver-coordinated jobs — hours of pure scheduling overhead
+    on vocab-sized frames. Here each merge is O(affected words) of
+    pure-python dict updates with a lazy-deletion heap for the argmax,
+    so 1000 merges over a 200k-doc vocabulary finish in seconds
+    (proved in scale_smoke.py), and the merge sequence is pinned
+    identical to the Spark loop's on a shared prefix
+    (tests/test_bpe.py).
+
+    ``max_words`` caps the collected vocabulary to the top-N words by
+    (count desc, word asc) — the standard frequency-truncation used
+    when an open 100 TB corpus would otherwise produce an unbounded
+    tail of hapax words (a TakeOrdered top-N, never a global sort).
+
+    Determinism: identical to the Spark loop — best pair by
+    (pair_count desc, left asc, right asc), non-overlapping
+    left-to-right rewrite, stop when no pair repeats.
+
+    Returns (merges, final vocab DataFrame(word, cnt, symbols)) — the
+    vocab is re-created as a DataFrame (vocab-sized) so apply-path
+    consumers are interchangeable with the Spark-loop variant.
+    """
+    import heapq
+
+    wf = word_freq_symbols(docs, text_col).select("word", "cnt")
+    if max_words is not None:
+        wf = wf.orderBy(F.col("cnt").desc(), "word").limit(max_words)
+    collected = wf.collect()
+    words: list[tuple[tuple[str, ...], int]] = []
+    for r in collected:
+        chars = list(r["word"])
+        chars[-1] = chars[-1] + EOW
+        words.append((tuple(chars), int(r["cnt"])))
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(wi)
+    # lazy-deletion heap: every count change pushes a fresh entry; a
+    # popped entry is live only if it matches the dict. Tuple order
+    # (-count, left, right) == the Spark loop's orderBy.
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best: tuple[str, str, int] | None = None
+        while heap:
+            negc, left, right = heap[0]
+            live = pair_counts.get((left, right), 0)
+            if -negc == live and live > 0:
+                best = (left, right, live)
+                break
+            heapq.heappop(heap)  # stale
+        if best is None or best[2] < 2:
+            break
+        left, right, cnt = best
+        merges.append(best)
+        delta: dict[tuple[str, str], int] = {}
+        for wi in pair_words.get((left, right), set()).copy():
+            syms, wcnt = words[wi]
+            new_syms = _ltr_merge(syms, left, right)
+            if new_syms == syms:
+                continue
+            for p in zip(syms, syms[1:]):
+                delta[p] = delta.get(p, 0) - wcnt
+            for p in zip(new_syms, new_syms[1:]):
+                delta[p] = delta.get(p, 0) + wcnt
+            for p in set(zip(syms, syms[1:])):
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            for p in set(zip(new_syms, new_syms[1:])):
+                pair_words.setdefault(p, set()).add(wi)
+            words[wi] = (new_syms, wcnt)
+        for p, d in delta.items():
+            if d == 0:
+                continue
+            c = pair_counts.get(p, 0) + d
+            if c <= 0:
+                pair_counts.pop(p, None)
+            else:
+                pair_counts[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1]))
+
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(w, c, list(s)) for (s, c), w in zip(words, (r["word"] for r in collected))],
+        "word string, cnt long, symbols array<string>",
+    )
+    return merges, vocab
+
+
 def learn_bpe_merges(
     docs: DataFrame, num_merges: int, text_col: str = "text"
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:

@@ -70,11 +70,12 @@ def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int
     # is data-sized, and the deserialized default's on-heap row
     # objects cost several × the serialized footprint (observed OOM
     # at 10M rows in scale_smoke under a default driver heap).
-    # Callers batching many rank ops can spark.catalog.clearCache()
-    # between them.
-    from pyspark import StorageLevel
+    # Tracked (calorista_spark.cache): runners call release_caches()
+    # after materializing each query so composed sessions don't
+    # accumulate staged frames.
+    from calorista_spark.cache import tracked_persist
 
-    return ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    return tracked_persist(ranged)
 
 
 def global_row_number(

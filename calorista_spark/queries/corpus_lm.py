@@ -156,17 +156,20 @@ def corpus_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("corpus_bpe_merges", None)
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 8 BPE merges learned from the
-    corpus (Sennrich subword units — see operators/bpe.py for the
-    scale shape: one corpus pass for word counts, then vocab-sized
-    iterations with a 1-row collect per learned merge). Iterative ⇒
-    rows-only driver check; the algorithm is pinned against a pure-
-    python reference implementation in tests/test_bpe.py, including
-    the non-overlapping left-to-right merge semantics and the
+    corpus (Sennrich subword units). Runs the real-vocab-capable
+    trainer (operators/bpe.py learn_bpe_merges_driver): ONE Spark
+    corpus pass builds the word-frequency table, the merge loop runs
+    driver-side over it — the shape that survives a 30k-merge
+    production vocabulary (proved at 1000 merges / 200k docs in
+    scale_smoke.py). Iterative ⇒ rows-only driver check; the merge
+    sequence is pinned identical to both the all-Spark loop and a
+    pure-python reference in tests/test_bpe.py, including the
+    non-overlapping left-to-right merge semantics and the
     deterministic (count desc, pair asc) tie-break."""
-    from calorista_spark.operators.bpe import learn_bpe_merges
+    from calorista_spark.operators.bpe import learn_bpe_merges_driver
 
     docs = read_table(spark, sf_dir, "documents")
-    merges, _ = learn_bpe_merges(docs, 8)
+    merges, _ = learn_bpe_merges_driver(docs, 8)
     return spark.createDataFrame(
         [
             (i + 1, left, right, cnt)
@@ -176,37 +179,126 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
-@query("corpus_bpe_compression", None)
+# Frozen 8-merge table for the oracle-checked APPLY path (learned once
+# from the sf0.01 corpus over lowercase-alpha words and pinned as a
+# constant — a production tokenizer ships its merge table exactly like
+# this). Shared verbatim between the Spark plan and the DuckDB oracle
+# below so the two sides can never drift.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r▁"),
+    ("o", "w▁"),
+    ("t", "o"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "s"),
+    ("i", "n"),
+    ("e", "r"),
+]
+
+# DuckDB-side tokenizer: a word's symbol list is rendered as a
+# double-separator string ('  tok1  tok2  '); merging (l, r) is then
+# replace(' l  r ', ' lr ') — plain replace() scans left-to-right
+# non-overlapping, which IS the BPE rewrite rule, and the doubled
+# separators keep adjacent merges from consuming each other's
+# boundary (verified against a pure-python reference incl. the
+# 'aaaaa' overlapping-run case). Safe because words are [a-z]+ runs:
+# no token can contain a space.
+_TOK0 = (
+    "'  ' || regexp_replace(substr(word, 1, length(word)-1), '(.)', "
+    "'\\1  ', 'g') || substr(word, length(word), 1) || '▁' || '  '"
+)
+_TOK_EXPR = _TOK0
+for _l, _r in BPE_FIXED_MERGES:
+    _TOK_EXPR = f"replace({_TOK_EXPR}, ' {_l}  {_r} ', ' {_l}{_r} ')"
+
+_BPE_APPLY_ORACLE = f"""
+WITH words AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+           AS word
+  FROM documents
+),
+sw AS (SELECT source, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+vocab AS (
+  SELECT word,
+         CAST((length(toks) - length(replace(toks, ' ', ''))) / 2 - 1
+              AS BIGINT) AS n_sym,
+         CAST(length(word) AS BIGINT) AS n_chr
+  FROM (SELECT word, {_TOK_EXPR} AS toks
+        FROM (SELECT DISTINCT word FROM sw))
+)
+SELECT sw.source,
+       CAST(SUM(sw.c) AS BIGINT) AS n_words,
+       CAST(SUM(sw.c * v.n_chr) AS BIGINT) AS n_chars,
+       CAST(SUM(sw.c * v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       FLOOR(CAST(SUM(sw.c * v.n_chr) AS DOUBLE)
+             / CAST(SUM(sw.c * v.n_sym) AS DOUBLE) * 1e4 + 0.5) / 1e4
+         AS chars_per_token
+FROM sw JOIN vocab v USING (word)
+GROUP BY sw.source
+ORDER BY sw.source
+"""
+
+
+@query("corpus_bpe_compression", _BPE_APPLY_ORACLE)
 def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLY path: after learning 8 BPE merges, the
-    per-source compression report — words, characters, BPE tokens,
-    and chars-per-token — by joining each source's word stream
-    against the trained vocabulary's symbol counts (vocab-sized
-    broadcast side; the corpus pass is one explode + one keyed agg).
+    """Tokenizer APPLY path, oracle-checked (r7 — formerly rows-only):
+    a FIXED shipped 8-merge BPE table (BPE_FIXED_MERGES) applied to
+    the corpus's lowercase-alpha words, reported as per-source
+    compression — words, characters, BPE tokens, chars-per-token.
     The "how much does this tokenizer compress each feed" question a
-    tokenizer-training run answers before committing. Iterative
-    upstream ⇒ rows-only, like corpus_bpe_merges."""
-    from calorista_spark.operators.bpe import learn_bpe_merges
-    from calorista_spark.operators.similarity import words_of
+    corpus intake answers against the production tokenizer.
+
+    Scale shape: the corpus pass is one explode + one keyed
+    (source, word) agg with map-side combine; the 8 merge rewrites
+    run only over the DISTINCT-word vocabulary (array folds on a
+    vocab-sized frame) which then broadcasts back. Learning stays in
+    corpus_bpe_merges (inherently iterative ⇒ rows-only there); apply
+    is pure SQL-expressible, so DuckDB re-tokenizes every word
+    independently via the double-separator replace() rendering."""
+    from calorista_spark.operators.bpe import EOW, merge_pair_expr
 
     docs = read_table(spark, sf_dir, "documents")
-    _, vocab = learn_bpe_merges(docs, 8)
-    sym_counts = vocab.select(
-        "word", F.size("symbols").alias("n_sym"), F.length("word").alias("n_chr")
-    )
     words = docs.select(
-        "source", F.explode(words_of("text")).alias("word")
-    ).filter(F.length("word") > 0)
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce("text", F.lit(""))), F.lit("[a-z]+"), 0
+            )
+        ).alias("word"),
+    )
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    chars = F.split(F.col("word"), "")
+    n = F.size(chars)
+    vocab = sw.select("word").distinct().select(
+        "word",
+        F.concat(
+            F.slice(chars, 1, n - 1),
+            F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+        ).alias("symbols"),
+    )
+    for left, right in BPE_FIXED_MERGES:
+        vocab = vocab.withColumn("symbols", merge_pair_expr(left, right))
+    sym_counts = vocab.select(
+        "word",
+        F.size("symbols").cast("long").alias("n_sym"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
     return (
-        words.join(F.broadcast(sym_counts), "word")
+        sw.join(F.broadcast(sym_counts), "word")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_chr").alias("n_chars"),
-            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_chr")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("n_sym"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
             (
                 F.floor(
-                    F.sum("n_chr") * 1.0 / F.sum("n_sym") * 1e4 + F.lit(0.5)
+                    F.sum(F.col("c") * F.col("n_chr")).cast("double")
+                    / F.sum(F.col("c") * F.col("n_sym")).cast("double")
+                    * 1e4
+                    + F.lit(0.5)
                 )
                 / 1e4
             ).alias("chars_per_token"),

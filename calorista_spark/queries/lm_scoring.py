@@ -415,19 +415,19 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (lang, score) level via the two-pass grouped cumulative
     counts (no per-language single-task window). Docs with no covered
     bigrams land in an explicit 'oov' bucket."""
-    from pyspark import StorageLevel
-
+    from calorista_spark.cache import tracked_persist
     from calorista_spark.operators.ranks import grouped_cume_counts
 
     # persist: the scores frame feeds THREE consumers (the cume-count
     # input, the per-doc join-back, and the oov branch) — without it
     # each re-runs the full reference-LM pipeline (trigram-LM build +
     # join), measured 4.2 s → ~2.5 s at sf0.1. Serialized like the
-    # rank ops' staged frames; bench/driver clearCache() reclaims it.
-    scores = (
-        doc_lm_quality_score(spark, sf_dir)
-        .select("doc_id", "lang", "avg_nll_micronats")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # rank ops' staged frames; tracked so runners' release_caches()
+    # epilogue reclaims it after materialization.
+    scores = tracked_persist(
+        doc_lm_quality_score(spark, sf_dir).select(
+            "doc_id", "lang", "avg_nll_micronats"
+        )
     )
     scored = scores.filter(F.col("avg_nll_micronats").isNotNull())
     cume = grouped_cume_counts(scored, "lang", "avg_nll_micronats")

@@ -221,6 +221,43 @@ def main() -> None:
     results["bpe_train_200k_docs"] = timed("bpe_train", bpe_check)
     spark.catalog.clearCache()
 
+    # 4c. real-vocab BPE training (r7): the driver-side merge loop must
+    # handle a PRODUCTION-SIZED merge budget in seconds — the all-Spark
+    # loop is ~1.5 Spark jobs per merge (fine at 8, hours of scheduling
+    # at 30k). One corpus pass (the only data-scaled stage), then 1000
+    # merges over the collected vocabulary; the merge sequence must be
+    # the Spark loop's on a shared prefix.
+    def bpe_driver_check():
+        from calorista_spark.operators.bpe import (
+            learn_bpe_merges,
+            learn_bpe_merges_driver,
+        )
+
+        n_docs = max(N // 50, 1000)
+        docs = spark.range(n_docs).select(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash("id", F.lit(j)), 500).cast("string"),
+                    )
+                    for j in range(12)
+                ],
+            ).alias("text")
+        )
+        t0 = time.perf_counter()
+        m_big, _ = learn_bpe_merges_driver(docs, 1000)
+        t_driver = round(time.perf_counter() - t0, 2)
+        m_prefix, _ = learn_bpe_merges(docs, 8)
+        assert m_big[: len(m_prefix)] == m_prefix, "driver/Spark prefix drift"
+        assert len(m_big) >= 100, len(m_big)  # vocab-limited, not budget-limited
+        assert t_driver < 60, f"driver loop too slow: {t_driver}s"
+        return f"docs={n_docs} merges={len(m_big)} driver_loop={t_driver}s"
+
+    results["bpe_train_1000_merges"] = timed("bpe_driver", bpe_driver_check)
+    spark.catalog.clearCache()
+
     # 5. quantized-sum partition invariance: the same 10M doubles
     # summed under three different partitionings must agree EXACTLY —
     # the determinism property round(sum(x), 4) lacks at 1e9+

@@ -83,6 +83,62 @@ def test_merge_handles_overlapping_runs(spark):
     assert out == ["aa", "aa", "a"]
 
 
+def test_driver_trainer_matches_spark_loop(spark):
+    """The real-vocab driver loop must produce the IDENTICAL merge
+    sequence and final vocab as the all-Spark loop on a shared
+    prefix — the r7 acceptance pin for swapping the registered
+    queries onto the driver path."""
+    from calorista_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_driver,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+        "aaaa aaaa aa baaab",  # overlapping-run edge
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    m_spark, v_spark = learn_bpe_merges(docs, 8)
+    m_driver, v_driver = learn_bpe_merges_driver(docs, 8)
+    assert m_driver == m_spark
+    vs = {r.word: tuple(r.symbols) for r in v_spark.collect()}
+    vd = {r.word: tuple(r.symbols) for r in v_driver.collect()}
+    assert vd == vs
+
+
+def test_driver_trainer_matches_reference_at_depth(spark):
+    """Deep-vocab check: 200 merges vs the pure-python reference —
+    exercises the lazy-deletion heap through count increases,
+    decreases, and pair re-creation."""
+    from calorista_spark.operators.bpe import learn_bpe_merges_driver
+
+    texts = [
+        " ".join(f"w{i % 37}x{i % 11}" for i in range(200)),
+        " ".join(f"pre{i % 13}fix" for i in range(150)),
+        "banana bandana ananas banana banana bandana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got, _ = learn_bpe_merges_driver(docs, 200)
+    want, _ = _ref_bpe(texts, 200)
+    assert got == want
+
+
+def test_driver_trainer_max_words_cap(spark):
+    """max_words keeps only the top-N (cnt desc, word asc) words —
+    the 100 TB frequency-truncation path."""
+    from calorista_spark.operators.bpe import learn_bpe_merges_driver
+
+    texts = ["aa aa aa bb bb cc"]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges, vocab = learn_bpe_merges_driver(docs, 8, max_words=2)
+    assert sorted(r.word for r in vocab.collect()) == ["aa", "bb"]
+    # 'cc' dropped: only (a,a▁) cnt 3 and (b,b▁) cnt 2 are learnable
+    assert merges == [("a", "a▁", 3), ("b", "b▁", 2)]
+
+
 def test_learn_bpe_deterministic_rerun(spark, sf_dir):
     from calorista_spark.catalog import read_table
     from calorista_spark.operators.bpe import learn_bpe_merges
