@@ -469,3 +469,92 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         (F.floor(num / den * 1e4 + F.lit(0.5)) / 1e4).alias("ewma"),
     ).orderBy("day")
+
+
+# Long-horizon variant (r7 verdict item): the closed form above
+# rescales by (1-α)^(-rn), which overflows double around rn≈2000. The
+# block-renormalized decomposition below bounds every exponent by
+# O(block), so the operator survives multi-year spines; the oracle
+# writes the SAME expression tree in SQL (same block split, same
+# in-block cumulative, same Horner carry) so both engines fold
+# identical IEEE ops — naive-vs-blocked would differ in final ulps
+# and flip FLOOR boundaries.
+_LH_BLOCK = 50
+_LH_QL = repr(0.7**_LH_BLOCK)  # python-computed constant, shared verbatim
+
+_EWMA_LH_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e4
+           AS total_value
+  FROM events GROUP BY 1
+),
+rb AS (
+  SELECT day, total_value,
+         (row_number() OVER (ORDER BY day) - 1) // {_LH_BLOCK} AS b,
+         CAST((row_number() OVER (ORDER BY day) - 1) % {_LH_BLOCK} AS INTEGER)
+           AS r
+  FROM daily
+),
+s AS (
+  SELECT day, total_value, b, r,
+         SUM(total_value * power(0.7, -r)) OVER
+           (PARTITION BY b ORDER BY r ROWS UNBOUNDED PRECEDING) AS s_num,
+         SUM(power(0.7, -r)) OVER
+           (PARTITION BY b ORDER BY r ROWS UNBOUNDED PRECEDING) AS s_den
+  FROM rb
+),
+blocks AS (SELECT b AS j, s_num, s_den FROM s WHERE r = {_LH_BLOCK - 1}),
+carries AS (
+  SELECT j + 1 AS b,
+         s_num + {_LH_QL} * (COALESCE(lag(s_num, 1) OVER (ORDER BY j), 0.0)
+           + {_LH_QL} * (COALESCE(lag(s_num, 2) OVER (ORDER BY j), 0.0)
+             + {_LH_QL} * COALESCE(lag(s_num, 3) OVER (ORDER BY j), 0.0)))
+           AS c_num,
+         s_den + {_LH_QL} * (COALESCE(lag(s_den, 1) OVER (ORDER BY j), 0.0)
+           + {_LH_QL} * (COALESCE(lag(s_den, 2) OVER (ORDER BY j), 0.0)
+             + {_LH_QL} * COALESCE(lag(s_den, 3) OVER (ORDER BY j), 0.0)))
+           AS c_den
+  FROM blocks
+)
+SELECT day, total_value,
+       FLOOR((power(0.7, r) * s_num
+              + power(0.7, r + {_LH_BLOCK}) * COALESCE(c_num, 0.0))
+             / (power(0.7, r) * s_den
+                + power(0.7, r + {_LH_BLOCK}) * COALESCE(c_den, 0.0))
+             * 1e4 + 0.5) / 1e4 AS ewma
+FROM s LEFT JOIN carries USING (b)
+ORDER BY day
+"""
+
+
+@query("events_daily_ewma_longhorizon", _EWMA_LH_ORACLE)
+def events_daily_ewma_longhorizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.3, adjust-normalized) over the daily series via the
+    HORIZON-SAFE block-renormalized closed form
+    (operators/windows.py ewma_adjusted_longhorizon): exponents are
+    bounded by O(block), so a multi-year (or multi-decade) spine
+    cannot overflow — pinned against pandas ``ewm`` at 5,000 days in
+    tests. Same semantics as events_daily_ewma (identical output on
+    any sub-2000-day series up to final-ulp quantization); both kept
+    registered because the r6 query is the simpler exact anchor and
+    this is the production path."""
+    from calorista_spark.operators.windows import ewma_adjusted_longhorizon
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / 1e4
+        ).alias("total_value")
+    )
+    out = ewma_adjusted_longhorizon(
+        daily, "day", "total_value", out_col="__raw", alpha=0.3, block=_LH_BLOCK
+    )
+    return out.select(
+        "day",
+        "total_value",
+        (F.floor(F.col("__raw") * 1e4 + F.lit(0.5)) / 1e4).alias("ewma"),
+    ).orderBy("day")

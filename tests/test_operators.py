@@ -136,3 +136,53 @@ def test_date_spine_null_preserving(spark):
     out = densify_by_date(agg, "d", spine).orderBy("date").collect()
     assert len(out) == 4
     assert [r.total for r in out] == [None, 5.0, None, None]
+
+
+def test_ewma_longhorizon_matches_pandas_at_5000_days(spark):
+    """r7 verdict item: the block-renormalized EWMA must stay FINITE
+    and pandas-exact at horizons where the naive (1-α)^(-rn) closed
+    form overflows double (~rn 2000)."""
+    import numpy as np
+    import pandas as pd
+
+    from calorista_spark.operators.windows import ewma_adjusted_longhorizon
+
+    n = 5000
+    vals = [((i * 2654435761) % 100000) / 7.0 - 3000 for i in range(n)]
+    days = [
+        datetime.date(2000, 1, 1) + datetime.timedelta(days=i)
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame({"day": days, "x": vals})
+    got = (
+        ewma_adjusted_longhorizon(
+            spark.createDataFrame(pdf), "day", "x", out_col="e", alpha=0.3
+        )
+        .orderBy("day")
+        .select("e")
+        .toPandas()["e"]
+        .to_numpy()
+    )
+    want = pdf["x"].ewm(alpha=0.3, adjust=True).mean().to_numpy()
+    assert np.all(np.isfinite(got))
+    rel = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-9))
+    assert rel < 1e-12, rel
+
+
+def test_ewma_longhorizon_matches_shorthorizon_query(spark, sf_dir):
+    """On a sub-block series the long-horizon variant must agree with
+    the r6 exact closed form after quantization."""
+    from calorista_spark.queries.timeseries import (
+        events_daily_ewma,
+        events_daily_ewma_longhorizon,
+    )
+
+    a = {
+        (r.day, r.total_value): r.ewma
+        for r in events_daily_ewma(spark, sf_dir).collect()
+    }
+    b = {
+        (r.day, r.total_value): r.ewma
+        for r in events_daily_ewma_longhorizon(spark, sf_dir).collect()
+    }
+    assert a == b
