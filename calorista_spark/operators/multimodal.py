@@ -27,8 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from calorista_spark.operators.codecs import (
+    audio_features,
     decode_image_bytes,
+    decode_wav,
     encode_netpbm,
+    encode_wav,
     mean_luma,
     resize_nearest,
 )
@@ -117,6 +120,116 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_abs", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (r7): REAL PCM WAV
+    decode on the executors (operators/codecs.py decode_wav) → sample
+    rate, frame/channel counts, duration, mean-|amplitude| and RMS.
+    Same shape as :func:`extract_features` — one ``mapInPandas`` pass,
+    no shuffle, fixed schema; undecodable payloads surface as null
+    feature columns instead of failing the batch."""
+
+    def _one(b: bytes | None):
+        if b is None:
+            return None
+        try:
+            rate, samples = decode_wav(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return audio_features(rate, samples)
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            content = pdf["content"]
+            feats = content.map(_one)
+
+            def col(k, f=feats):
+                return f.map(lambda d: d[k] if d is not None else None)
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": content.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "sample_rate": col("sample_rate").astype("Int32"),
+                    "n_frames": col("n_frames").astype("Int64"),
+                    "n_channels": col("n_channels").astype("Int32"),
+                    "duration_ms": col("duration_ms").astype("Int64"),
+                    "mean_abs": col("mean_abs"),
+                    "rms": col("rms"),
+                }
+            )
+
+    return assets.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthetic_audio_assets(
+    spark,
+    n: int = 64,
+    rate: int = 8000,
+    n_samples: int = 1600,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic REAL audio clips for the codec path (the audio
+    twin of :func:`synthetic_image_assets`): asset ``i`` is a mono
+    16-bit PCM WAV whose samples follow the closed form
+
+        sample[k] = ((i * 37 + k * 13) % 4001) - 2000
+
+    so every decoded feature (mean |amplitude|, RMS, duration) is
+    independently recomputable by an SQL oracle from ``range()``
+    series — the oracle never touches the bytes. Generated
+    executor-side via ``mapInPandas`` over ``spark.range``."""
+    if num_partitions is None:
+        num_partitions = max(
+            1, min(spark.sparkContext.defaultParallelism, n // 64 or 1)
+        )
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["id"]:
+                k = np.arange(n_samples, dtype=np.int64)
+                samples = (int(aid) * 37 + k * 13) % 4001 - 2000
+                rows.append(
+                    (
+                        int(aid),
+                        "audio",
+                        encode_wav(samples, rate),
+                        "audio/wav",
+                        None,
+                        None,
+                        int(n_samples * 1000 // rate),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(
+        _gen, schema=ASSET_SCHEMA
+    )
 
 
 def sample_frames(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

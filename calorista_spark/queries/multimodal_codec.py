@@ -21,14 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.operators.multimodal import (
+    extract_audio_features,
     extract_features,
     resize_images,
+    synthetic_audio_assets,
     synthetic_image_assets,
 )
 from calorista_spark.queries.registry import query
 
 _N, _W, _H = 256, 24, 16
 _RW, _RH = 12, 8  # resize target: rows sampled at stride 2
+_AN, _RATE, _NS = 256, 8000, 1600  # audio: 256 clips of 0.2 s @ 8 kHz
 
 
 def _luma6(col: str):
@@ -94,3 +97,56 @@ def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", "width", "height", _luma6("mean_luma"))
         .orderBy("asset_id")
     )
+
+
+# WAV header = RIFF(12) + fmt(8+16) + data-header(8); mono 16-bit PCM
+# payload = 2 bytes/sample. Pinning n_bytes in the oracle locks the
+# ENCODER's byte layout, not just the decoded features.
+_WAV_BYTES = 12 + 24 + 8 + 2 * _NS
+
+_AUDIO_ORACLE = f"""
+WITH v AS (
+  SELECT a.asset_id,
+         ((a.asset_id * 37 + k.k * 13) % 4001) - 2000 AS v
+  FROM range({_AN}) AS a(asset_id), range({_NS}) AS k(k)
+)
+SELECT asset_id,
+       CAST({_WAV_BYTES} AS BIGINT) AS n_bytes,
+       CAST({_RATE} AS INTEGER) AS sample_rate,
+       CAST({_NS} AS BIGINT) AS n_frames,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST({_NS * 1000 // _RATE} AS BIGINT) AS duration_ms,
+       FLOOR(CAST(SUM(ABS(v)) AS DOUBLE) / {_NS} * 1e6 + 0.5) / 1e6
+         AS mean_abs,
+       FLOOR(sqrt(CAST(SUM(v * v) AS DOUBLE) / {_NS}) * 1e6 + 0.5) / 1e6
+         AS rms
+FROM v
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_audio_features", _AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode on the executors (r7 — closes the last
+    modality gap): closed-form mono PCM WAV clips → Arrow-batched
+    ``mapInPandas`` decode (operators/codecs.py decode_wav, a full
+    RIFF chunk walker) → per-clip byte size, rate, frames, channels,
+    duration, mean |amplitude| and RMS, verified against an oracle
+    that recomputes every feature from the synthetic waveform's
+    closed form — it never touches the bytes, so encoder layout,
+    decoder arithmetic, and feature math are all pinned end-to-end.
+    ``sf_dir`` unused, like the image codec queries (generated
+    assets by design)."""
+    assets = synthetic_audio_assets(spark, n=_AN, rate=_RATE, n_samples=_NS)
+    feats = extract_audio_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "sample_rate",
+        "n_frames",
+        "n_channels",
+        "duration_ms",
+        _luma6("mean_abs"),
+        _luma6("rms"),
+    ).orderBy("asset_id")

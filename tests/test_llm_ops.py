@@ -248,3 +248,110 @@ def test_real_codec_extract_and_resize(spark):
     # undecodable bytes → null resized under real_codec
     jr = resize_images(junk, 5, 3, real_codec=True).collect()
     assert all(r.resized is None for r in jr)
+
+
+def test_wav_codec_roundtrip_and_chunks():
+    """r7 audio codec: encode→decode roundtrip (mono + stereo), 8/24/
+    32-bit decode, extra-chunk tolerance, and the error contracts."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from calorista_spark.operators.codecs import (
+        UnsupportedAudioError,
+        audio_features,
+        decode_wav,
+        encode_wav,
+        sniff_audio_format,
+    )
+
+    mono = (np.arange(100, dtype=np.int64) * 97) % 3001 - 1500
+    rate, got = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and got.shape == (100, 1)
+    assert (got[:, 0] == mono).all()
+
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, got2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and got2.shape == (100, 2)
+    assert (got2 == stereo).all()
+
+    # extra LIST chunk between fmt and data must be skipped
+    payload = encode_wav(mono, 8000)
+    fmt_chunk = payload[12:36]
+    data_chunk = payload[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded odd
+    doctored = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + len(extra) + len(data_chunk))
+        + b"WAVE"
+        + fmt_chunk
+        + extra
+        + data_chunk
+    )
+    rate, got3 = decode_wav(doctored)
+    assert (got3[:, 0] == mono).all()
+
+    # 8-bit unsigned and 24/32-bit signed widths
+    def wav_raw(bits, body, channels=1, rate=8000):
+        fmt_body = struct.pack(
+            "<HHIIHH", 1, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt_body
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+
+    _, s8 = decode_wav(wav_raw(8, bytes([0, 128, 255])))
+    assert s8[:, 0].tolist() == [-128, 0, 127]
+    body24 = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in (-(1 << 23), 0, (1 << 23) - 1)
+    )
+    _, s24 = decode_wav(wav_raw(24, body24))
+    assert s24[:, 0].tolist() == [-(1 << 23), 0, (1 << 23) - 1]
+    _, s32 = decode_wav(wav_raw(32, struct.pack("<3i", -7, 0, 7)))
+    assert s32[:, 0].tolist() == [-7, 0, 7]
+
+    # error contracts
+    assert sniff_audio_format(b"fLaC....") == "flac"
+    with pytest.raises(UnsupportedAudioError):
+        decode_wav(b"fLaC" + b"\x00" * 64)  # not WAV
+    with pytest.raises(NotImplementedError):  # subclass contract
+        decode_wav(wav_raw(16, b"\x00\x00").replace(
+            struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1
+        ))  # format tag 3 (float) unsupported
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+
+    # feature math: exact integer sums
+    f = audio_features(8000, np.array([[3], [-4]], dtype=np.int32))
+    assert f["mean_abs"] == 3.5 and f["rms"] == (12.5) ** 0.5
+    assert f["duration_ms"] == 0 and f["n_channels"] == 1
+
+
+def test_extract_audio_features_null_and_junk(spark):
+    """Nulls and undecodable payloads surface as null features, never
+    batch failures."""
+    import pandas as pd
+
+    from calorista_spark.operators.codecs import encode_wav
+    from calorista_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_features,
+    )
+
+    rows = [
+        (0, "audio", encode_wav([100, -100], 8000), "audio/wav", None, None, None),
+        (1, "audio", None, "audio/wav", None, None, None),
+        (2, "audio", b"garbage-bytes", "audio/wav", None, None, None),
+    ]
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields]),
+        schema=ASSET_SCHEMA,
+    )
+    got = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert got[0].mean_abs == 100.0 and got[0].n_frames == 2
+    assert got[1].rms is None and got[1].n_bytes is None
+    assert got[2].rms is None and got[2].n_bytes == 13
