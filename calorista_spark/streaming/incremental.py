@@ -205,37 +205,55 @@ def running_totals_with_state(
     )
 
 
+def merge_batch_into_store(
+    batch: DataFrame, store_path: str, keys: list[str]
+) -> None:
+    """One micro-batch of the ST1 MERGE: the engine's join-based
+    upsert against the current parquet store, atomically replacing it.
+    IDEMPOTENT per batch (re-merging the same rows is a no-op upsert),
+    which is what makes foreachBatch + checkpoint exactly-once across
+    crash/restart — proved by scale_smoke.py's restart section. Module
+    level so failure-injection harnesses can wrap it without forking
+    the merge logic."""
+    spark = batch.sparkSession
+    import os
+
+    if any(
+        f.endswith(".parquet") or f == "_SUCCESS"
+        for f in (os.listdir(store_path) if os.path.isdir(store_path) else [])
+    ):
+        target = spark.read.parquet(store_path)
+        merged = merge_upsert(target, batch.select(*target.columns), keys)
+    else:
+        merged = batch
+    # localCheckpoint materializes BEFORE the overwrite truncates
+    # the input path (read-overwrite hazard of the parquet fallback;
+    # Delta MERGE has no such step).
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+
+
 def start_incremental_merge(
     stream: DataFrame,
     store_path: str,
     keys: list[str],
     checkpoint: str,
     trigger_available_now: bool = True,
+    on_batch=None,
 ):
     """ST1: foreachBatch MERGE into a parquet store.
 
-    Each micro-batch runs the engine's join-based upsert against the
-    current store and atomically replaces it. On Delta deployments the
-    body becomes a real ``MERGE INTO`` and the rewrite disappears; the
-    orchestration (checkpointing, exactly-once batch ids) is identical.
+    Each micro-batch runs :func:`merge_batch_into_store`. On Delta
+    deployments the body becomes a real ``MERGE INTO`` and the rewrite
+    disappears; the orchestration (checkpointing, exactly-once batch
+    ids) is identical. ``on_batch(batch_id)``, when given, runs before
+    each merge — the failure-injection seam the checkpoint-restart
+    smoke uses to crash a specific micro-batch.
     """
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        import os
-
-        if any(
-            f.endswith(".parquet") or f == "_SUCCESS"
-            for f in (os.listdir(store_path) if os.path.isdir(store_path) else [])
-        ):
-            target = spark.read.parquet(store_path)
-            merged = merge_upsert(target, batch.select(*target.columns), keys)
-        else:
-            merged = batch
-        # localCheckpoint materializes BEFORE the overwrite truncates
-        # the input path (read-overwrite hazard of the parquet fallback;
-        # Delta MERGE has no such step).
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+        if on_batch is not None:
+            on_batch(batch_id)
+        merge_batch_into_store(batch, store_path, keys)
 
     writer = stream.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint

@@ -408,6 +408,172 @@ def main() -> None:
 
     results["streaming_1M_events"] = timed("streaming", streaming_check)
 
+    # 6c. checkpoint RESTART proof (r7 verdict item): bounded state in
+    # one pass is not enough — a production stream dies and resumes.
+    # Two proofs, both against uninterrupted twins:
+    #   (a) exactly-once MERGE across a MID-RUN CRASH: a poisoned
+    #       micro-batch kills the query after two batches committed;
+    #       the restart (same checkpoint) must replay ONLY the failed
+    #       batch and converge to the uninterrupted store;
+    #   (b) dedup STATE RECOVERY across a restart: a duplicate whose
+    #       first copy arrived before the stop must still be dropped
+    #       after resume — provable only if the state store reloads.
+    def restart_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.streaming.incremental import (
+            start_incremental_merge,
+            watermarked_dedup,
+        )
+
+        n_ev = 50_000
+        root = tempfile.mkdtemp(prefix="smoke_restart_")
+        try:
+            def gen(lo, hi, key_mod=None):
+                return spark.range(lo, hi).select(
+                    (
+                        F.pmod(F.col("id"), key_mod) if key_mod else F.col("id")
+                    ).alias("event_id"),
+                    F.timestamp_micros(
+                        F.lit(1_700_000_000_000_000)
+                        + F.pmod(F.hash("id"), 86_400).cast("long") * 1_000_000
+                    ).alias("ts"),
+                    (F.pmod(F.hash("id", F.lit(3)), 10_000) / 100.0).alias(
+                        "value"
+                    ),
+                )
+
+            # ---- (a) mid-run crash during foreachBatch MERGE ----
+            src = os.path.join(root, "src")
+            os.makedirs(src)
+            schema = gen(0, 1).schema
+            # 4 files, delivered in order; ids overlap across files so
+            # the merge genuinely upserts (key space = 30k over 50k rows)
+            for i in range(4):
+                gen(i * n_ev // 4, (i + 1) * n_ev // 4, key_mod=30_000).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+                t = time.time() - 10 + i
+                d = os.path.join(src, f"f{i}")
+                for f in os.listdir(d):
+                    os.utime(os.path.join(d, f), (t, t))
+
+            def stream():
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src)
+                )
+
+            # uninterrupted twin
+            store_a = os.path.join(root, "store_a")
+            os.makedirs(store_a)
+            q = start_incremental_merge(
+                stream(), store_a, ["event_id"],
+                os.path.join(root, "ckpt_a"),
+            )
+            q.awaitTermination()
+
+            # crashing run: batches 0-1 commit, batch 2 detonates
+            # while the flag exists → a genuine mid-run failure with
+            # partial progress in the checkpoint
+            flag = os.path.join(root, "bomb_armed")
+            open(flag, "w").close()
+            replayed: list[int] = []
+
+            def bomb(batch_id: int) -> None:
+                replayed.append(batch_id)
+                if batch_id == 2 and os.path.exists(flag):
+                    raise RuntimeError("injected mid-run failure")
+
+            store_b = os.path.join(root, "store_b")
+            os.makedirs(store_b)
+            ckpt_b = os.path.join(root, "ckpt_b")
+            q = start_incremental_merge(
+                stream(), store_b, ["event_id"], ckpt_b, on_batch=bomb
+            )
+            crashed = False
+            try:
+                q.awaitTermination()
+            except Exception:  # noqa: BLE001 — the injected failure
+                crashed = True
+            assert crashed, "bomb did not detonate"
+            assert replayed == [0, 1, 2], replayed
+            os.remove(flag)
+            # restart from the SAME checkpoint: must replay ONLY the
+            # failed batch and the remainder, not batches 0-1
+            replayed.clear()
+            q = start_incremental_merge(
+                stream(), store_b, ["event_id"], ckpt_b, on_batch=bomb
+            )
+            q.awaitTermination()
+            assert min(replayed) == 2, replayed
+            a = sorted(
+                tuple(r) for r in spark.read.parquet(store_a).collect()
+            )
+            b = sorted(
+                tuple(r) for r in spark.read.parquet(store_b).collect()
+            )
+            assert a == b and len(a) == 30_000, (len(a), len(b))
+
+            # ---- (b) dedup state survives a stop/restart ----
+            src2 = os.path.join(root, "src2")
+            out2 = os.path.join(root, "out2")
+            ckpt2 = os.path.join(root, "ckpt2")
+            os.makedirs(src2)
+            os.makedirs(out2)
+            gen(0, 20_000).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src2, "w1")
+            )
+
+            def run_dedup():
+                s = (
+                    spark.readStream.schema(schema)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src2)
+                )
+                dd = watermarked_dedup(s, ["event_id"], "ts", delay="3 days")
+
+                def _sink(batch, batch_id):
+                    batch.write.mode("overwrite").parquet(
+                        os.path.join(out2, f"batch={batch_id}")
+                    )
+
+                q = (
+                    dd.writeStream.foreachBatch(_sink)
+                    .option("checkpointLocation", ckpt2)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            run_dedup()  # wave 1: 20k distinct keys; query STOPS
+            # wave 2: 2k exact duplicates of wave-1 events (same id,
+            # same ts — a re-delivery) + 3k new keys, then RESTART
+            dup = gen(0, 2_000)
+            new = gen(20_000, 23_000)
+            dup.union(new).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src2, "w2")
+            )
+            run_dedup()
+            got = spark.read.option("recursiveFileLookup", "true").parquet(
+                out2
+            )
+            n_rows = got.count()
+            n_keys = got.select("event_id").distinct().count()
+            assert n_rows == n_keys == 23_000, (n_rows, n_keys)
+            return (
+                "merge store identical after mid-run crash+restart "
+                f"(30000 keys); dedup state recovered across restart "
+                f"({n_keys} keys, 2000 cross-restart dupes dropped)"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["streaming_restart"] = timed("streaming_restart", restart_check)
+
     # 7. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (
