@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Whole-registry correctness sweep → CORRECTNESS_local_full.json.
+
+The external driver checks a rotating 50-query window per round; this
+sweep runs EVERY registered query against its DuckDB oracle through
+the same contract (driver-style session — NOT the library's tuned
+build_session — under a hostile non-UTC timezone) so the artifact
+trail shows whole-registry freshness each round (r6 verdict item #9).
+
+Output format mirrors the driver's CORRECTNESS_r{N}.json rows:
+{name: {rows_match, schema_match, hash_match, spark_rows,
+        oracle_rows, err}} plus a _meta record. "hash_match" here is
+exact normalized-sorted-row equality + canonical arrow-dtype parity —
+strictly stronger than the driver's order-insensitive value hash.
+
+Run: python local_sweep.py [sf_dir] [session_tz]
+     (defaults: /root/testdata/sf0.01, America/Los_Angeles)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    tz = sys.argv[2] if len(sys.argv) > 2 else "America/Los_Angeles"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.ui.enabled", "false")
+        .appName("calorista-local-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from calorista_spark.cache import release_caches
+    from calorista_spark.queries import ORACLES, QUERIES
+    from tests.oracle_compare import (
+        compare_arrow_types,
+        run_oracle,
+        _norm_rows,
+    )
+
+    out: dict[str, dict] = {}
+    t_start = time.time()
+    for name in sorted(QUERIES):
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            rec["spark_rows"] = len(s_rows)
+            if name not in ORACLES:
+                rec["err"] = "no_oracle"
+            else:
+                o_cols, o_rows = run_oracle(ORACLES[name], sf_dir)
+                rec["oracle_rows"] = len(o_rows)
+                rec["rows_match"] = len(s_rows) == len(o_rows)
+                rec["schema_match"] = sorted(s_cols) == sorted(o_cols)
+                dtype_problems = compare_arrow_types(
+                    df, ORACLES[name], sf_dir
+                )
+                rec["hash_match"] = (
+                    rec["schema_match"]
+                    and not dtype_problems
+                    and _norm_rows(s_cols, s_rows)
+                    == _norm_rows(o_cols, o_rows)
+                )
+                if dtype_problems:
+                    rec["err"] = f"dtype: {dtype_problems[:2]}"
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        out[name] = rec
+        release_caches(spark)
+        status = (
+            "ok"
+            if rec["hash_match"]
+            else ("rows-only" if rec["err"] == "no_oracle" else "FAIL")
+        )
+        if status == "FAIL" and rec["err"] is None:
+            status = "MISMATCH"
+        print(f"{name}: {status}", file=sys.stderr)
+
+    oracle_green = sum(1 for r in out.values() if r["hash_match"])
+    rows_only = sum(1 for r in out.values() if r["err"] == "no_oracle")
+    bad = [
+        n
+        for n, r in out.items()
+        if not r["hash_match"] and r["err"] != "no_oracle"
+    ]
+    out["_meta"] = {
+        "sf_dir": sf_dir,
+        "session_tz": tz,
+        "n_queries": len(QUERIES),
+        "oracle_green": oracle_green,
+        "rows_only": rows_only,
+        "failures": bad,
+        "elapsed_sec": round(time.time() - t_start, 1),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "CORRECTNESS_local_full.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {"written": path, **out["_meta"]}
+        )
+    )
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -574,6 +574,77 @@ def main() -> None:
 
     results["streaming_restart"] = timed("streaming_restart", restart_check)
 
+    # 8. skewed-join mitigation (r7 verdict item): plant a 30%-mass
+    # key in an N-row fact and join a non-broadcastable dim with and
+    # without salting, under the confs where skew actually bites
+    # (broadcast off — the 100 TB dim doesn't fit; AQE skew-split off
+    # — it only rescues sort-merge plans). Results must be identical;
+    # the salted wall-clock must beat the straggler.
+    def skew_join_check():
+        from calorista_spark.operators.joins import salted_join
+
+        import shutil
+        import tempfile
+
+        n_keys = 1_000
+        # materialize the skewed fact to parquet so both measured runs
+        # pay the same cheap scan and the JOIN dominates the timing
+        fact_path = tempfile.mkdtemp(prefix="smoke_skew_")
+        spark.range(N).select(
+            # ~30% of rows land on key 0, the rest spread uniformly
+            F.when(F.pmod(F.hash("id"), 100) < 30, F.lit(0))
+            .otherwise(F.pmod(F.hash("id", F.lit(7)), n_keys - 1) + 1)
+            .alias("k"),
+            (F.pmod(F.hash("id", F.lit(2)), 1_000_000) / 100.0).alias("v"),
+        ).write.mode("overwrite").parquet(fact_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.range(n_keys).select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash("id", F.lit(9)), 1_000).alias("w"),
+        )
+        saved = {
+            "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            ),
+            "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+                "spark.sql.adaptive.skewJoin.enabled"
+            ),
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            def checksum(df):
+                return df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.hash("k", "v", "w").cast("long")).alias("h"),
+                ).first()
+
+            t0 = time.perf_counter()
+            naive = checksum(fact.join(dim, "k"))
+            t_naive = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            salted = checksum(
+                salted_join(fact, dim, "k", salt_buckets=32).select(
+                    "k", "v", "w"
+                )
+            )
+            t_salted = round(time.perf_counter() - t0, 2)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+            shutil.rmtree(fact_path, ignore_errors=True)
+        assert tuple(naive) == tuple(salted), (naive, salted)
+        assert naive["n"] == N, naive["n"]
+        # equal results, and salting must actually pay on the planted
+        # 30%-mass key (straggler task = 0.3·N rows vs 0.3·N/32)
+        assert t_salted < t_naive, (t_salted, t_naive)
+        return (
+            f"rows={N} hot_key_share=0.30 naive={t_naive}s "
+            f"salted(32)={t_salted}s speedup={t_naive / t_salted:.2f}x"
+        )
+
+    results["skew_join_10M"] = timed("skew_join", skew_join_check)
+
     # 7. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (
