@@ -149,3 +149,95 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.round(F.array_max(abs_arr), 6).alias("max_abs"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (SQ8) of embeddings with reconstruction-
+# error audit — the memory-reduction step an ANN index applies before
+# serving billions of vectors.
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vals
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vals,
+         list_min(vals) AS mn,
+         list_max(vals) - list_min(vals) AS rng
+  FROM v
+),
+c AS (
+  SELECT vec_id, vals, mn, rng,
+         list_transform(vals, x -> CASE WHEN rng > 0
+             THEN CAST(FLOOR((x - mn) / rng * 255 + 0.5) AS BIGINT)
+             ELSE 0 END) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(vals) AS INTEGER) AS dim,
+       FLOOR(rng / 255 * 1e9 + 0.5) / 1e9 AS scale_q,
+       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+       CAST(list_max(codes) AS INTEGER) AS max_code,
+       CAST(list_sum(list_transform(list_zip(vals, codes), p ->
+            CAST(FLOOR(ABS(p[1] - (mn + (p[2] * rng) / 255)) * 1e9 + 0.5)
+                 AS BIGINT))) AS BIGINT) AS sum_abs_err_nano
+FROM c
+ORDER BY vec_id
+"""
+
+
+@query("embedding_sq8_quantization", _SQ8_ORACLE)
+def embedding_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar int8 quantization (min/max affine codes,
+    the SQ8 of FAISS/Milvus) with a reconstruction-error audit —
+    code sums/max pin the quantizer itself, and the summed per-element
+    |error| pins the dequantize path. All JVM-side higher-order
+    expressions (transform/zip_with/aggregate), no UDF, no shuffle.
+
+    Determinism: codes are FLOOR of identical correctly-rounded IEEE
+    chains in both engines; per-element errors are quantized to
+    integer nano-units BEFORE summing, so the fold order of the array
+    sum can never surface (the quantized_sum convention applied inside
+    an array). Null embeddings propagate as null rows in both engines
+    (text-op totality convention's numeric sibling)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", vals.alias("vals"))
+    mn = F.array_min("vals")
+    rng = F.array_max("vals") - F.array_min("vals")
+    e = e.select("vec_id", "vals", mn.alias("mn"), rng.alias("rng"))
+    codes = F.transform(
+        "vals",
+        lambda x: F.when(
+            F.col("rng") > 0,
+            F.floor((x - F.col("mn")) / F.col("rng") * 255 + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    e = e.select("vec_id", "vals", "mn", "rng", codes.alias("codes"))
+    err_nano = F.zip_with(
+        "vals",
+        "codes",
+        lambda x, c: F.floor(
+            F.abs(x - (F.col("mn") + (c * F.col("rng")) / 255)) * 1e9
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("vals").alias("dim"),
+        (F.floor(F.col("rng") / 255 * 1e9 + F.lit(0.5)) / 1e9).alias(
+            "scale_q"
+        ),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_codes"),
+        F.array_max("codes").cast("int").alias("max_code"),
+        F.aggregate(
+            err_nano, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_abs_err_nano"),
+    ).orderBy("vec_id")

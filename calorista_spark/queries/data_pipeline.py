@@ -397,3 +397,106 @@ def props_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (CCNet's per-line hash dedup, the step
+# that strips boilerplate headers/footers shared across pages).
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_ORACLE = """
+WITH lines AS (
+  SELECT d.source, d.doc_id, pos, line
+  FROM (
+    SELECT source, doc_id,
+           unnest(string_split(COALESCE(text, ''), chr(10))) AS line,
+           unnest(range(len(string_split(COALESCE(text, ''), chr(10)))))
+             AS pos
+    FROM documents
+  ) AS d
+  WHERE length(trim(line)) > 0
+),
+keeper AS (
+  SELECT line, MIN(doc_id * 10000000 + pos) AS keep_key
+  FROM lines GROUP BY line
+),
+flagged AS (
+  SELECT l.source, l.line,
+         (l.doc_id * 10000000 + l.pos) = k.keep_key AS kept
+  FROM lines l JOIN keeper k USING (line)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(length(line)) AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN kept THEN length(line) ELSE 0 END) AS BIGINT)
+         AS n_chars_kept,
+       FLOOR(CAST(SUM(CASE WHEN kept THEN length(line) ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(length(line)) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS kept_char_frac
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("corpus_line_dedup", _LINE_DEDUP_ORACLE)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide LINE dedup: every non-blank line is
+    deduplicated across the whole corpus (first occurrence by
+    (doc_id, line position) wins — a total order, so the keeper is
+    deterministic), reported per source as line/char keep rates — the
+    "how much boilerplate does each feed carry" intake question.
+
+    Scale shape: posexplode → one keyed groupBy(line) with map-side
+    combine for the keeper key (at 100 TB the group key becomes
+    xxhash64(line) — same plan, 8-byte keys; the literal line is kept
+    here so the oracle can recompute it) → equi-join back on the line
+    key → per-source aggregation. No window, no all-pairs; the keeper
+    MIN is a combinable aggregate, exactly the L1 exact-dedup shape
+    one level below documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce("text", F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    keeper = lines.groupBy("line").agg(
+        F.min(F.col("doc_id") * 10_000_000 + F.col("pos")).alias("keep_key")
+    )
+    flagged = lines.join(keeper, "line").select(
+        "source",
+        "line",
+        (
+            (F.col("doc_id") * 10_000_000 + F.col("pos"))
+            == F.col("keep_key")
+        ).alias("kept"),
+    )
+    kept_chars = F.sum(
+        F.when(F.col("kept"), F.length("line")).otherwise(F.lit(0))
+    )
+    all_chars = F.sum(F.length("line"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            all_chars.cast("long").alias("n_chars"),
+            kept_chars.cast("long").alias("n_chars_kept"),
+            (
+                F.floor(
+                    kept_chars.cast("double")
+                    / all_chars.cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("kept_char_frac"),
+        )
+        .orderBy("source")
+    )
