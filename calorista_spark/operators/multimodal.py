@@ -232,10 +232,162 @@ def synthetic_audio_assets(
     )
 
 
+# ---------------------------------------------------------------------------
+# Video: a deterministic multi-frame container over the real NetPBM
+# codec (r7 — upgrades frame sampling from byte-offset stand-in to a
+# real decode path). Container layout: b"CVID" + <n_frames:4 LE> +
+# <frame_bytes:4 LE> + n_frames fixed-size NetPBM P5 frames, i.e. the
+# raw-concatenated-frames shape of uncompressed AVI/Y4M streams.
+# ---------------------------------------------------------------------------
+
+_VIDEO_MAGIC = b"CVID"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Concatenate equal-shaped grayscale frames into the container.
+    Every frame encodes to the same NetPBM byte size (fixed header for
+    fixed dims), so frame k lives at a computable offset — seekable
+    sampling without an index, like any fixed-rate raw stream."""
+    import struct
+
+    if not frames:
+        return _VIDEO_MAGIC + struct.pack("<II", 0, 0)
+    payloads = [encode_netpbm(f) for f in frames]
+    sizes = {len(p) for p in payloads}
+    if len(sizes) != 1:
+        raise ValueError("frames must share dimensions")
+    return (
+        _VIDEO_MAGIC
+        + struct.pack("<II", len(payloads), sizes.pop())
+        + b"".join(payloads)
+    )
+
+
+def decode_video_frame(content: bytes, index: int) -> np.ndarray:
+    """Decode frame ``index`` by direct offset arithmetic + the real
+    NetPBM decoder — O(frame), not O(stream)."""
+    import struct
+
+    if content[:4] != _VIDEO_MAGIC:
+        raise ValueError("not a CVID container")
+    n_frames, frame_bytes = struct.unpack("<II", content[4:12])
+    if not 0 <= index < n_frames:
+        raise IndexError(f"frame {index} of {n_frames}")
+    off = 12 + index * frame_bytes
+    from calorista_spark.operators.codecs import decode_netpbm
+
+    return decode_netpbm(content[off : off + frame_bytes])
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_video_frames(assets: DataFrame, stride: int = 4) -> DataFrame:
+    """REAL frame sampling: every ``stride``-th frame of each video is
+    seek-decoded (offset arithmetic, never a full-stream scan) and
+    reduced to dimensions + mean luminance — the canonical 1→N
+    ``mapInPandas`` shape of a production frame sampler, with the
+    byte-level work Arrow-batched and partition-local. Undecodable or
+    null payloads contribute no rows (same totality policy as the
+    image features' null columns, but 1→N ops drop instead)."""
+    import struct
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                if content is None or content[:4] != _VIDEO_MAGIC:
+                    continue
+                n_frames, _fb = struct.unpack("<II", bytes(content[4:12]))
+                for idx in range(0, n_frames, stride):
+                    try:
+                        arr = decode_video_frame(bytes(content), idx)
+                    except (ValueError, IndexError):
+                        continue
+                    rows.append(
+                        (
+                            int(asset_id),
+                            idx,
+                            int(arr.shape[1]),
+                            int(arr.shape[0]),
+                            mean_luma(arr),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+def synthetic_video_assets(
+    spark,
+    n: int = 64,
+    width: int = 16,
+    height: int = 12,
+    n_frames: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic REAL videos (the video twin of
+    :func:`synthetic_image_assets`): asset ``i``'s frame ``f`` is a
+    NetPBM row-gradient with ``pixel(y, x) = (i + 3*f + y) % 256`` —
+    closed-form, so an SQL oracle recomputes every sampled frame's
+    mean luma from ``range()`` series."""
+    if num_partitions is None:
+        num_partitions = max(
+            1, min(spark.sparkContext.defaultParallelism, n // 64 or 1)
+        )
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["id"]:
+                frames = []
+                for f in range(n_frames):
+                    y = (
+                        np.arange(height, dtype=np.int64) + int(aid) + 3 * f
+                    ) % 256
+                    frames.append(
+                        np.repeat(y.astype(np.uint8)[:, None], width, axis=1)
+                    )
+                rows.append(
+                    (
+                        int(aid),
+                        "video",
+                        encode_video(frames),
+                        "video/x-cvid",
+                        width,
+                        height,
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(
+        _gen, schema=ASSET_SCHEMA
+    )
+
+
 def sample_frames(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
-    """Frame-sampling stand-in for video: emit one row per sampled
-    "frame" (byte offset) — demonstrates the 1→N mapInPandas shape a
-    real frame sampler would use. Offsets are deterministic."""
+    """Frame-sampling stand-in for ARBITRARY byte payloads: emit one
+    row per sampled byte offset — the 1→N mapInPandas plumbing shape,
+    kept for tests over non-video bytes. For real video frame decode
+    see :func:`sample_video_frames`. Offsets are deterministic."""
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType(), False),

@@ -355,3 +355,64 @@ def test_extract_audio_features_null_and_junk(spark):
     assert got[0].mean_abs == 100.0 and got[0].n_frames == 2
     assert got[1].rms is None and got[1].n_bytes is None
     assert got[2].rms is None and got[2].n_bytes == 13
+
+
+def test_video_container_roundtrip_and_seek():
+    """r7 video path: container roundtrip, seek-decode correctness,
+    and error contracts."""
+    import numpy as np
+    import pytest
+
+    from calorista_spark.operators.multimodal import (
+        decode_video_frame,
+        encode_video,
+    )
+
+    frames = [
+        np.full((4, 6), f * 10, dtype=np.uint8) for f in range(5)
+    ]
+    payload = encode_video(frames)
+    for f in range(5):
+        got = decode_video_frame(payload, f)
+        assert got.shape == (4, 6) and (got == f * 10).all()
+    with pytest.raises(IndexError):
+        decode_video_frame(payload, 5)
+    with pytest.raises(ValueError):
+        decode_video_frame(b"AVI?" + payload[4:], 0)
+    with pytest.raises(ValueError):
+        encode_video([frames[0], np.zeros((2, 2), dtype=np.uint8)])
+    # empty video encodes and is unreadable beyond bounds
+    empty = encode_video([])
+    with pytest.raises(IndexError):
+        decode_video_frame(empty, 0)
+
+
+def test_sample_video_frames_drops_undecodable(spark):
+    import pandas as pd
+
+    from calorista_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_video,
+        sample_video_frames,
+    )
+    import numpy as np
+
+    good = encode_video(
+        [np.full((2, 2), f, dtype=np.uint8) for f in range(6)]
+    )
+    rows = [
+        (0, "video", good, "video/x-cvid", 2, 2, None),
+        (1, "video", None, "video/x-cvid", None, None, None),
+        (2, "video", b"not-a-video", "video/x-cvid", None, None, None),
+    ]
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields]),
+        schema=ASSET_SCHEMA,
+    )
+    got = sample_video_frames(assets, stride=2).collect()
+    assert sorted((r.asset_id, r.frame_index) for r in got) == [
+        (0, 0),
+        (0, 2),
+        (0, 4),
+    ]
+    assert all(r.width == 2 and r.height == 2 for r in got)
