@@ -15,6 +15,11 @@ strictly stronger than the driver's order-insensitive value hash.
 
 Run: python local_sweep.py [sf_dir] [session_tz]
      (defaults: /root/testdata/sf0.01, America/Los_Angeles)
+Env: SWEEP_CONF="k=v;k=v"  extra Spark confs (e.g. the partition-count
+     axis "spark.sql.shuffle.partitions=7;spark.default.parallelism=5"
+     or the ANSI axis "spark.sql.ansi.enabled=true")
+     SWEEP_MASTER   Spark master (default local[8])
+     SWEEP_OUT      output JSON path (default CORRECTNESS_local_full.json)
 """
 
 from __future__ import annotations
@@ -33,14 +38,20 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SWEEP_MASTER", "local[8]")
+        )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
         .appName("calorista-local-sweep")
-        .getOrCreate()
     )
+    extra = os.environ.get("SWEEP_CONF", "")
+    conf_pairs = [kv.split("=", 1) for kv in extra.split(";") if "=" in kv]
+    for k, v in conf_pairs:
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from calorista_spark.cache import release_caches
@@ -108,15 +119,19 @@ def main() -> None:
     out["_meta"] = {
         "sf_dir": sf_dir,
         "session_tz": tz,
+        "extra_conf": dict(conf_pairs),
         "n_queries": len(QUERIES),
         "oracle_green": oracle_green,
         "rows_only": rows_only,
         "failures": bad,
         "elapsed_sec": round(time.time() - t_start, 1),
     }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "CORRECTNESS_local_full.json",
+    path = os.environ.get(
+        "SWEEP_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "CORRECTNESS_local_full.json",
+        ),
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
