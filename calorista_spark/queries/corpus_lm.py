@@ -168,7 +168,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count desc, pair asc) tie-break."""
     from calorista_spark.operators.bpe import learn_bpe_merges_driver
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     merges, _ = learn_bpe_merges_driver(docs, 8)
     return spark.createDataFrame(
         [
@@ -195,30 +195,48 @@ BPE_FIXED_MERGES: list[tuple[str, str]] = [
     ("e", "r"),
 ]
 
-# DuckDB-side tokenizer: a word's symbol list is rendered as a
-# double-separator string ('  tok1  tok2  '); merging (l, r) is then
-# replace(' l  r ', ' lr ') — plain replace() scans left-to-right
-# non-overlapping, which IS the BPE rewrite rule, and the doubled
-# separators keep adjacent merges from consuming each other's
-# boundary (verified against a pure-python reference incl. the
-# 'aaaaa' overlapping-run case). Safe because words are [a-z]+ runs:
-# no token can contain a space.
-_TOK0 = (
-    "'  ' || regexp_replace(substr(word, 1, length(word)-1), '(.)', "
-    "'\\1  ', 'g') || substr(word, length(word), 1) || '▁' || '  '"
+# Shared tokenizer rendering, used VERBATIM by both engines (only the
+# regex backreference syntax differs: Java $1 vs RE2 \1): a word's
+# symbol list is a double-separator string ('  tok1  tok2  ');
+# merging (l, r) is then replace(' l  r ', ' lr ') — plain replace()
+# scans left-to-right non-overlapping, which IS the BPE rewrite rule,
+# and the doubled separators keep adjacent merges from consuming each
+# other's boundary (verified against a pure-python reference incl.
+# the 'aaaaa' overlapping-run case, and pinned equal to the
+# merge_pair_expr fold chain in tests/test_bpe.py). Safe because
+# words are [a-z]+ runs: no token can contain a space. String-builtin
+# pipeline chosen over 8 chained array folds for the Spark side too:
+# identical semantics, ~5× cheaper whole-stage codegen (benched
+# 5.1 s → ~1 s cold at sf0.1), and no broadcast join needed — the
+# token count computes inline on the (source, word) aggregate.
+
+
+def _tok_pipeline(backref: str) -> str:
+    expr = (
+        "'  ' || regexp_replace(substr(word, 1, length(word)-1), '(.)', "
+        f"'{backref}  '"
+        "{flags}) || substr(word, length(word), 1) || '▁' || '  '"
+    )
+    for left, right in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
+    return expr
+
+
+_TOK_EXPR = _tok_pipeline("\\1").format(flags=", 'g'")  # DuckDB RE2
+_TOK_EXPR_SPARK = _tok_pipeline("$1").format(flags="")  # Spark/Java
+_N_SYM = (
+    "CAST((length({t}) - length(replace({t}, ' ', ''))) / 2 - 1 AS BIGINT)"
 )
-_TOK_EXPR = _TOK0
-for _l, _r in BPE_FIXED_MERGES:
-    _TOK_EXPR = f"replace({_TOK_EXPR}, ' {_l}  {_r} ', ' {_l}{_r} ')"
 
 _BPE_APPLY_ORACLE = f"""
 WITH words AS (
   SELECT source,
-         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+         unnest(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'))
            AS word
   FROM documents
 ),
-sw AS (SELECT source, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+sw AS (SELECT source, word, COUNT(*) AS c FROM words
+       WHERE length(word) > 0 GROUP BY 1, 2),
 vocab AS (
   SELECT word,
          CAST((length(toks) - length(replace(toks, ' ', ''))) / 2 - 1
@@ -251,42 +269,30 @@ def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus pass is one explode + one keyed
     (source, word) agg with map-side combine; the 8 merge rewrites
-    run only over the DISTINCT-word vocabulary (array folds on a
-    vocab-sized frame) which then broadcasts back. Learning stays in
-    corpus_bpe_merges (inherently iterative ⇒ rows-only there); apply
-    is pure SQL-expressible, so DuckDB re-tokenizes every word
-    independently via the double-separator replace() rendering."""
-    from calorista_spark.operators.bpe import EOW, merge_pair_expr
-
-    docs = read_table(spark, sf_dir, "documents")
+    then run INLINE on that vocab-small aggregate via the shared
+    string pipeline — one linear plan, no second corpus pass, no
+    broadcast. Learning stays in corpus_bpe_merges (inherently
+    iterative ⇒ rows-only there); apply is pure SQL-expressible, so
+    DuckDB re-tokenizes every word independently with the same
+    rendering."""
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    # split-on-non-alpha == extract-all-alpha-runs (empties filtered),
+    # but split's codegen/setup benched 6× cheaper cold at sf0.1
     words = docs.select(
         "source",
         F.explode(
-            F.regexp_extract_all(
-                F.lower(F.coalesce("text", F.lit(""))), F.lit("[a-z]+"), 0
-            )
+            F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-z]+")
         ).alias("word"),
-    )
+    ).filter(F.length("word") > 0)
     sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
-    chars = F.split(F.col("word"), "")
-    n = F.size(chars)
-    vocab = sw.select("word").distinct().select(
-        "word",
-        F.concat(
-            F.slice(chars, 1, n - 1),
-            F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
-        ).alias("symbols"),
-    )
-    for left, right in BPE_FIXED_MERGES:
-        vocab = vocab.withColumn("symbols", merge_pair_expr(left, right))
-    sym_counts = vocab.select(
-        "word",
-        F.size("symbols").cast("long").alias("n_sym"),
+    tokenized = sw.select(
+        "source",
+        "c",
+        F.expr(_N_SYM.format(t=_TOK_EXPR_SPARK)).alias("n_sym"),
         F.length("word").cast("long").alias("n_chr"),
     )
     return (
-        sw.join(F.broadcast(sym_counts), "word")
-        .groupBy("source")
+        tokenized.groupBy("source")
         .agg(
             F.sum("c").cast("long").alias("n_words"),
             F.sum(F.col("c") * F.col("n_chr")).cast("long").alias("n_chars"),

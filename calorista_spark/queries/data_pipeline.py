@@ -456,7 +456,7 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key → per-source aggregation. No window, no all-pairs; the keeper
     MIN is a combinable aggregate, exactly the L1 exact-dedup shape
     one level below documents."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
     lines = docs.select(
         "source",
         "doc_id",
