@@ -147,3 +147,44 @@ def test_learn_bpe_deterministic_rerun(spark, sf_dir):
     m1, _ = learn_bpe_merges(docs, 4)
     m2, _ = learn_bpe_merges(docs, 4)
     assert m1 == m2 and len(m1) == 4
+
+
+def test_string_pipeline_matches_fold_chain(spark):
+    """The double-separator replace() rendering used by
+    corpus_bpe_compression (both engines) must tokenize identically to
+    the merge_pair_expr array-fold chain — including overlapping runs
+    and merges that cascade into each other."""
+    from pyspark.sql import functions as F
+
+    from calorista_spark.operators.bpe import EOW, merge_pair_expr
+    from calorista_spark.queries.corpus_lm import (
+        _N_SYM,
+        _TOK_EXPR_SPARK,
+        BPE_FIXED_MERGES,
+    )
+
+    words = [
+        "aaaaa", "low", "lower", "newest", "to", "ato", "terrrer",
+        "er", "a", "tttooo", "water", "lulu", "asinerer", "tolu",
+        "erer", "inin", "as", "lu",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    chars = F.split(F.col("word"), "")
+    n = F.size(chars)
+    v = df.select(
+        "word",
+        F.concat(
+            F.slice(chars, 1, n - 1),
+            F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+        ).alias("symbols"),
+    )
+    for left, right in BPE_FIXED_MERGES:
+        v = v.withColumn("symbols", merge_pair_expr(left, right))
+    fold = {r.word: len(r.symbols) for r in v.collect()}
+    pipe = {
+        r.word: r.n_sym
+        for r in df.select(
+            "word", F.expr(_N_SYM.format(t=_TOK_EXPR_SPARK)).alias("n_sym")
+        ).collect()
+    }
+    assert pipe == fold
