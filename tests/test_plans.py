@@ -199,3 +199,29 @@ def test_scalable_rank_twins_avoid_data_level_global_windows(spark, sf_dir):
                 continue  # offsets window: O(P) rows by construction
             spec = line.split("], [", 1)[1] if "], [" in line else line
             assert "__rank_pid" in spec, f"{name}: unpartitioned data window: {line}"
+
+
+def test_every_global_window_is_audited(spark, sf_dir):
+    """Every registered query that compiles a partition-less window
+    must have a boundedness entry in plan_audit.GLOBAL_WINDOW_AUDIT —
+    the PLANS.md enumeration can't silently lag the count (r6 advice),
+    and now a missing entry fails the suite, not just the ledger."""
+    import plan_audit
+    from calorista_spark.queries import QUERIES
+
+    unaudited = []
+    for name in sorted(QUERIES):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        a = plan_audit.audit_plan(plan)
+        if a["global_windows"] and name not in plan_audit.GLOBAL_WINDOW_AUDIT:
+            unaudited.append(name)
+    assert not unaudited, (
+        f"global windows with no audit entry: {unaudited} — add to "
+        "plan_audit.GLOBAL_WINDOW_AUDIT with a boundedness argument "
+        "or remove the window"
+    )
