@@ -267,7 +267,10 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_ORACLE = f"""
+# Shared CTE chain: the full LSH near-dup pipeline down to VERIFIED
+# (exact Jaccard >= 0.8) pairs — used by doc_neardup_pairs and the
+# cross-split leakage audit.
+_LSH_VERIFIED_PAIRS_CTES = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
 ),
@@ -295,17 +298,26 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents)
-SELECT c.id_a, c.id_b,
-       ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
-FROM cand c
-JOIN sets sa ON sa.doc_id = c.id_a
-JOIN sets sb ON sb.doc_id = c.id_b
-WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+)"""
+
+_NEARDUP_ORACLE = (
+    _LSH_VERIFIED_PAIRS_CTES
+    + """
+SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+FROM pairs
 ORDER BY id_a, id_b
 """
+)
 
 
 @query("doc_neardup_pairs", _NEARDUP_ORACLE)
@@ -322,6 +334,84 @@ def doc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
+    )
+
+
+_LEAKAGE_ORACLE = (
+    _LSH_VERIFIED_PAIRS_CTES
+    + """,
+splits AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT CASE WHEN a.split = b.split THEN a.split ELSE 'cross' END
+         AS boundary,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(p.jaccard * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_jaccard_bp
+FROM pairs p
+JOIN splits a ON a.doc_id = p.id_a
+JOIN splits b ON b.doc_id = p.id_b
+GROUP BY 1
+ORDER BY 1
+"""
+)
+
+
+@query("split_leakage_audit", _LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination guard: do any near-duplicate pairs CROSS the
+    train/test boundary? Runs the full verified LSH near-dup pipeline
+    (identical to doc_neardup_pairs), classifies every >= 0.8-Jaccard
+    pair by the hash-range split of doc_train_test_split, and reports
+    per-boundary pair counts — 'cross' rows are test docs whose
+    near-twin sits in training data, the leakage a held-out eval must
+    not have. Per-pair Jaccards are FLOOR-quantized to integer basis
+    points BEFORE the group sum (exact any accumulation order). Same
+    scale shape as the near-dup pipeline: banded hash joins + two
+    broadcast-able split lookups, nothing all-pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+    split_of = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c",
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    j = jac.join(
+        split_of.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+        ),
+        "id_a",
+    ).join(
+        split_of.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+        ),
+        "id_b",
+    )
+    return (
+        j.groupBy(
+            F.when(F.col("split_a") == F.col("split_b"), F.col("split_a"))
+            .otherwise(F.lit("cross"))
+            .alias("boundary")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.floor(F.col("jaccard") * 1e4 + F.lit(0.5)).cast("long")
+            ).alias("sum_jaccard_bp"),
+        )
+        .orderBy("boundary")
     )
 
 
