@@ -548,16 +548,8 @@ def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_DEDUP_ORACLE = (
-    _NEARDUP_ORACLE.rsplit("SELECT c.id_a", 1)[0]
-    + """,
-pairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c
-  JOIN sets sa ON sa.doc_id = c.id_a
-  JOIN sets sb ON sb.doc_id = c.id_b
-  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
-)
+    _LSH_VERIFIED_PAIRS_CTES
+    + """
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
 ORDER BY d.doc_id
@@ -616,16 +608,8 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe side scoped to a query batch (vec_id < 200) — the full-corpus
 # near-dup sweep is the IVF-pruned path's job.
 _COMPONENTS_ORACLE = (
-    _NEARDUP_ORACLE.rsplit("SELECT c.id_a", 1)[0].replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    _LSH_VERIFIED_PAIRS_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS")
     + """,
-pairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c
-  JOIN sets sa ON sa.doc_id = c.id_a
-  JOIN sets sb ON sb.doc_id = c.id_b
-  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
-),
 edges AS (
   SELECT id_a AS node, id_b AS nbr FROM pairs
   UNION
