@@ -416,3 +416,33 @@ def test_sample_video_frames_drops_undecodable(spark):
         (0, 4),
     ]
     assert all(r.width == 2 and r.height == 2 for r in got)
+
+
+def test_wav_codec_stdlib_interop():
+    """Round-trip against the stdlib wave module in BOTH directions —
+    our RIFF parser on wave-authored bytes, stdlib reader on our
+    encoder's bytes."""
+    import io
+    import struct  # noqa: F401
+    import wave
+
+    import numpy as np
+
+    from calorista_spark.operators.codecs import decode_wav, encode_wav
+
+    samples = ((np.arange(1000) * 131) % 20001 - 10000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(samples.tobytes())
+    rate, got = decode_wav(buf.getvalue())
+    assert rate == 22050 and got.shape == (500, 2)
+    assert (got.ravel() == samples).all()
+
+    buf2 = io.BytesIO(encode_wav(samples.reshape(-1, 2), 22050))
+    with wave.open(buf2, "rb") as r:
+        assert r.getnchannels() == 2 and r.getframerate() == 22050
+        back = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
+    assert (back == samples).all()
