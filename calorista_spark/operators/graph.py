@@ -1,15 +1,22 @@
 """Iterative graph operators: connected components for dedup
 clustering (SURVEY §2.11 L2 "connected components keep-one").
 
-Min-label propagation: every node repeatedly adopts the smallest
-component id among itself and its neighbors until fixpoint. Each
-iteration is one join + one aggregate; ``stage_checkpoint`` truncates
+Min-label propagation WITH PATH HALVING (r7): every round a node
+adopts the smallest label among (itself, its neighbors, and its
+current label's OWN label — the pointer-jumping shortcut). The
+shortcut join is over the label frame only (cluster-count-sized) and
+turns the O(diameter) neighbor walk into O(log diameter) total
+rounds — the property that matters on pathological chains, where the
+plain walk needed `diameter` rounds and the old ``max_iter=20`` bound
+silently mislabeled a 64-node chain (caught by the r7 convergence
+test; the op now RAISES if the fixpoint isn't reached instead of
+returning wrong labels). Each iteration is one edge join + one
+aggregate + one label-frame self-join; ``stage_checkpoint`` truncates
 the growing lineage (the standard guard for iterative Spark jobs) —
 executor-memory-resident on local[n], reliable (HDFS/S3) when the
 session has ``setCheckpointDir`` configured, which is the cluster
-deployment mode. Converges in O(diameter) rounds — near-dup clusters
-are tiny and star-shaped, so 2-3 rounds in practice; ``max_iter``
-bounds the pathological chain case.
+deployment mode. Near-dup clusters are tiny and star-shaped, so 2-3
+rounds in practice.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ def connected_components(
 
     labels = adj.select("node").distinct().withColumn("comp", F.col("node"))
 
+    converged = False
     for i in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         nbr_labels = (
@@ -50,7 +58,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_labels, "node", "left")
             .select(
                 "node",
@@ -59,6 +67,35 @@ def connected_components(
                 ).alias("comp"),
             )
         )
+        # path halving: also adopt the label OF the label (labels are
+        # node ids, so the lookup is a self-join of the label frame) —
+        # shortcuts propagate geometrically, giving O(log diameter)
+        # rounds on chains where the neighbor step alone moves 1 hop.
+        # ADAPTIVE: the first two rounds skip the extra join — real
+        # near-dup graphs are tiny stars that converge by round 2, and
+        # the per-round join + materialization measured +4 s at sf0.1;
+        # only inputs still unconverged (deep chains) pay for halving.
+        if i < 2:
+            new_labels = stepped
+        else:
+            new_labels = (
+                stepped.alias("s")
+                .join(
+                    labels.select(
+                        F.col("node").alias("comp"),
+                        F.col("comp").alias("__comp2"),
+                    ).alias("l"),
+                    "comp",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("__comp2"), F.col("comp")),
+                    ).alias("comp"),
+                )
+            )
         # label frames are cluster-count-sized (tiny next to the edge
         # pipeline), so materializing every round is cheap — and the
         # fixpoint probe below then joins two MATERIALIZED frames
@@ -77,4 +114,9 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— raise max_iter (labels would be silently wrong otherwise)"
+        )
     return labels

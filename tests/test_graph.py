@@ -49,3 +49,31 @@ def test_reliable_checkpoint_mode_same_result(spark, tmp_path):
         none_opt = sc._jvm.scala.Option.apply(None)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_opt)
         assert sc.getCheckpointDir() is None
+
+
+def test_chain_converges_via_path_halving(spark):
+    """A 64-node chain needs 63 rounds under plain neighbor-min (the
+    pre-r7 operator silently mislabeled 43 nodes at max_iter=20);
+    path halving converges it well inside the default budget."""
+    from calorista_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert len(out) == 64
+    assert set(out.values()) == {0}
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """If the round budget is genuinely too small the operator must
+    raise, never return wrong labels."""
+    import pytest
+
+    from calorista_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
