@@ -655,6 +655,31 @@ def main() -> None:
 
     results["streaming_restart"] = timed("streaming_restart", restart_check)
 
+    # 7b. connected components on deep chains at 100k nodes (r7): the
+    # pre-r7 operator needed `diameter` rounds and silently mislabeled
+    # chains longer than max_iter; adaptive path halving must converge
+    # 1000 chains of length 100 (closed-form expected labels) well
+    # inside the default 20-round budget.
+    def cc_chain_check():
+        from calorista_spark.operators.graph import connected_components
+
+        n_nodes = 100_000
+        edges = (
+            spark.range(n_nodes - 1)
+            .filter(F.pmod(F.col("id") + 1, 100) != 0)  # break into 100-chains
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        labels = connected_components(edges)
+        bad = labels.filter(
+            F.col("comp") != F.col("node") - F.pmod(F.col("node"), 100)
+        ).count()
+        n = labels.count()
+        assert bad == 0 and n == n_nodes, (bad, n)
+        return f"nodes={n} chains=1000 len=100 all labels exact"
+
+    results["cc_chains_100k"] = timed("cc_chains", cc_chain_check)
+    spark.catalog.clearCache()
+
     # 8. skewed-join mitigation (r7 verdict item): plant a 30%-mass
     # key in an N-row fact and join a non-broadcastable dim with and
     # without salting, under the confs where skew actually bites
