@@ -725,16 +725,25 @@ def main() -> None:
                     F.sum(F.hash("k", "v", "w").cast("long")).alias("h"),
                 ).first()
 
-            t0 = time.perf_counter()
-            naive = checksum(fact.join(dim, "k"))
-            t_naive = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            salted = checksum(
-                salted_join(fact, dim, "k", salt_buckets=32).select(
-                    "k", "v", "w"
-                )
+            # two trials each, keep the min: the first execution of
+            # either plan carries one-off codegen/scheduler noise of
+            # the same order as the straggler gap itself, which made a
+            # single-shot comparison flip under load
+            def best_of2(build):
+                best, out = None, None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out = checksum(build())
+                    sec = time.perf_counter() - t0
+                    best = sec if best is None else min(best, sec)
+                return out, round(best, 2)
+
+            naive, t_naive = best_of2(lambda: fact.join(dim, "k"))
+            salted, t_salted = best_of2(
+                lambda: salted_join(
+                    fact, dim, "k", salt_buckets=32
+                ).select("k", "v", "w")
             )
-            t_salted = round(time.perf_counter() - t0, 2)
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
