@@ -169,7 +169,10 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calorista_spark.operators.bpe import learn_bpe_merges_driver
 
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    merges, _ = learn_bpe_merges_driver(docs, 8)
+    # max_words bounds the driver collect at open-vocabulary scale
+    # (TakeOrdered top-N by count — standard frequency truncation);
+    # a no-op at test SFs where the vocab is tiny
+    merges, _ = learn_bpe_merges_driver(docs, 8, max_words=1_000_000)
     return spark.createDataFrame(
         [
             (i + 1, left, right, cnt)

@@ -370,8 +370,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-twin sits in training data, the leakage a held-out eval must
     not have. Per-pair Jaccards are FLOOR-quantized to integer basis
     points BEFORE the group sum (exact any accumulation order). Same
-    scale shape as the near-dup pipeline: banded hash joins + two
-    broadcast-able split lookups, nothing all-pairs."""
+    scale shape as the near-dup pipeline: banded hash joins, then two
+    keyed equi-joins of the (small) verified-pair set against the
+    split assignment — AQE broadcasts the pair side; nothing
+    all-pairs and no doc-sized broadcast."""
     docs = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
