@@ -480,7 +480,8 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                       AS HUGEINT)) AS DOUBLE) / 1e4 AS total_revenue
   FROM lineitem
   WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
     AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
@@ -497,15 +498,26 @@ ORDER BY s.s_suppkey
 def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: scalar subquery against a derived view; the view is
     computed once and reused for both sides (Spark reuses the
-    exchange; no second scan)."""
+    exchange; no second scan).
+
+    total_revenue is a QUANTIZED sum, not round(sum(x), 4): the query
+    compares an aggregated double FOR EQUALITY against its own MAX,
+    and with round-of-double-sum the revenue CTE's two evaluations
+    can land on opposite sides of a round-half boundary under
+    parallel accumulation — the r7 magnitude-stress audit caught the
+    oracle returning ZERO rows that way (a supplier unequal to its
+    own max). Scaled-integer sums are exact under any accumulation
+    order, so the equality is deterministic in both engines."""
+    from calorista_spark.functions.numeric import quantized_sum
+
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "total_revenue"
-        )
+        quantized_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = read_table(spark, sf_dir, "supplier")
