@@ -34,3 +34,28 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     # every query key has either an oracle or is explicitly rows-only
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_no_equality_against_rounded_double_aggregate():
+    """Conventions lint (r7, from the Q15 flake): an oracle that
+    compares a value FOR EQUALITY against an aggregate of itself
+    (`= (SELECT MAX/MIN ...)`) must not build that value with
+    ROUND(SUM(...)) — round-of-double-sum lands on .xxxx5 boundaries
+    nondeterministically under parallel accumulation, so the CTE's
+    two evaluations can disagree with each other (observed: Q15's
+    oracle returning zero rows on the magnitude-stress data). Use the
+    quantized-sum rendering instead."""
+    import re
+
+    from calorista_spark.queries import ORACLES
+
+    offenders = []
+    for name, sql in ORACLES.items():
+        if re.search(r"=\s*\(\s*SELECT\s+(MAX|MIN)\b", sql, re.I) and re.search(
+            r"ROUND\s*\(\s*SUM\s*\(", sql, re.I
+        ):
+            offenders.append(name)
+    assert not offenders, (
+        f"equality against a ROUND(SUM(double)) aggregate in: {offenders} "
+        "— use the quantized-sum rendering (registry conventions)"
+    )
