@@ -314,3 +314,83 @@ def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_FERTILITY_ORACLE = f"""
+WITH words AS (
+  SELECT COALESCE(lang, 'und') AS lang,
+         unnest(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'))
+           AS word
+  FROM documents
+),
+lw AS (SELECT lang, word, COUNT(*) AS c FROM words
+       WHERE length(word) > 0 GROUP BY 1, 2),
+tok AS (
+  SELECT lang, c,
+         {_N_SYM.format(t=_TOK_EXPR)} AS n_sym
+  FROM lw
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_sym) AS BIGINT) AS n_bpe_tokens,
+       FLOOR(CAST(SUM(c * n_sym) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS tokens_per_word,
+       CAST(SUM(CASE WHEN n_sym >= 3 THEN c ELSE 0 END) AS BIGINT)
+         AS n_fragmented,
+       CAST(SUM(CASE WHEN n_sym >= 3 THEN c ELSE 0 END) * 1000000
+            // SUM(c) AS BIGINT) AS frag_ppm
+FROM tok
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("bpe_fertility_by_lang", _FERTILITY_ORACLE)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report: tokens-per-word and the share of
+    word occurrences fragmented into >= 3 subword tokens, per
+    language — the metric a tokenizer team watches to see which
+    languages a merge table under-serves (high fertility = more
+    compute per content word). Applies the same frozen 8-merge table
+    and shared string-pipeline tokenizer as corpus_bpe_compression,
+    keyed by the corpus's language column (COALESCE'd to 'und' —
+    totality convention); fragmentation rate is an exact integer ppm
+    (`div`), never a rounded double ratio."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.explode(
+            F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-z]+")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    lw = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    tok = lw.select(
+        "lang",
+        "c",
+        F.expr(_N_SYM.format(t=_TOK_EXPR_SPARK)).alias("n_sym"),
+    )
+    frag = F.sum(F.when(F.col("n_sym") >= 3, F.col("c")).otherwise(F.lit(0)))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sym"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("c") * F.col("n_sym")).cast("double")
+                    / F.sum("c").cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("tokens_per_word"),
+            frag.cast("long").alias("n_fragmented"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_sym >= 3 THEN c ELSE 0 END) * 1000000"
+                " div sum(c) AS BIGINT)"
+            ).alias("frag_ppm"),
+        )
+        .orderBy("lang")
+    )
