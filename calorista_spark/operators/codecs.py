@@ -186,6 +186,11 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
         cid, csize = content[pos : pos + 4], struct.unpack(
             "<I", content[pos + 4 : pos + 8]
         )[0]
+        if pos + 8 + csize > end:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {csize} bytes but "
+                f"only {end - pos - 8} remain"
+            )
         body = content[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             if len(body) < 16:
@@ -235,6 +240,11 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError(f"expected (frames[, channels]), got {arr.shape}")
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError(
+            "samples exceed int16 range; rescale 24/32-bit audio before "
+            "encoding to 16-bit PCM (silent wraparound would corrupt)"
+        )
     pcm = np.ascontiguousarray(arr, dtype="<i2").tobytes()
     channels = arr.shape[1]
     fmt_body = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)

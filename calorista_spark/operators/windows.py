@@ -95,6 +95,9 @@ def ewma_adjusted_longhorizon(
     qL = F.lit(q**block)
 
     def horner(col: str) -> Column:
+        # carry_terms=1 means "this block only" — no lagged carry at all.
+        if carry_terms <= 1:
+            return F.col(col)
         acc: Column = F.coalesce(
             F.lag(col, carry_terms - 1).over(w_j), F.lit(0.0)
         )

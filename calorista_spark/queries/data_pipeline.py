@@ -417,12 +417,12 @@ WITH lines AS (
   WHERE length(trim(line)) > 0
 ),
 keeper AS (
-  SELECT line, MIN(doc_id * 10000000 + pos) AS keep_key
+  SELECT line, MIN(ROW(doc_id, pos)) AS keep_key
   FROM lines GROUP BY line
 ),
 flagged AS (
   SELECT l.source, l.line,
-         (l.doc_id * 10000000 + l.pos) = k.keep_key AS kept
+         ROW(l.doc_id, l.pos) = k.keep_key AS kept
   FROM lines l JOIN keeper k USING (line)
 )
 SELECT source,
@@ -464,16 +464,17 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.coalesce("text", F.lit("")), "\n")
         ).alias("pos", "line"),
     ).filter(F.length(F.trim("line")) > 0)
+    # Keeper key is the lexicographic MIN over (doc_id, pos) structs —
+    # no arithmetic composite (doc_id*K + pos collides past K lines per
+    # doc and can overflow long for hashed doc_ids; struct ordering is
+    # total and overflow-free on both engines).
     keeper = lines.groupBy("line").agg(
-        F.min(F.col("doc_id") * 10_000_000 + F.col("pos")).alias("keep_key")
+        F.min(F.struct("doc_id", "pos")).alias("keep_key")
     )
     flagged = lines.join(keeper, "line").select(
         "source",
         "line",
-        (
-            (F.col("doc_id") * 10_000_000 + F.col("pos"))
-            == F.col("keep_key")
-        ).alias("kept"),
+        (F.struct("doc_id", "pos") == F.col("keep_key")).alias("kept"),
     )
     kept_chars = F.sum(
         F.when(F.col("kept"), F.length("line")).otherwise(F.lit(0))

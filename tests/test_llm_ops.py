@@ -324,6 +324,13 @@ def test_wav_codec_roundtrip_and_chunks():
         ))  # format tag 3 (float) unsupported
     with pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+    # r7 ADVICE: a chunk whose declared size overruns the buffer must
+    # raise, not silently decode partial audio
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-10])
+    # r7 ADVICE: encoding samples outside int16 must raise, not wrap
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav(np.array([40000, -40000], dtype=np.int64), 8000)
 
     # feature math: exact integer sums
     f = audio_features(8000, np.array([[3], [-4]], dtype=np.int32))

@@ -169,6 +169,44 @@ def test_ewma_longhorizon_matches_pandas_at_5000_days(spark):
     assert rel < 1e-12, rel
 
 
+def test_ewma_longhorizon_carry_terms_one(spark):
+    """r7 ADVICE item: carry_terms=1 must mean "carry exactly one
+    previous block", not double-count the block itself (the old horner
+    started its accumulator at lag 0).  With n <= 2*block the single
+    carried block IS the complete history, so the result must be
+    pandas-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from calorista_spark.operators.windows import ewma_adjusted_longhorizon
+
+    n, block = 64, 32
+    vals = [((i * 48271) % 1000) / 3.0 - 150 for i in range(n)]
+    days = [
+        datetime.date(2021, 5, 1) + datetime.timedelta(days=i)
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame({"day": days, "x": vals})
+    got = (
+        ewma_adjusted_longhorizon(
+            spark.createDataFrame(pdf),
+            "day",
+            "x",
+            out_col="e",
+            alpha=0.25,
+            block=block,
+            carry_terms=1,
+        )
+        .orderBy("day")
+        .select("e")
+        .toPandas()["e"]
+        .to_numpy()
+    )
+    want = pdf["x"].ewm(alpha=0.25, adjust=True).mean().to_numpy()
+    rel = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-9))
+    assert rel < 1e-12, rel
+
+
 def test_ewma_longhorizon_matches_shorthorizon_query(spark, sf_dir):
     """On a sub-block series the long-horizon variant must agree with
     the r6 exact closed form after quantization."""
