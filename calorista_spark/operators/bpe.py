@@ -30,18 +30,109 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from calorista_spark.operators.similarity import words_of
-
 # end-of-word marker, kept out of the corpus alphabet
 EOW = "▁"
+
+# ---------------------------------------------------------------------------
+# Unicode word tokenizer (r8 — replaces the r7 `[^a-z]+` splitter that
+# discarded every non-ASCII word before the fertility report could see
+# the languages it exists to protect).
+#
+# Semantics, identical on Spark (Java regex), DuckDB (RE2), and the
+# pure-python twin:
+#   1. lowercase (full Unicode mapping), then canonicalize the ONLY two
+#      non-locale divergences between Java's full case mapping and
+#      DuckDB/utf8proc's simple mapping (Unicode SpecialCasing.txt):
+#      final sigma 'ς'→'σ' (also what full case-folding does) and
+#      'i'+U+0307 → 'i' (Java lowers 'İ' to the two-codepoint form);
+#   2. codepoint fallback for unsegmented scripts: every codepoint in
+#      UNSEG_RANGES (CJK ideographs incl. Ext-A/compatibility, kana,
+#      Thai) is spaced out so it tokenizes as its own word — the
+#      standard character-level fallback for scripts without word
+#      boundaries;
+#   3. split on non-letter runs `[^\p{L}]+` — words are \p{L} runs, so
+#      no word can contain whitespace (the invariant the downstream
+#      double-separator tokenizer rendering relies on).
+#
+# The unsegmented class is written as literal \x{..}-\x{..} ranges, NOT
+# \p{script=...}: the identical pattern text compiles in both Java and
+# RE2 and cannot drift across engine Unicode versions. (Supplementary-
+# plane CJK Ext-B+ is deliberately outside the set: those runs stay
+# multi-codepoint words, still letters, still counted.)
+# ---------------------------------------------------------------------------
+
+UNSEG_RANGES: tuple[tuple[int, int], ...] = (
+    (0x3040, 0x30FF),  # hiragana + katakana
+    (0x3400, 0x4DBF),  # CJK Extension A
+    (0x4E00, 0x9FFF),  # CJK unified ideographs
+    (0xF900, 0xFAFF),  # CJK compatibility ideographs
+    (0x0E01, 0x0E3A),  # Thai letters/vowels (sans ฿ and symbols)
+    (0x0E40, 0x0E4E),  # Thai leading vowels / tone marks
+)
+_UNSEG_CLASS = "[" + "".join(
+    f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" for a, b in UNSEG_RANGES
+) + "]"
+
+
+def bpe_words_of(text: Column | str) -> Column:
+    """Unicode word array for the BPE family (may contain empties —
+    callers filter ``length > 0``, matching the oracle's WHERE).
+    TOTAL on null: null text ≡ empty document."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(F.coalesce(c, F.lit("")))
+    canon = F.replace(
+        F.replace(low, F.lit("ς"), F.lit("σ")), F.lit("i̇"), F.lit("i")
+    )
+    spaced = F.regexp_replace(canon, f"({_UNSEG_CLASS})", " $1 ")
+    return F.split(spaced, r"[^\p{L}]+")
+
+
+def bpe_words_sql(col: str = "text") -> str:
+    """The DuckDB rendering of :func:`bpe_words_of` — same pipeline,
+    same pattern text (only the backreference syntax differs: $1 vs
+    \\1). Returns a list-of-varchar SQL expression (with empties)."""
+    return (
+        "string_split_regex(regexp_replace("
+        f"replace(replace(lower(COALESCE({col}, '')), 'ς', 'σ'), "
+        f"'i̇', 'i'), '({_UNSEG_CLASS})', ' \\1 ', 'g'), '[^\\p{{L}}]+')"
+    )
+
+
+def py_bpe_words(text: str | None) -> list[str]:
+    """Pure-python twin of :func:`bpe_words_of` (test reference)."""
+    import unicodedata
+
+    low = (text or "").lower().replace("ς", "σ").replace("i̇", "i")
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in low:
+        cp = ord(ch)
+        unseg = any(a <= cp <= b for a, b in UNSEG_RANGES)
+        letter = unicodedata.category(ch).startswith("L")
+        if letter and not unseg:
+            cur.append(ch)
+        else:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+            # a spaced-out unsegmented codepoint survives the final
+            # [^\p{L}]+ split only if it is itself a letter (Thai tone
+            # marks are Mn → separators, same as the engine pipelines)
+            if unseg and letter:
+                out.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def word_freq_symbols(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt, symbols) — symbols = characters + end-of-word
-    marker appended to the final character, per the classic setup."""
-    words = docs.select(F.explode(words_of(text_col)).alias("word")).filter(
-        F.length("word") > 0
-    )
+    marker appended to the final character, per the classic setup.
+    Words come from the Unicode tokenizer above (r8 — the trainer now
+    sees the same vocabulary the apply/fertility queries count)."""
+    words = docs.select(
+        F.explode(bpe_words_of(text_col)).alias("word")
+    ).filter(F.length("word") > 0)
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     chars = F.split(F.col("word"), "")
     n = F.size(chars)

@@ -116,13 +116,226 @@ def encode_netpbm(arr: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# PNG: pure-stdlib decoder/encoder (r8 — closes the "a format a user
+# actually has" gap from the r7 verdict). Non-interlaced 8-bit PNGs
+# decode with zlib + numpy only; Adam7/16-bit fall through to Pillow
+# when importable, else raise the typed error. Spec: RFC 2083 /
+# https://www.w3.org/TR/png-3/ (chunk layout, filter types 0-4).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(content: bytes):
+    """Yield (type, data) PNG chunks, CRC-verified (zlib.crc32)."""
+    import struct
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(content):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended before IEND")
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Stdlib PNG decode → uint8 (H, W) gray or (H, W, 3) RGB.
+
+    Supports every non-interlaced 8-bit color type: grayscale (0),
+    RGB (2), palette (3, via PLTE), gray+alpha (4 → luma channel,
+    alpha dropped) and RGBA (6 → RGB, alpha dropped). All five filter
+    types unfilter per the spec (Sub via a per-channel cumulative sum;
+    Average/Paeth per-byte — fine at asset sizes, and the Pillow seam
+    remains the bulk path where it exists). Interlaced (Adam7) or
+    non-8-bit depth raise :class:`UnsupportedImageError` so the
+    dispatch in :func:`decode_image_bytes` can fall through to Pillow.
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with nonstandard compression/filter method")
+    if interlace == 1 or depth != 8:
+        raise UnsupportedImageError(
+            f"stdlib PNG path handles non-interlaced 8-bit only "
+            f"(depth={depth}, interlace={interlace}); Pillow would be "
+            "needed for this file"
+        )
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color}")
+    bpp = _PNG_CHANNELS[color]
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += 1 + stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: prefix sum per channel column
+            cur = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) & 255
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 255
+        elif ftype == 3:  # Average
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if color == 0:
+        return out
+    if color == 2:
+        return out.reshape(height, width, 3)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[out]
+    if color == 4:  # gray+alpha → luma
+        return np.ascontiguousarray(out.reshape(height, width, 2)[:, :, 0])
+    # color == 6: RGBA → RGB
+    return np.ascontiguousarray(out.reshape(height, width, 4)[:, :, :3])
+
+
+def encode_png(
+    arr: np.ndarray, row_filters: list[int] | None = None
+) -> bytes:
+    """(H, W) uint8 → grayscale PNG; (H, W, 3) uint8 → RGB PNG.
+
+    ``row_filters`` picks the per-scanline filter type (cycled; default
+    ``[0]``) — asset generators cycle all five to exercise every
+    unfilter path in :func:`decode_png`. Bytes are deterministic for a
+    given zlib build (fixed compression level, no timestamps); the
+    oracle-checked queries pin DECODED values, not encoded bytes, so
+    zlib-version drift cannot break correctness."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, bpp = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, bpp = 2, 3
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    flat = arr.reshape(h, w * bpp).astype(np.int64)
+    filters = row_filters or [0]
+    lines: list[bytes] = []
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        ftype = filters[y % len(filters)]
+        cur = flat[y]
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            filt = (cur - left) & 255
+        elif ftype == 2:
+            filt = (cur - prev) & 255
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) & 255
+        elif ftype == 4:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            upleft = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), prev[:-bpp]]
+            )
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_bytes(content: bytes) -> np.ndarray:
     """Decode any supported image payload → uint8 array ((H, W) gray
-    or (H, W, 3) RGB). NetPBM always works (numpy); other formats
-    need Pillow. This is THE codec seam."""
+    or (H, W, 3) RGB). NetPBM always works (numpy); non-interlaced
+    8-bit PNG decodes via the stdlib path (r8); interlaced/16-bit PNG
+    and JPEG/GIF need Pillow. This is THE codec seam."""
     fmt = sniff_format(content)
     if fmt in ("pgm", "ppm"):
         return decode_netpbm(content)
+    if fmt == "png":
+        try:
+            return decode_png(content)
+        except UnsupportedImageError:
+            if not HAVE_PIL:
+                raise
     if HAVE_PIL:  # pragma: no cover - exercised only where PIL exists
         import io
 
@@ -130,8 +343,9 @@ def decode_image_bytes(content: bytes) -> np.ndarray:
             im = im.convert("RGB") if im.mode not in ("L", "RGB") else im
             return np.asarray(im)
     raise UnsupportedImageError(
-        f"no codec for format {fmt or 'unknown'}: NetPBM (P5/P6) is "
-        "built in; PNG/JPEG/GIF need Pillow, which is not importable here"
+        f"no codec for format {fmt or 'unknown'}: NetPBM (P5/P6) and "
+        "non-interlaced 8-bit PNG are built in; JPEG/GIF/interlaced "
+        "PNG need Pillow, which is not importable here"
     )
 
 

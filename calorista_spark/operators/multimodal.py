@@ -22,6 +22,8 @@ import hashlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -233,12 +235,126 @@ def synthetic_audio_assets(
 
 
 # ---------------------------------------------------------------------------
-# Video: a deterministic multi-frame container over the real NetPBM
-# codec (r7 — upgrades frame sampling from byte-offset stand-in to a
-# real decode path). Container layout: b"CVID" + <n_frames:4 LE> +
-# <frame_bytes:4 LE> + n_frames fixed-size NetPBM P5 frames, i.e. the
-# raw-concatenated-frames shape of uncompressed AVI/Y4M streams.
+# Video, tier 1 (r8): YUV4MPEG2 (.y4m) — the PUBLISHED raw-video
+# interchange format (mjpegtools/ffmpeg): a plain-text stream header
+# "YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<colorspace>\n" followed by
+# frames, each "FRAME\n" + raw planar YUV. Every frame occupies the
+# same byte span, so frame k lives at a computable offset — O(frame)
+# seek-decode without an index, exactly the property the r7 CVID
+# container faked. Supported colorspaces: Cmono (Y only), the C420
+# family (C420, C420jpeg, C420mpeg2, C420paldv — identical plane
+# layout), C422, C444. Sampling reads the luma plane.
+#
+# Tier 2: CVID (b"CVID" + counts + fixed-size NetPBM frames) is kept
+# as the r7-era synthetic container — now a test fixture exercising
+# the multi-container dispatch, no longer what the generators emit.
 # ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+# chroma bytes per luma pixel, by colorspace token prefix
+_Y4M_CHROMA = {"mono": 0.0, "420": 0.5, "422": 1.0, "444": 2.0}
+
+
+def _y4m_layout(content: bytes) -> tuple[int, int, int, int, int]:
+    """Parse the stream header → (width, height, header_len,
+    y_bytes, frame_bytes). ``frame_bytes`` includes the 6-byte
+    "FRAME\\n" marker; frames with per-frame parameters raise (the
+    fixed-stride seek contract needs constant frame headers — every
+    common encoder, incl. ffmpeg, writes bare FRAME markers)."""
+    if not content.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = None
+    colorspace = "420jpeg"  # spec default when C is absent
+    for tok in content[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"C":
+            colorspace = val.decode("ascii")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    chroma = next(
+        (f for p, f in _Y4M_CHROMA.items() if colorspace.startswith(p)), None
+    )
+    if chroma is None:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    if chroma in (0.5,) and (width % 2 or height % 2):
+        raise ValueError("C420 Y4M needs even dimensions")
+    if chroma == 1.0 and width % 2:
+        raise ValueError("C422 Y4M needs even width")
+    y_bytes = width * height
+    frame_data = y_bytes + int(y_bytes * chroma)
+    header_len = nl + 1
+    if content[header_len : header_len + 6] != b"FRAME\n":
+        raise ValueError(
+            "Y4M frame with per-frame parameters (or truncated stream); "
+            "fixed-stride seek requires bare FRAME markers"
+        )
+    return width, height, header_len, y_bytes, 6 + frame_data
+
+
+def y4m_frame_count(content: bytes) -> int:
+    _w, _h, header_len, _yb, frame_bytes = _y4m_layout(content)
+    return (len(content) - header_len) // frame_bytes
+
+
+def decode_y4m_frame(content: bytes, index: int) -> np.ndarray:
+    """Seek-decode the LUMA plane of frame ``index`` → (H, W) uint8.
+    Pure offset arithmetic (header + k * frame_bytes) — O(frame)."""
+    width, height, header_len, y_bytes, frame_bytes = _y4m_layout(content)
+    n_frames = (len(content) - header_len) // frame_bytes
+    if not 0 <= index < n_frames:
+        raise IndexError(f"frame {index} of {n_frames}")
+    off = header_len + index * frame_bytes
+    if content[off : off + 6] != b"FRAME\n":
+        raise ValueError(f"Y4M frame marker missing at offset {off}")
+    arr = np.frombuffer(
+        content, dtype=np.uint8, count=y_bytes, offset=off + 6
+    )
+    return arr.reshape(height, width)
+
+
+def encode_y4m(
+    frames: list[np.ndarray], colorspace: str = "mono", fps: str = "25:1"
+) -> bytes:
+    """Equal-shaped grayscale (H, W) luma frames → a YUV4MPEG2 stream.
+    ``Cmono`` writes the luma plane alone; the ``C420`` family pads
+    neutral chroma (0x80) — both layouts byte-deterministic, playable
+    by ffmpeg/mpv."""
+    if not frames:
+        raise ValueError("Y4M needs at least one frame")
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError("frames must share dimensions")
+    h, w = shapes.pop()
+    chroma = next(
+        (f for p, f in _Y4M_CHROMA.items() if colorspace.startswith(p)), None
+    )
+    if chroma is None:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    if chroma == 0.5 and (w % 2 or h % 2):
+        raise ValueError("C420 Y4M needs even dimensions")
+    if chroma == 1.0 and w % 2:
+        raise ValueError("C422 Y4M needs even width")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C{colorspace}\n".encode(
+        "ascii"
+    )
+    chroma_pad = b"\x80" * int(w * h * chroma)
+    parts = [header]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+        parts.append(chroma_pad)
+    return b"".join(parts)
+
 
 _VIDEO_MAGIC = b"CVID"
 
@@ -295,9 +411,11 @@ def sample_video_frames(assets: DataFrame, stride: int = 4) -> DataFrame:
     seek-decoded (offset arithmetic, never a full-stream scan) and
     reduced to dimensions + mean luminance — the canonical 1→N
     ``mapInPandas`` shape of a production frame sampler, with the
-    byte-level work Arrow-batched and partition-local. Undecodable or
-    null payloads contribute no rows (same totality policy as the
-    image features' null columns, but 1→N ops drop instead)."""
+    byte-level work Arrow-batched and partition-local. Containers are
+    sniffed per asset: YUV4MPEG2 (.y4m — the published raw format;
+    r8) or the CVID test container. Undecodable or null payloads
+    contribute no rows (same totality policy as the image features'
+    null columns, but 1→N ops drop instead)."""
     import struct
 
     def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -306,12 +424,23 @@ def sample_video_frames(assets: DataFrame, stride: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
-                if content is None or content[:4] != _VIDEO_MAGIC:
+                if content is None:
                     continue
-                n_frames, _fb = struct.unpack("<II", bytes(content[4:12]))
+                content = bytes(content)
+                if content.startswith(_Y4M_MAGIC):
+                    try:
+                        n_frames = y4m_frame_count(content)
+                    except ValueError:
+                        continue
+                    decode = decode_y4m_frame
+                elif content[:4] == _VIDEO_MAGIC:
+                    n_frames, _fb = struct.unpack("<II", content[4:12])
+                    decode = decode_video_frame
+                else:
+                    continue
                 for idx in range(0, n_frames, stride):
                     try:
-                        arr = decode_video_frame(bytes(content), idx)
+                        arr = decode(content, idx)
                     except (ValueError, IndexError):
                         continue
                     rows.append(
@@ -340,9 +469,11 @@ def synthetic_video_assets(
 ) -> DataFrame:
     """Deterministic REAL videos (the video twin of
     :func:`synthetic_image_assets`): asset ``i``'s frame ``f`` is a
-    NetPBM row-gradient with ``pixel(y, x) = (i + 3*f + y) % 256`` —
+    luma row-gradient with ``pixel(y, x) = (i + 3*f + y) % 256`` —
     closed-form, so an SQL oracle recomputes every sampled frame's
-    mean luma from ``range()`` series."""
+    mean luma from ``range()`` series. r8: emitted as real C420jpeg
+    YUV4MPEG2 streams (ffmpeg-playable), exercising the published-
+    format path end-to-end; CVID remains a test fixture."""
     if num_partitions is None:
         num_partitions = max(
             1, min(spark.sparkContext.defaultParallelism, n // 64 or 1)
@@ -367,8 +498,8 @@ def synthetic_video_assets(
                     (
                         int(aid),
                         "video",
-                        encode_video(frames),
-                        "video/x-cvid",
+                        encode_y4m(frames, colorspace="420jpeg"),
+                        "video/x-yuv4mpeg",
                         width,
                         height,
                         None,
@@ -512,6 +643,7 @@ def synthetic_image_assets(
     height: int = 16,
     rgb: bool = False,
     num_partitions: int | None = None,
+    fmt: str = "netpbm",
 ) -> DataFrame:
     """Deterministic REAL images for the codec path: asset ``i`` is a
     NetPBM row-gradient where every pixel in row ``y`` has value
@@ -545,18 +677,22 @@ def synthetic_image_assets(
                 arr = np.repeat(y.astype(np.uint8)[:, None], width, axis=1)
                 if rgb:
                     arr = np.repeat(arr[:, :, None], 3, axis=2)
-                rows.append(
-                    (
-                        int(aid),
-                        "image",
-                        encode_netpbm(arr),
+                if fmt == "png":
+                    # cycle all five scanline filters so the corpus
+                    # exercises every unfilter path in decode_png
+                    from calorista_spark.operators.codecs import encode_png
+
+                    payload = encode_png(arr, row_filters=[0, 1, 2, 3, 4])
+                    mime = "image/png"
+                else:
+                    payload = encode_netpbm(arr)
+                    mime = (
                         "image/x-portable-pixmap"
                         if rgb
-                        else "image/x-portable-graymap",
-                        width,
-                        height,
-                        None,
+                        else "image/x-portable-graymap"
                     )
+                rows.append(
+                    (int(aid), "image", payload, mime, width, height, None)
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in ASSET_SCHEMA.fields]

@@ -15,9 +15,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
+from calorista_spark.operators.bpe import bpe_words_of, bpe_words_sql
 from calorista_spark.queries.registry import query
 
 _WORDS_SQL = "string_split_regex(lower(COALESCE(text, '')), '\\s+')"
+
+# Unicode word tokenizer shared by the whole BPE family (r8): letter
+# runs via [^\p{L}]+ with a codepoint fallback for unsegmented scripts
+# — see operators/bpe.py for the cross-engine determinism argument.
+_BPE_WORDS_SQL = bpe_words_sql("text")
 
 # ---------------------------------------------------------------------------
 # Vocabulary coverage: how much of the token stream the top-k words
@@ -183,10 +189,10 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Frozen 8-merge table for the oracle-checked APPLY path (learned once
-# from the sf0.01 corpus over lowercase-alpha words and pinned as a
-# constant — a production tokenizer ships its merge table exactly like
-# this). Shared verbatim between the Spark plan and the DuckDB oracle
-# below so the two sides can never drift.
+# from the sf0.01 corpus over the Unicode word tokenizer and pinned as
+# a constant — a production tokenizer ships its merge table exactly
+# like this). Shared verbatim between the Spark plan and the DuckDB
+# oracle below so the two sides can never drift.
 BPE_FIXED_MERGES: list[tuple[str, str]] = [
     ("e", "r▁"),
     ("o", "w▁"),
@@ -207,7 +213,7 @@ BPE_FIXED_MERGES: list[tuple[str, str]] = [
 # other's boundary (verified against a pure-python reference incl.
 # the 'aaaaa' overlapping-run case, and pinned equal to the
 # merge_pair_expr fold chain in tests/test_bpe.py). Safe because
-# words are [a-z]+ runs: no token can contain a space. String-builtin
+# words are \p{L} runs: no token can contain a space. String-builtin
 # pipeline chosen over 8 chained array folds for the Spark side too:
 # identical semantics, ~5× cheaper whole-stage codegen (benched
 # 5.1 s → ~1 s cold at sf0.1), and no broadcast join needed — the
@@ -233,9 +239,7 @@ _N_SYM = (
 
 _BPE_APPLY_ORACLE = f"""
 WITH words AS (
-  SELECT source,
-         unnest(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'))
-           AS word
+  SELECT source, unnest({_BPE_WORDS_SQL}) AS word
   FROM documents
 ),
 sw AS (SELECT source, word, COUNT(*) AS c FROM words
@@ -279,13 +283,10 @@ def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB re-tokenizes every word independently with the same
     rendering."""
     docs = read_table(spark, sf_dir, "documents", fan_out=True)
-    # split-on-non-alpha == extract-all-alpha-runs (empties filtered),
+    # split-on-non-letter == extract-all-letter-runs (empties filtered),
     # but split's codegen/setup benched 6× cheaper cold at sf0.1
     words = docs.select(
-        "source",
-        F.explode(
-            F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-z]+")
-        ).alias("word"),
+        "source", F.explode(bpe_words_of("text")).alias("word")
     ).filter(F.length("word") > 0)
     sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
     tokenized = sw.select(
@@ -319,8 +320,7 @@ def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FERTILITY_ORACLE = f"""
 WITH words AS (
   SELECT COALESCE(lang, 'und') AS lang,
-         unnest(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'))
-           AS word
+         unnest({_BPE_WORDS_SQL}) AS word
   FROM documents
 ),
 lw AS (SELECT lang, word, COUNT(*) AS c FROM words
@@ -345,23 +345,14 @@ ORDER BY lang
 """
 
 
-@query("bpe_fertility_by_lang", _FERTILITY_ORACLE)
-def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer FERTILITY report: tokens-per-word and the share of
-    word occurrences fragmented into >= 3 subword tokens, per
-    language — the metric a tokenizer team watches to see which
-    languages a merge table under-serves (high fertility = more
-    compute per content word). Applies the same frozen 8-merge table
-    and shared string-pipeline tokenizer as corpus_bpe_compression,
-    keyed by the corpus's language column (COALESCE'd to 'und' —
-    totality convention); fragmentation rate is an exact integer ppm
-    (`div`), never a rounded double ratio."""
-    docs = read_table(spark, sf_dir, "documents")
+def _fertility_report(docs: DataFrame) -> DataFrame:
+    """Per-language fertility aggregation over any (lang, text) frame —
+    factored out of the registered query so tests can pin non-Latin
+    fertility on synthetic multilingual corpora (the r7 verdict's
+    acceptance check: the report must SEE the languages it protects)."""
     words = docs.select(
         F.coalesce("lang", F.lit("und")).alias("lang"),
-        F.explode(
-            F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-z]+")
-        ).alias("word"),
+        F.explode(bpe_words_of("text")).alias("word"),
     ).filter(F.length("word") > 0)
     lw = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
     tok = lw.select(
@@ -394,3 +385,19 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("bpe_fertility_by_lang", _FERTILITY_ORACLE)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report: tokens-per-word and the share of
+    word occurrences fragmented into >= 3 subword tokens, per
+    language — the metric a tokenizer team watches to see which
+    languages a merge table under-serves (high fertility = more
+    compute per content word). Applies the same frozen 8-merge table
+    and shared string-pipeline tokenizer as corpus_bpe_compression —
+    over the r8 Unicode word tokenizer, so non-Latin corpora now
+    contribute instead of vanishing at the splitter. Keyed by the
+    corpus's language column (COALESCE'd to 'und' — totality
+    convention); fragmentation rate is an exact integer ppm (`div`),
+    never a rounded double ratio."""
+    return _fertility_report(read_table(spark, sf_dir, "documents"))

@@ -66,6 +66,39 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# identical closed form to the NetPBM features oracle — the PNG query
+# pins the whole stdlib zlib+filter decode path to the same values
+_PNG_ORACLE = f"""
+SELECT a.asset_id,
+       CAST({_W} AS INTEGER) AS width,
+       CAST({_H} AS INTEGER) AS height,
+       FLOOR((SUM((a.asset_id + y.y) % 256) * 1.0 / {_H}) / 255.0 * 1e6 + 0.5)
+         / 1e6 AS mean_luma
+FROM range({_N}) AS a(asset_id), range({_H}) AS y(y)
+GROUP BY a.asset_id
+ORDER BY a.asset_id
+"""
+
+
+@query("multimodal_png_features", _PNG_ORACLE)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode on the executors (r8 — the stdlib zlib+numpy
+    decoder in operators/codecs.py, no Pillow): the same closed-form
+    gradient assets as ``multimodal_image_features`` but ENCODED as
+    real PNGs whose scanlines cycle all five filter types (None, Sub,
+    Up, Average, Paeth), so every unfilter path and the chunk/CRC
+    walker sit on the oracle-checked path. The oracle recomputes mean
+    luma from the gradient's closed form — it never touches bytes, so
+    encoder layout, zlib round-trip, and unfilter arithmetic are all
+    pinned. ``sf_dir`` unused (generated assets by design)."""
+    assets = synthetic_image_assets(spark, n=_N, width=_W, height=_H, fmt="png")
+    return (
+        extract_features(assets)
+        .select("asset_id", "width", "height", _luma6("mean_luma"))
+        .orderBy("asset_id")
+    )
+
+
 _RESIZE_ORACLE = f"""
 SELECT a.asset_id,
        CAST({_RW} AS INTEGER) AS width,
@@ -170,14 +203,15 @@ ORDER BY a.asset_id, f.f
 
 @query("multimodal_video_frames", _VIDEO_ORACLE)
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video frame sampling (r7 — upgrades the byte-offset
-    stand-in): deterministic multi-frame containers (CVID: header +
-    fixed-size NetPBM frames, the raw-concatenated shape of
-    uncompressed AVI/Y4M) are seek-decoded every 4th frame via offset
-    arithmetic + the real NetPBM codec, reduced to per-frame mean
-    luminance — all verified against a closed-form oracle that
-    recomputes each sampled frame's gradient. The 1→N mapInPandas
-    frame-sampler shape with actual decode work inside."""
+    """REAL video frame sampling over the PUBLISHED format (r8 —
+    upgrades r7's synthetic CVID container): deterministic C420jpeg
+    YUV4MPEG2 streams (ffmpeg-playable .y4m) are seek-decoded every
+    4th frame via the format's fixed frame stride (header + k *
+    frame_bytes — O(frame), never a stream scan), luma plane reduced
+    to per-frame mean luminance — all verified against a closed-form
+    oracle that recomputes each sampled frame's gradient. The 1→N
+    mapInPandas frame-sampler shape with actual decode work inside;
+    CVID remains supported as a sniffed test-fixture container."""
     from calorista_spark.operators.multimodal import (
         sample_video_frames,
         synthetic_video_assets,

@@ -79,7 +79,17 @@ _SPEC = {
 
 
 _WS_DECOR = ("  ", " \t x\n\n y  ")
-_UNICODE_SUFFIX = " h\u00e9llo w\u00f6rld \u6f22\u5b57 \U0001f642 \u00f1a\u00efve"
+# r8: extended with Cyrillic (segmented, case-mapped), kana and Thai
+# (unsegmented \u2192 codepoint-fallback path of the BPE-family tokenizer).
+# Deliberately excludes final-sigma/\u0130: those two Java-vs-utf8proc
+# lowercase divergences are canonicalized only inside the BPE family
+# (operators/bpe.py) \u2014 the whitespace-tokenizer family documents
+# codepoint-lowercase sensitivity instead.
+_UNICODE_SUFFIX = (
+    " h\u00e9llo w\u00f6rld \u6f22\u5b57 \U0001f642 \u00f1a\u00efve"
+    " \u041f\u0440\u0438\u0432\u0435\u0442"
+    " \u3053\u3093\u306b\u3061\u306f \u0e14\u0e35\u0e21\u0e32\u0e01"
+)
 
 
 def build(

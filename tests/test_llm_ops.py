@@ -425,6 +425,161 @@ def test_sample_video_frames_drops_undecodable(spark):
     assert all(r.width == 2 and r.height == 2 for r in got)
 
 
+def test_y4m_codec_published_layout():
+    """r8: the Y4M encoder's byte layout is pinned against the
+    published YUV4MPEG2 spec (mjpegtools): plain-text stream header,
+    bare FRAME markers, planar payloads — plus seek-decode and the
+    C420 chroma arithmetic."""
+    import numpy as np
+    import pytest
+
+    from calorista_spark.operators.multimodal import (
+        decode_y4m_frame,
+        encode_y4m,
+        y4m_frame_count,
+    )
+
+    frames = [np.full((4, 6), f * 9, dtype=np.uint8) for f in range(3)]
+    mono = encode_y4m(frames, colorspace="mono")
+    # exact published header + frame marker layout
+    head = b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 Cmono\n"
+    assert mono.startswith(head + b"FRAME\n")
+    assert len(mono) == len(head) + 3 * (6 + 24)
+    assert y4m_frame_count(mono) == 3
+    for f in range(3):
+        got = decode_y4m_frame(mono, f)
+        assert got.shape == (4, 6) and (got == f * 9).all()
+
+    # C420jpeg: +50% chroma bytes per frame, luma decodes identically
+    c420 = encode_y4m(frames, colorspace="420jpeg")
+    assert y4m_frame_count(c420) == 3
+    assert (decode_y4m_frame(c420, 2) == frames[2]).all()
+    assert len(c420) - len(mono) == 3 * 12 + len(b"C420jpeg") - len(b"Cmono")
+
+    # error contracts
+    with pytest.raises(IndexError):
+        decode_y4m_frame(mono, 3)
+    with pytest.raises(ValueError):  # odd dims under 4:2:0 subsampling
+        encode_y4m([np.zeros((3, 5), dtype=np.uint8)], colorspace="420")
+    with pytest.raises(ValueError):
+        encode_y4m(frames, colorspace="410")
+    with pytest.raises(ValueError):  # per-frame params break fixed stride
+        decode_y4m_frame(
+            mono.replace(b"FRAME\n", b"FRAME Xcustom\n", 1), 0
+        )
+    with pytest.raises(ValueError):
+        decode_y4m_frame(b"RIFF" + mono[4:], 0)
+
+
+def test_sample_video_frames_mixed_containers(spark):
+    """One asset table holding Y4M and CVID payloads plus junk: the
+    sampler sniffs per row and decodes both real containers."""
+    import numpy as np
+    import pandas as pd
+
+    from calorista_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_video,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    y4m = encode_y4m(
+        [np.full((2, 4), f * 5, dtype=np.uint8) for f in range(4)],
+        colorspace="mono",
+    )
+    cvid = encode_video(
+        [np.full((2, 2), f, dtype=np.uint8) for f in range(4)]
+    )
+    rows = [
+        (0, "video", y4m, "video/x-yuv4mpeg", 4, 2, None),
+        (1, "video", cvid, "video/x-cvid", 2, 2, None),
+        (2, "video", b"junk", "video/mp4", None, None, None),
+    ]
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields]),
+        schema=ASSET_SCHEMA,
+    )
+    got = sorted(
+        (r.asset_id, r.frame_index, r.width, r.mean_luma)
+        for r in sample_video_frames(assets, stride=2).collect()
+    )
+    assert [(a, f, w) for a, f, w, _ in got] == [
+        (0, 0, 4), (0, 2, 4), (1, 0, 2), (1, 2, 2),
+    ]
+    assert got[1][3] == 10 / 255.0  # y4m frame 2 luma
+
+
+def test_png_codec_stdlib():
+    """r8 stdlib PNG codec: filter-type round-trips, palette decode,
+    alpha-channel handling, CRC/truncation integrity, and the typed
+    fall-through for interlaced/16-bit files."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from calorista_spark.operators.codecs import (
+        UnsupportedImageError,
+        decode_image_bytes,
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(16, 24), (16, 24, 3), (1, 1), (5, 3, 3)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for filters in [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            got = decode_png(encode_png(arr, row_filters=filters))
+            assert (got == arr).all(), (shape, filters)
+    payload = encode_png(rng.randint(0, 256, (4, 4)).astype(np.uint8))
+    assert sniff_format(payload) == "png"
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def handmade(color, depth, interlace, raster, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            sig + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+        )
+
+    # palette (color 3) → PLTE lookup
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    got = decode_image_bytes(
+        handmade(3, 8, 0, b"\x00\x00\x01\x00\x02\x00", extra=plte)
+    )
+    assert got.tolist() == [
+        [[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]
+    ]
+    # gray+alpha (4) → luma plane; RGBA (6) → RGB
+    ga = handmade(4, 8, 0, b"\x00" + b"\x09\xff\x07\x80" + b"\x00" + b"\x05\x01\x03\x00")
+    assert decode_png(ga).tolist() == [[9, 7], [5, 3]]
+    rgba_raster = b"\x00" + bytes(range(8)) + b"\x00" + bytes(range(8, 16))
+    assert decode_png(handmade(6, 8, 0, rgba_raster)).shape == (2, 2, 3)
+
+    # integrity: CRC flip and truncation raise
+    bad = bytearray(payload)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        decode_png(payload[:-8])
+    # interlaced / 16-bit → typed fall-through error (no Pillow here)
+    with pytest.raises((UnsupportedImageError, ValueError)):
+        decode_image_bytes(handmade(0, 8, 1, b"\x00\x00\x00\x00\x00\x00"))
+    with pytest.raises((UnsupportedImageError, ValueError)):
+        decode_png(handmade(0, 16, 0, b"\x00" * 10))
+
+
 def test_wav_codec_stdlib_interop():
     """Round-trip against the stdlib wave module in BOTH directions —
     our RIFF parser on wave-authored bytes, stdlib reader on our
