@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from calorista_spark.catalog import read_table
 from calorista_spark.operators.dedup import exact_dedup
-from calorista_spark.operators.merge import merge_classify, merge_upsert, with_row_hash
+from calorista_spark.operators.merge import (
+    merge_classify,
+    merge_upsert,
+    merge_upsert_cdc,
+    scd2_apply_tombstones,
+    with_row_hash,
+)
 from calorista_spark.operators.reshape import (
     date_spine,
     group_collect,
@@ -275,6 +281,194 @@ def merge_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         classified.groupBy("action").agg(F.count(F.lit(1)).alias("n")).orderBy("action")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 CDC delete semantics: the source feed carries op ∈ {upsert,
+# delete} — the fourth merge branch (tombstones) the r7 verdict asked
+# for. event_id % 4 == 0 rows arrive as deletes; upserts bump value.
+# ---------------------------------------------------------------------------
+
+_MERGE_CDC_ORACLE = """
+WITH target AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_id % 10 < 8
+),
+source AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 4 = 0 THEN value ELSE value + 1 END AS value,
+         CASE WHEN event_id % 4 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT
+  COALESCE(s.event_id, t.event_id) AS event_id,
+  CASE WHEN s.op IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+  CASE WHEN s.op IS NOT NULL THEN s.event_type ELSE t.event_type END
+    AS event_type,
+  ROUND(CASE WHEN s.op IS NOT NULL THEN s.value ELSE t.value END, 4)
+    AS value
+FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id
+WHERE s.op IS NULL OR s.op <> 'delete'
+ORDER BY event_id
+"""
+
+
+@query("merge_cdc_events", _MERGE_CDC_ORACLE)
+def merge_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D3 + deletes: the CDC apply — inserts, replacements, and
+    tombstone removals in ONE full-outer shuffle (operators/merge.py
+    merge_upsert_cdc; Delta `WHEN MATCHED AND op='delete' THEN DELETE`
+    on clusters). Deletes of unseen keys are no-ops, so replaying the
+    feed is idempotent."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    target = events.filter(F.col("event_id") % 10 < 8)
+    source = events.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 4 == 0, F.col("value"))
+        .otherwise(F.col("value") + 1)
+        .alias("value"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    merged = merge_upsert_cdc(target, source, keys=["event_id"])
+    return merged.withColumn("value", F.round("value", 4)).orderBy("event_id")
+
+
+_MERGE_CLASSIFY_CDC_ORACLE = """
+WITH target AS (
+  SELECT event_id, value FROM events WHERE event_id % 10 < 8
+),
+source AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN value + 1 ELSE value END AS value,
+         CASE WHEN event_id % 4 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT action, COUNT(*) AS n FROM (
+  SELECT CASE
+    WHEN s.event_id IS NULL THEN 'keep'
+    WHEN s.op = 'delete' AND t.event_id IS NOT NULL THEN 'delete'
+    WHEN s.op = 'delete' THEN 'delete_noop'
+    WHEN t.event_id IS NULL THEN 'insert'
+    WHEN s.value <> t.value THEN 'update'
+    ELSE 'unchanged' END AS action
+  FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id
+)
+GROUP BY action ORDER BY action
+"""
+
+
+@query("merge_classify_cdc_events", _MERGE_CLASSIFY_CDC_ORACLE)
+def merge_classify_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC apply audit: all six branches (keep / insert /
+    update / unchanged / delete / delete_noop) counted — what a real
+    pipeline reports after every MERGE so retired-row volume is
+    visible, not silent."""
+    events = read_table(spark, sf_dir, "events").select("event_id", "value")
+    target = with_row_hash(events.filter(F.col("event_id") % 10 < 8))
+    source = with_row_hash(
+        events.filter(F.col("event_id") % 3 == 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 4 == 0, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        ),
+        exclude=("op",),
+    )
+    classified = merge_classify(target, source, keys=["event_id"], op_col="op")
+    return (
+        classified.groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("action")
+    )
+
+
+_SCD2_TOMBSTONE_ORACLE = """
+WITH peruser AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+),
+dim AS (
+  SELECT user_id, n_events, first_day AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM peruser
+  UNION ALL
+  SELECT user_id, CAST(0 AS BIGINT), first_day - 30, first_day
+  FROM peruser WHERE user_id % 5 = 0
+),
+tomb AS (
+  SELECT user_id, last_day + 1 AS eff FROM peruser WHERE user_id % 3 = 0
+)
+SELECT user_id, n_events, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM (
+  SELECT d.user_id, d.n_events, d.valid_from,
+         CASE WHEN d.valid_to IS NULL THEN t.eff ELSE d.valid_to END
+           AS valid_to
+  FROM dim d LEFT JOIN tomb t ON d.user_id = t.user_id
+)
+ORDER BY user_id, valid_from
+"""
+
+
+@query("scd2_tombstone_retirement", _SCD2_TOMBSTONE_ORACLE)
+def scd2_tombstone_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 DELETE path (r8): a tombstone feed END-DATES current
+    dimension rows (valid_to = tombstone effective time, no successor
+    opened) while history rows stream through untouched — how a Type-2
+    dimension records entity retirement without losing point-in-time
+    joinability. Dim and tombstones are derived deterministically from
+    events (current row per user + a synthetic closed history row for
+    user_id % 5 == 0; tombstones retire user_id % 3 == 0 the day after
+    their last event), so the oracle rebuilds the exact same inputs.
+    One keyed shuffle against the current slice only — cost is
+    O(|current| + |tombstones|), independent of history depth."""
+    events = read_table(spark, sf_dir, "events")
+    peruser = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    current = peruser.select(
+        "user_id",
+        "n_events",
+        F.col("first_day").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    history = peruser.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.lit(0).cast("long").alias("n_events"),
+        F.date_sub("first_day", 30).alias("valid_from"),
+        F.col("first_day").alias("valid_to"),
+    )
+    dim = current.unionByName(history)
+    tomb = peruser.filter(F.col("user_id") % 3 == 0).select(
+        "user_id", F.date_add("last_day", 1).alias("eff")
+    )
+    out = scd2_apply_tombstones(
+        dim, tomb, keys=["user_id"], effective_col="eff", valid_to="valid_to"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
 
 
 # ---------------------------------------------------------------------------

@@ -232,6 +232,66 @@ def merge_batch_into_store(
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
 
 
+def merge_cdc_batch_into_store(
+    batch: DataFrame, store_path: str, keys: list[str], op_col: str = "op"
+) -> None:
+    """One micro-batch of the CDC MERGE (r8): applies upserts AND
+    tombstone deletes against the parquet store via
+    :func:`operators.merge.merge_upsert_cdc`. IDEMPOTENT per batch —
+    re-upserting is a no-op replace, re-deleting an absent key is a
+    no-op — so foreachBatch + checkpoint is exactly-once across
+    crash/restart exactly like the insert/update-only path."""
+    from calorista_spark.operators.merge import merge_upsert_cdc
+
+    spark = batch.sparkSession
+    import os
+
+    data_cols = [c for c in batch.columns if c != op_col]
+    if any(
+        f.endswith(".parquet") or f == "_SUCCESS"
+        for f in (os.listdir(store_path) if os.path.isdir(store_path) else [])
+    ):
+        target = spark.read.parquet(store_path)
+        merged = merge_upsert_cdc(
+            target, batch.select(*data_cols, op_col), keys, op_col=op_col
+        )
+    else:
+        merged = batch.filter(F.col(op_col) != F.lit("delete")).select(
+            *data_cols
+        )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def start_incremental_cdc_merge(
+    stream: DataFrame,
+    store_path: str,
+    keys: list[str],
+    checkpoint: str,
+    op_col: str = "op",
+    trigger_available_now: bool = True,
+    on_batch=None,
+):
+    """ST1 + deletes: foreachBatch CDC MERGE into a parquet store —
+    the streaming twin of the ``merge_cdc_events`` query (on Delta:
+    ``WHEN MATCHED AND s.op='delete' THEN DELETE``). Same checkpoint /
+    exactly-once orchestration as :func:`start_incremental_merge`;
+    ``on_batch`` is the failure-injection seam for the restart smoke."""
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
+        merge_cdc_batch_into_store(batch, store_path, keys, op_col=op_col)
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_merge(
     stream: DataFrame,
     store_path: str,

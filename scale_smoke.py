@@ -38,6 +38,12 @@ N = int(os.environ.get("SPARK_GRAFT_SMOKE_ROWS", "10000000"))
 
 
 def timed(label, fn):
+    # optional section filter: `python scale_smoke.py label1 label2`
+    # runs only the named sections (default: everything)
+    only = set(sys.argv[1:])
+    if only and label not in only:
+        print(f"{label}: skipped (section filter)")
+        return 0.0
     t0 = time.perf_counter()
     out = fn()
     sec = round(time.perf_counter() - t0, 2)
@@ -654,6 +660,287 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
 
     results["streaming_restart"] = timed("streaming_restart", restart_check)
+
+    # 6d. CDC merge restart (r8): the delete branch must be exactly-
+    # once too. A 4-batch CDC feed (upserts, re-upserts, a tombstone
+    # wave, re-inserts of deleted keys) crashes ON the delete batch;
+    # the restarted run must converge to both the uninterrupted twin
+    # AND the batch-mode merge_upsert_cdc fold over the same feed.
+    def cdc_restart_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.operators.merge import merge_upsert_cdc
+        from calorista_spark.streaming.incremental import (
+            start_incremental_cdc_merge,
+        )
+
+        root = tempfile.mkdtemp(prefix="smoke_cdc_restart_")
+        try:
+            def gen(lo, hi, op, key_expr):
+                return spark.range(lo, hi).select(
+                    key_expr.alias("event_id"),
+                    (F.pmod(F.hash("id", F.lit(5)), 10_000) / 100.0).alias(
+                        "value"
+                    ),
+                    F.lit(op).alias("op"),
+                )
+
+            feed = [
+                gen(0, 6_000, "upsert", F.col("id")),
+                gen(6_000, 12_000, "upsert", F.pmod(F.col("id"), 9_000)),
+                gen(0, 3_000, "delete", F.col("id") * 3),  # keys ≡ 0 mod 3
+                gen(12_000, 15_000, "upsert", F.pmod(F.col("id"), 9_000)),
+            ]
+            src = os.path.join(root, "src")
+            os.makedirs(src)
+            schema = feed[0].schema
+            for i, f in enumerate(feed):
+                f.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(src, f"f{i}")
+                )
+                t = time.time() - 10 + i
+                d = os.path.join(src, f"f{i}")
+                for name in os.listdir(d):
+                    os.utime(os.path.join(d, name), (t, t))
+
+            def stream():
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src)
+                )
+
+            # batch-mode expectation: fold the feed through the
+            # operator in order (empty store → filter out deletes)
+            expected = feed[0].filter(F.col("op") != "delete").drop("op")
+            for f in feed[1:]:
+                expected = merge_upsert_cdc(
+                    expected.withColumn("op", F.lit("upsert")),
+                    f,
+                    ["event_id"],
+                )
+            exp_rows = sorted(tuple(r) for r in expected.collect())
+
+            # uninterrupted twin
+            store_a = os.path.join(root, "store_a")
+            os.makedirs(store_a)
+            q = start_incremental_cdc_merge(
+                stream(), store_a, ["event_id"], os.path.join(root, "ckpt_a")
+            )
+            q.awaitTermination()
+
+            # crashing run: bomb detonates ON the tombstone batch
+            flag = os.path.join(root, "bomb_armed")
+            open(flag, "w").close()
+            replayed: list[int] = []
+
+            def bomb(batch_id: int) -> None:
+                replayed.append(batch_id)
+                if batch_id == 2 and os.path.exists(flag):
+                    raise RuntimeError("injected failure on delete batch")
+
+            store_b = os.path.join(root, "store_b")
+            os.makedirs(store_b)
+            ckpt_b = os.path.join(root, "ckpt_b")
+            q = start_incremental_cdc_merge(
+                stream(), store_b, ["event_id"], ckpt_b, on_batch=bomb
+            )
+            crashed = False
+            try:
+                q.awaitTermination()
+            except Exception:  # noqa: BLE001 — injected
+                crashed = True
+            assert crashed and replayed == [0, 1, 2], replayed
+            os.remove(flag)
+            replayed.clear()
+            q = start_incremental_cdc_merge(
+                stream(), store_b, ["event_id"], ckpt_b, on_batch=bomb
+            )
+            q.awaitTermination()
+            assert min(replayed) == 2, replayed  # only the failed tail
+
+            a = sorted(tuple(r) for r in spark.read.parquet(store_a).collect())
+            b = sorted(tuple(r) for r in spark.read.parquet(store_b).collect())
+            assert a == b == exp_rows, (len(a), len(b), len(exp_rows))
+            n_deleted_alive = sum(
+                1 for r in a if r[0] % 3 == 0 and r[0] < 9_000
+            )
+            return (
+                f"store identical across crash-on-delete-batch restart "
+                f"({len(a)} rows; tombstoned keys re-inserted by the "
+                f"final wave: {n_deleted_alive})"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["streaming_cdc_restart"] = timed("cdc_restart", cdc_restart_check)
+
+    # 6e. stream-stream interval join restart (r8 — the fourth restart
+    # proof the r7 verdict asked for): both sides of the view→purchase
+    # interval join are file streams; the query crashes on batch 2 and
+    # resumes from the checkpoint. The joined row set must equal both
+    # the uninterrupted streaming twin and the batch-mode join.
+    def join_restart_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.streaming.incremental import (
+            stream_interval_join,
+        )
+
+        root = tempfile.mkdtemp(prefix="smoke_join_restart_")
+        try:
+            base = 1_700_000_000_000_000
+
+            def views(lo, hi):
+                return spark.range(lo, hi).select(
+                    F.col("id").alias("user_id"),
+                    F.timestamp_micros(
+                        F.lit(base) + F.col("id") * 1_000_000
+                    ).alias("view_ts"),
+                )
+
+            def purchases(lo, hi):
+                # purchase lands id%3000 s after the view: ids with
+                # %3000 < 3600 (all) match within the 1 h upper bound;
+                # shift half of them out of range to exercise misses
+                return spark.range(lo, hi).select(
+                    F.col("id").alias("user_id"),
+                    F.timestamp_micros(
+                        F.lit(base)
+                        + F.col("id") * 1_000_000
+                        + (
+                            F.pmod(F.col("id"), 3_000)
+                            + F.when(
+                                F.pmod(F.col("id"), 2) == 0, F.lit(1)
+                            ).otherwise(F.lit(4_000))
+                        )
+                        * 1_000_000
+                    ).alias("purchase_ts"),
+                )
+
+            v_dir = os.path.join(root, "views")
+            p_dir = os.path.join(root, "purchases")
+            os.makedirs(v_dir)
+            os.makedirs(p_dir)
+            v_parts = [views(0, 2_000), views(2_000, 4_000), views(4_000, 6_000)]
+            p_parts = [
+                purchases(0, 2_000),
+                purchases(2_000, 4_000),
+                purchases(4_000, 6_000),
+            ]
+            for i, (vp, pp) in enumerate(zip(v_parts, p_parts)):
+                for d, part in ((v_dir, vp), (p_dir, pp)):
+                    sub = os.path.join(d, f"f{i}")
+                    part.coalesce(1).write.mode("overwrite").parquet(sub)
+                    t = time.time() - 10 + i
+                    for name in os.listdir(sub):
+                        os.utime(os.path.join(sub, name), (t, t))
+            v_schema, p_schema = v_parts[0].schema, p_parts[0].schema
+
+            def joined_stream():
+                vs = (
+                    spark.readStream.schema(v_schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(v_dir)
+                )
+                ps = (
+                    spark.readStream.schema(p_schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(p_dir)
+                )
+                # generous watermark: no state eviction inside the
+                # 100-minute event span, so batch equivalence is exact
+                j = stream_interval_join(
+                    vs, ps, "user_id", "view_ts", "purchase_ts",
+                    upper="1 hour", watermark="30 days",
+                )
+                # both sides keep their key column; positional rename
+                # so the parquet sink sees unique names
+                return j.toDF(
+                    "user_id", "view_ts", "p_user_id", "purchase_ts"
+                ).drop("p_user_id")
+
+            def run(out_dir, ckpt, on_batch=None):
+                os.makedirs(out_dir, exist_ok=True)
+
+                def _sink(batch, batch_id):
+                    if on_batch is not None:
+                        on_batch(batch_id)
+                    batch.write.mode("overwrite").parquet(
+                        os.path.join(out_dir, f"batch={batch_id}")
+                    )
+
+                q = (
+                    joined_stream()
+                    .writeStream.foreachBatch(_sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            def rows_of(out_dir):
+                df = spark.read.option(
+                    "recursiveFileLookup", "true"
+                ).parquet(out_dir)
+                return sorted(
+                    (r.user_id, r.view_ts, r.purchase_ts)
+                    for r in df.collect()
+                )
+
+            out_a = os.path.join(root, "out_a")
+            run(out_a, os.path.join(root, "ckpt_a"))
+
+            flag = os.path.join(root, "bomb_armed")
+            open(flag, "w").close()
+
+            def bomb(batch_id):
+                if batch_id == 2 and os.path.exists(flag):
+                    raise RuntimeError("injected join failure")
+
+            out_b = os.path.join(root, "out_b")
+            ckpt_b = os.path.join(root, "ckpt_b")
+            crashed = False
+            try:
+                run(out_b, ckpt_b, on_batch=bomb)
+            except Exception:  # noqa: BLE001 — injected
+                crashed = True
+            assert crashed, "join bomb did not detonate"
+            os.remove(flag)
+            run(out_b, ckpt_b, on_batch=bomb)  # resume from checkpoint
+
+            a, b = rows_of(out_a), rows_of(out_b)
+            # batch-mode ground truth (watermarks are no-ops in batch)
+            vb = v_parts[0].union(v_parts[1]).union(v_parts[2])
+            pb = p_parts[0].union(p_parts[1]).union(p_parts[2])
+            want = sorted(
+                (r.user_id, r.view_ts, r.purchase_ts)
+                for r in stream_interval_join(
+                    vb, pb, "user_id", "view_ts", "purchase_ts",
+                    upper="1 hour", watermark="30 days",
+                )
+                .toDF("user_id", "view_ts", "p_user_id", "purchase_ts")
+                .drop("p_user_id")
+                .collect()
+            )
+            assert a == b == want and len(a) == 3_000, (
+                len(a), len(b), len(want),
+            )
+            return (
+                f"interval-join rows identical across crash+restart and "
+                f"equal to batch join ({len(a)} matches of 6000 views)"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["streaming_join_restart"] = timed(
+        "join_restart", join_restart_check
+    )
 
     # 7b. connected components on deep chains at 100k nodes (r7): the
     # pre-r7 operator needed `diameter` rounds and silently mislabeled
