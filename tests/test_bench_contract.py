@@ -68,3 +68,32 @@ def test_bench_isolates_failures_and_prints_summary_last(
     # serialized line, after the long per-query dict
     line = out[-1]
     assert line.rstrip("}").rsplit(",", 1)[-1].strip().startswith('"value":')
+
+
+def test_bench_normalization_and_warm_rerun(spark, sf_dir, monkeypatch, capsys):
+    """r8: the summary must be self-describing for load drift —
+    value_normalized rescales by the calibration probe, and the
+    slowest queries get a warm re-run column."""
+    import json
+
+    import bench
+
+    def ok(s, d):
+        return s.range(5).selectExpr("id")
+
+    monkeypatch.setattr(bench, "QUERIES", {f"q{i}": ok for i in range(7)})
+    monkeypatch.setattr(
+        bench, "build_session", lambda app_name: _NoStopSession(spark)
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    bench.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["calibration_ref"] == 0.45
+    assert summary["value_normalized"] == pytest.approx(
+        summary["value"] * 0.45 / summary["calibration_sec"], abs=1e-3
+    )
+    # warm re-runs cover exactly the 5 slowest timed queries
+    slowest = sorted(
+        summary["queries"], key=summary["queries"].get, reverse=True
+    )[:5]
+    assert set(summary["warm_rerun_sec"]) == set(slowest)
