@@ -1,0 +1,146 @@
+"""Quantified error bands for the rows-only registry queries.
+
+The four queries without a DuckDB oracle (three sketch twins + the
+inherently iterative BPE trainer) are pytest-toleranced, but the
+artifact trail (`CORRECTNESS_local_full.json`) only showed their row
+counts — a reader could not see HOW approximate they are (r7 VERDICT
+item #6). Each band function re-derives the exact answer (via the
+query's own oracle-green exact twin) and returns per-metric relative
+errors, so the sweep artifact carries quantified error for every
+rows-only entry.
+
+Keys of ``APPROX_BANDS`` must stay equal to the registry's
+no-oracle set; ``tests/test_approx_bands.py`` pins that.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TOLERANCE = 0.05  # matches tests/test_sketch_tolerance.py
+
+
+def _rel(approx: float, exact: float) -> float:
+    return round(abs(approx - exact) / max(abs(exact), 1e-12), 5)
+
+
+def _finish(metrics: dict[str, float]) -> dict:
+    worst = max(metrics.values()) if metrics else 0.0
+    return {
+        "metrics": metrics,
+        "max_rel_err": worst,
+        "tolerance": TOLERANCE,
+        "within_tolerance": worst <= TOLERANCE,
+    }
+
+
+def _band_profile(spark: SparkSession, sf_dir: str) -> dict:
+    """HLL++ n_distinct per column vs the exact COUNT(DISTINCT) twin."""
+    from calorista_spark.queries import QUERIES
+
+    exact = {
+        r.column_name: r.n_distinct
+        for r in QUERIES["orders_column_profile"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.column_name: r.n_distinct
+        for r in QUERIES["orders_column_profile_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    return _finish(
+        {
+            f"n_distinct[{c}]": _rel(approx[c], exact[c])
+            for c in sorted(exact)
+        }
+    )
+
+
+def _band_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """GK median + HLL distinct-orders vs exact, per returnflag."""
+    from calorista_spark.catalog import read_table
+    from calorista_spark.queries import QUERIES
+
+    exact_med = {
+        r.l_returnflag: r.price_median
+        for r in QUERIES["stats_by_returnflag"](spark, sf_dir).collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem")
+    exact_orders = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    metrics: dict[str, float] = {}
+    for r in QUERIES["approx_stats_by_returnflag"](spark, sf_dir).collect():
+        metrics[f"median[{r.l_returnflag}]"] = _rel(
+            r.approx_median, exact_med[r.l_returnflag]
+        )
+        metrics[f"orders[{r.l_returnflag}]"] = _rel(
+            r.approx_orders, exact_orders[r.l_returnflag]
+        )
+    return _finish(metrics)
+
+
+def _band_sketch_rollup(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-day HLL estimates vs exact distincts; merged-vs-direct
+    union must agree exactly (lossless mergeability)."""
+    from calorista_spark.catalog import read_table
+    from calorista_spark.queries import QUERIES
+
+    rows = {
+        r.day: r.est_users
+        for r in QUERIES["events_distinct_users_sketch_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    exact_days = {
+        str(r.day): r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+    metrics = {
+        f"day[{d}]": _rel(rows[d], exact_days[d]) for d in sorted(exact_days)
+    }
+    metrics["total_vs_exact"] = _rel(rows["TOTAL(merged)"], exact_total)
+    # mergeability is exact by construction — report it as a 0/1 error
+    metrics["merged_vs_direct"] = (
+        0.0 if rows["TOTAL(merged)"] == rows["TOTAL(direct)"] else 1.0
+    )
+    return _finish(metrics)
+
+
+def _band_bpe_merges(spark: SparkSession, sf_dir: str) -> dict:
+    """Not a sketch — iterative training. Quantify by agreement with
+    the independent all-Spark merge loop: fraction of merge ranks
+    where (left, right, pair_count) are identical (pinned 1.0; also
+    pinned vs a pure-python reference in tests/test_bpe.py)."""
+    from calorista_spark.catalog import read_table
+    from calorista_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_driver,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", fan_out=True)
+    driver_merges, _ = learn_bpe_merges_driver(docs, 8, max_words=1_000_000)
+    spark_merges, _ = learn_bpe_merges(docs, 8)
+    n = max(len(driver_merges), len(spark_merges), 1)
+    agree = sum(
+        1 for a, b in zip(driver_merges, spark_merges) if a == b
+    )
+    return _finish({"merge_sequence_disagreement": _rel(agree, n)})
+
+
+APPROX_BANDS: dict[str, Callable[[SparkSession, str], dict]] = {
+    "orders_column_profile_approx": _band_profile,
+    "approx_stats_by_returnflag": _band_stats,
+    "events_distinct_users_sketch_rollup": _band_sketch_rollup,
+    "corpus_bpe_merges": _band_bpe_merges,
+}

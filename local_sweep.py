@@ -80,6 +80,12 @@ def main() -> None:
             rec["spark_rows"] = len(s_rows)
             if name not in ORACLES:
                 rec["err"] = "no_oracle"
+                # rows-only entries carry quantified error vs their
+                # exact twins (r7 VERDICT #6) — see approx_bands.py
+                from calorista_spark.approx_bands import APPROX_BANDS
+
+                if name in APPROX_BANDS:
+                    rec["approx_band"] = APPROX_BANDS[name](spark, sf_dir)
             else:
                 o_cols, o_rows = run_oracle(ORACLES[name], sf_dir)
                 rec["oracle_rows"] = len(o_rows)
@@ -115,6 +121,13 @@ def main() -> None:
         n
         for n, r in out.items()
         if not r["hash_match"] and r["err"] != "no_oracle"
+    ]
+    # a rows-only query whose quantified band blew its tolerance is a
+    # failure too — rows-only must not mean unbounded
+    bad += [
+        n
+        for n, r in out.items()
+        if "approx_band" in r and not r["approx_band"]["within_tolerance"]
     ]
     out["_meta"] = {
         "sf_dir": sf_dir,
