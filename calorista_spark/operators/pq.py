@@ -1,0 +1,259 @@
+"""Product quantization (PQ) for embedding columns.
+
+The FAISS-style vector-compression workhorse: split each d-dim vector
+into ``m`` subvectors, k-means each subspace to ``k`` centroids, store
+each vector as ``m`` small codes (here m=8, k=16 → 8 codes of 4 bits =
+4 bytes per 64-dim float vector, a 64× compression). Approximate
+distances then come from per-subspace lookup tables (ADC —
+asymmetric distance computation) without touching the raw floats.
+
+Scale shape (the 100 TB story):
+- TRAINING is sample-bounded like FAISS's: k-means runs driver-side
+  over a deterministic bounded sample (lowest ``sample_n`` ids — a
+  TakeOrdered, not a global sort), never the full corpus. The trained
+  codebook is tiny (m*k*dsub floats) and ships as a frozen constant,
+  exactly like the BPE merge table in queries/corpus_lm.py.
+- ASSIGNMENT/ADC are pure column expressions over the frozen
+  codebook: zero shuffle, zero UDF, whole-stage codegen. Every
+  distance is quantized to integer micro-units BEFORE any argmin or
+  sum (the quantized_sum convention), so Spark and DuckDB pick
+  identical codes and the whole family is oracle-checkable — unusual
+  for ANN, possible here because PQ with a frozen codebook is fully
+  deterministic.
+
+The expression text is generated ONCE and rendered per engine (only
+array indexing / list-function names differ), so the two sides can
+never drift — the _tok_pipeline pattern from corpus_lm.py.
+
+No counterpart in the reference (coldshrine/calorista has no vector
+ops); modeled on the public FAISS PQ design (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+# integer micro-unit quantization for every distance that crosses an
+# argmin or a sum — keeps cross-engine float folds out of the result
+DIST_Q = "1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# Training (driver-side over a bounded sample — the FAISS pattern)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebook(
+    X: np.ndarray, m: int, k: int, iters: int = 20
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means → (m, k, dsub) codebook.
+
+    Deterministic by construction: init picks k evenly-spaced rows of
+    the lexicographically sorted subvector sample (no RNG), argmin
+    ties resolve to the first index, and empty clusters keep their
+    previous centroid. Same sample → same codebook, bit for bit.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < k:
+        raise ValueError(f"need >= k={k} training rows, got {n}")
+    dsub = d // m
+    codebook = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        order = np.lexsort(sub.T[::-1])  # rows sorted lexicographically
+        s = sub[order]
+        cents = s[np.round(np.linspace(0, n - 1, k)).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        codebook[j] = cents
+    return codebook
+
+
+def train_pq_from_df(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 16384,
+    iters: int = 20,
+) -> np.ndarray:
+    """Train on the ``sample_n`` lowest-id non-null vectors — a
+    TakeOrdered collect bounded regardless of corpus size (FAISS
+    trains PQ on ~100k samples even for billion-vector indexes)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .where(f"{vec_col} IS NOT NULL")
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    return train_pq_codebook(
+        np.array([r[1] for r in rows]), m=m, k=k, iters=iters
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine-neutral expression rendering
+# ---------------------------------------------------------------------------
+
+# dialect = (elem, array, amin, apos, at) where
+#   elem(i)   1-based element i of the embedding column, cast to double
+#   array(xs) array/list literal
+#   amin(a)   array minimum
+#   apos(a,v) 1-based first position of v in a
+#   at(a, p)  1-based element of a at expression position p
+SPARK_DIALECT = (
+    lambda i: f"CAST(embedding[{i - 1}] AS DOUBLE)",
+    lambda xs: "array(" + ", ".join(xs) + ")",
+    lambda a: f"array_min({a})",
+    lambda a, v: f"array_position({a}, {v})",
+    # element_at requires an INT position; array_position yields BIGINT
+    lambda a, p: f"element_at({a}, CAST({p} AS INT))",
+)
+DUCKDB_DIALECT = (
+    lambda i: f"CAST(embedding[{i}] AS DOUBLE)",
+    lambda xs: "list_value(" + ", ".join(xs) + ")",
+    lambda a: f"list_min({a})",
+    lambda a, v: f"list_position({a}, {v})",
+    lambda a, p: f"({a})[{p}]",
+)
+
+
+def _dot(elems: Sequence[str], weights: Sequence[float]) -> str:
+    """Left-to-right multiply-add chain — fixed association order so
+    both engines produce the identical IEEE double.  float() guards
+    against numpy-2.x scalar reprs ('np.float64(..)') leaking into
+    the generated SQL."""
+    return " + ".join(f"{e}*{float(w)!r}" for e, w in zip(elems, weights))
+
+
+def _sq(elems: Sequence[str]) -> str:
+    return " + ".join(f"{e}*{e}" for e in elems)
+
+
+def pq_dist_arrays(
+    codebook: np.ndarray, dialect: tuple = SPARK_DIALECT
+) -> list[str]:
+    """One expression per subvector: the length-k array of integer-
+    quantized squared distances to each centroid.  ||x_j - c||² is
+    expanded to xsq - 2·(x·c) + csq with csq folded in Python (a
+    literal); every distance is FLOOR-quantized to micro-units before
+    the array, so argmin/min downstream are integer-exact."""
+    elem, array, _amin, _apos, _at = dialect
+    m, k, dsub = codebook.shape
+    exprs = []
+    for j in range(m):
+        elems = [elem(j * dsub + t + 1) for t in range(dsub)]
+        xsq = "(" + _sq(elems) + ")"
+        dists = []
+        for c in range(k):
+            cent = codebook[j, c]
+            csq = 0.0
+            for v in cent:  # same left fold a literal reader would do
+                csq = csq + v * v
+            dists.append(
+                f"CAST(FLOOR(({xsq} - 2.0*({_dot(elems, cent)}) + "
+                f"{float(csq)!r}) * {DIST_Q} + 0.5) AS BIGINT)"
+            )
+        exprs.append(array(dists))
+    return exprs
+
+
+def pq_code_expr(d_name: str, dialect: tuple = SPARK_DIALECT) -> str:
+    """0-based code for a named distance array: first position of the
+    minimum (integer comparison ⇒ same winner in both engines)."""
+    _e, _a, amin, apos, _at = dialect
+    return f"CAST({apos(d_name, amin(d_name))} - 1 AS INT)"
+
+
+def pq_recon_err_expr(d_names: Sequence[str], dialect: tuple = SPARK_DIALECT) -> str:
+    """Total quantized reconstruction error = Σ_j min(dists_j); the
+    min IS ||x_j - centroid[code_j]||² in micro-units."""
+    _e, _a, amin, _apos, _at = dialect
+    return "CAST(" + " + ".join(amin(d) for d in d_names) + " AS BIGINT)"
+
+
+def adc_tables(codebook: np.ndarray, query: np.ndarray) -> list[list[int]]:
+    """Per-subvector ADC lookup tables for ``query``: integer
+    micro-unit ||q_j - c||² for every centroid — computed in Python
+    once and inlined as literals on BOTH engine sides."""
+    m, k, dsub = codebook.shape
+    q = np.asarray(query, dtype=np.float64)
+    out = []
+    for j in range(m):
+        qj = q[j * dsub : (j + 1) * dsub]
+        # same expanded form as pq_dist_arrays for shape parity
+        qsq = 0.0
+        for v in qj:
+            qsq = qsq + v * v
+        row = []
+        for c in range(k):
+            dot = 0.0
+            for a, b in zip(qj, codebook[j, c]):
+                dot = dot + a * b
+            csq = 0.0
+            for v in codebook[j, c]:
+                csq = csq + v * v
+            row.append(int(np.floor((qsq - 2.0 * dot + csq) * 1e6 + 0.5)))
+        out.append(row)
+    return out
+
+
+def adc_dist_expr(
+    d_names: Sequence[str],
+    tables: Sequence[Sequence[int]],
+    dialect: tuple = SPARK_DIALECT,
+) -> str:
+    """ADC distance = Σ_j table_j[code_j] — m integer lookups, no
+    float math at query time (the PQ payoff)."""
+    _e, array, amin, apos, at = dialect
+    parts = []
+    for d, tab in zip(d_names, tables):
+        lut = array([str(v) for v in tab])
+        parts.append(at(lut, apos(d, amin(d))))
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def exact_dist_expr(
+    query: np.ndarray, dim: int, dialect: tuple = SPARK_DIALECT
+) -> str:
+    """Integer-quantized exact ||q - x||² over the full vector, as one
+    fixed-order expanded chain (the brute-force anchor ADC is judged
+    against)."""
+    elem = dialect[0]
+    q = np.asarray(query, dtype=np.float64)
+    elems = [elem(i + 1) for i in range(dim)]
+    qsq = 0.0
+    for v in q:
+        qsq = qsq + v * v
+    return (
+        f"CAST(FLOOR((({_sq(elems)}) - 2.0*({_dot(elems, q)}) + "
+        f"{float(qsq)!r}) * {DIST_Q} + 0.5) AS BIGINT)"
+    )
+
+
+def render_codebook_literal(codebook: np.ndarray) -> str:
+    """Frozen-constant rendering for a query module (repr round-trips
+    doubles exactly)."""
+    m, k, dsub = codebook.shape
+    rows = []
+    for j in range(m):
+        cents = ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in codebook[j, c]) + "]"
+            for c in range(k)
+        )
+        rows.append(f"    [{cents}],")
+    return "[\n" + "\n".join(rows) + "\n]"
