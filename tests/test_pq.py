@@ -143,3 +143,26 @@ def test_null_embedding_totality(spark):
         import calorista_spark.queries.vector_pq as vq
 
         vq.read_table = orig
+
+
+def test_ivfpq_prunes_and_broadcasts(spark, sf_dir):
+    """IVFPQ must (a) return results from <= NPROBE cells, (b) rank
+    candidates by the same ADC order the pure-ADC query uses within
+    those cells, and (c) broadcast the probe list (plan-asserted)."""
+    from calorista_spark.queries.vector_pq import _NPROBE
+
+    df = QUERIES["embedding_topk_ivfpq"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r.label for r in rows}) <= _NPROBE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # within the probed cells, ADC order must agree with the pure-ADC
+    # ranking restricted to those cells
+    adc_all = {
+        r.vec_id: r.adc_dist_q
+        for r in QUERIES["embedding_topk_pq_adc"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.vec_id in adc_all:
+            assert adc_all[r.vec_id] == r.adc_dist_q
