@@ -1050,6 +1050,92 @@ def main() -> None:
 
     results["skew_join_10M"] = timed("skew_join", skew_join_check)
 
+    # 9. PQ assignment at 1M vectors (r8): the frozen-codebook code
+    # assignment is an exchange-free projection, but its 256-literal
+    # distance tree exceeds the JVM 64 KB whole-stage-codegen method
+    # limit and runs on the per-operator codegen fallback — this pins
+    # that the fallback still sustains bulk throughput, and that a
+    # sampled slice of codes matches the numpy reference bit-for-bit.
+    def pq_check():
+        import numpy as np
+
+        from calorista_spark.operators.pq import (
+            SPARK_DIALECT,
+            pq_code_expr,
+            pq_dist_arrays,
+            pq_recon_err_expr,
+        )
+        from calorista_spark.queries.vector_pq import _CB, _DIM, _NAMES
+
+        n_vec = 1_000_000
+        # integer-exact synthetic values (libm sin() differs in the
+        # last ulp between JVM and numpy — modular arithmetic doesn't)
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda i: (
+                F.pmod(F.col("id") * i * 2654435761, 1000) / 1000.0 - 0.5
+            ).cast("float"),
+        )
+        vdf = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+        d_exprs = pq_dist_arrays(_CB, SPARK_DIALECT)
+        inner = vdf.select(
+            "vec_id",
+            "embedding",
+            *[F.expr(e).alias(n) for n, e in zip(_NAMES, d_exprs)],
+        )
+        codes_str = ", ".join(
+            f"CAST({pq_code_expr(n, SPARK_DIALECT)} AS STRING)"
+            for n in _NAMES
+        )
+        out = inner.select(
+            "vec_id",
+            F.expr(f"concat_ws('-', {codes_str})").alias("pq_codes"),
+            F.expr(pq_recon_err_expr(_NAMES, SPARK_DIALECT)).alias(
+                "recon_err_q"
+            ),
+        )
+        out.write.format("noop").mode("overwrite").save()  # warm compile
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # bit-exact parity on a deterministic 1k-row slice
+        sample = {
+            r.vec_id: (r.pq_codes, r.recon_err_q)
+            for r in out.filter(F.col("vec_id") < 1000).collect()
+        }
+        ids = np.arange(1000)
+        X = (
+            (
+                (
+                    ids[:, None].astype(np.int64)
+                    * np.arange(1, _DIM + 1)[None, :]
+                    * 2654435761
+                )
+                % 1000
+            )
+            / 1000.0
+            - 0.5
+        ).astype(np.float32).astype(np.float64)
+        m, k, dsub = _CB.shape
+        recon = np.zeros(len(X), dtype=np.int64)
+        codes = np.empty((len(X), m), dtype=int)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - _CB[j][None, :, :]) ** 2).sum(axis=2)
+            dq = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+            codes[:, j] = dq.argmin(axis=1)
+            recon += dq.min(axis=1)
+        for i in ids:
+            want = "-".join(str(c) for c in codes[i])
+            assert sample[i] == (want, recon[i]), i
+        rate = n_vec / dt
+        assert rate > 100_000, f"PQ assignment too slow: {rate:,.0f} rows/s"
+        return f"{n_vec} vectors in {dt:.2f}s = {rate:,.0f} rows/s; 1k codes numpy-exact"
+
+    results["pq_assign_1M"] = timed("pq_assign", pq_check)
+
     # 7. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (
