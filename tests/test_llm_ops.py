@@ -211,9 +211,14 @@ def test_real_codec_netpbm_roundtrip():
     assert mean_luma(np.full((2, 2), 255, np.uint8)) == 1.0
     with pytest.raises(UnsupportedImageError):
         decode_image_bytes(b"\x00\x01\x02")
-    # PNG magic without Pillow must name the gap, not crash obscurely
-    with pytest.raises(NotImplementedError):
+    # PNG decodes for real since r8 (stdlib zlib path) — corrupt PNG
+    # bytes must fail the CRC walk with a typed decode error, not
+    # silently produce pixels
+    with pytest.raises(ValueError, match="CRC mismatch"):
         decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    # JPEG still needs Pillow: the gap must be named, not obscure
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_real_codec_extract_and_resize(spark):
