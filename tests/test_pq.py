@@ -166,3 +166,16 @@ def test_ivfpq_prunes_and_broadcasts(spark, sf_dir):
     for r in rows:
         if r.vec_id in adc_all:
             assert adc_all[r.vec_id] == r.adc_dist_q
+
+
+def test_pq_recall_self_eval_shape(spark, sf_dir):
+    """One row (hits, k); both rankings are TakeOrdered, the overlap
+    is a broadcast semi-join — no cartesian, no global sort."""
+    df = QUERIES["embedding_pq_recall"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1
+    hits, k = rows[0].hits, rows[0].k
+    assert k == 10 and 0 <= hits <= k
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
