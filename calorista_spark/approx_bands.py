@@ -88,7 +88,14 @@ def _band_stats(spark: SparkSession, sf_dir: str) -> dict:
 
 def _band_sketch_rollup(spark: SparkSession, sf_dir: str) -> dict:
     """Per-day HLL estimates vs exact distincts; merged-vs-direct
-    union must agree exactly (lossless mergeability)."""
+    union as a relative error. The union is estimate-IDENTICAL only
+    while sketches stay in sparse mode — at sf0.1 cardinalities the
+    DataSketches union path (internal HLL_8, then target conversion)
+    legitimately lands ~0.7% off the directly-built sketch, itself
+    within the sketch's error of the true count. The first version of
+    this band encoded equality as a 0/1 indicator and the sf0.1 sweep
+    caught the overclaim — kept here as a relative metric so a real
+    wiring bug (wrong column, wrong lgK) still trips the 5% gate."""
     from calorista_spark.catalog import read_table
     from calorista_spark.queries import QUERIES
 
@@ -110,9 +117,8 @@ def _band_sketch_rollup(spark: SparkSession, sf_dir: str) -> dict:
         f"day[{d}]": _rel(rows[d], exact_days[d]) for d in sorted(exact_days)
     }
     metrics["total_vs_exact"] = _rel(rows["TOTAL(merged)"], exact_total)
-    # mergeability is exact by construction — report it as a 0/1 error
-    metrics["merged_vs_direct"] = (
-        0.0 if rows["TOTAL(merged)"] == rows["TOTAL(direct)"] else 1.0
+    metrics["merged_vs_direct"] = _rel(
+        rows["TOTAL(merged)"], rows["TOTAL(direct)"]
     )
     return _finish(metrics)
 

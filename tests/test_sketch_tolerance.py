@@ -82,8 +82,10 @@ def test_sketch_rollup_merge_is_lossless_and_close(spark, sf_dir):
         ).collect()
     }
     merged, direct = rows["TOTAL(merged)"], rows["TOTAL(direct)"]
-    # union of the daily sketches must equal the single-pass sketch:
-    # HLL merge is lossless at equal lgConfigK
+    # union of the daily sketches equals the single-pass sketch WHILE
+    # sketches stay in sparse mode — true at this test SF. Past sparse
+    # mode the union is estimate-close, not bit-identical (0.73%
+    # measured at sf0.1; the approx-band gate carries that metric).
     assert merged == direct, (merged, direct)
     exact = (
         read_table(spark, sf_dir, "events")
