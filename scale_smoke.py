@@ -207,13 +207,22 @@ def main() -> None:
         from calorista_spark.operators.bpe import learn_bpe_merges
 
         n_docs = max(N // 50, 1000)
+        # letter-only words: the r8 Unicode tokenizer extracts letter
+        # RUNS, so digit-bearing fixture words would tokenize to bare
+        # 'w' and leave nothing to merge
         docs = spark.range(n_docs).select(
             F.concat_ws(
                 " ",
                 *[
                     F.concat(
                         F.lit("w"),
-                        F.pmod(F.hash("id", F.lit(j)), 500).cast("string"),
+                        F.translate(
+                            F.pmod(F.hash("id", F.lit(j)), 500).cast(
+                                "string"
+                            ),
+                            "0123456789",
+                            "abcdefghij",
+                        ),
                     )
                     for j in range(12)
                 ],
@@ -240,13 +249,22 @@ def main() -> None:
         )
 
         n_docs = max(N // 50, 1000)
+        # letter-only words: the r8 Unicode tokenizer extracts letter
+        # RUNS, so digit-bearing fixture words would tokenize to bare
+        # 'w' and leave nothing to merge
         docs = spark.range(n_docs).select(
             F.concat_ws(
                 " ",
                 *[
                     F.concat(
                         F.lit("w"),
-                        F.pmod(F.hash("id", F.lit(j)), 500).cast("string"),
+                        F.translate(
+                            F.pmod(F.hash("id", F.lit(j)), 500).cast(
+                                "string"
+                            ),
+                            "0123456789",
+                            "abcdefghij",
+                        ),
                     )
                     for j in range(12)
                 ],
