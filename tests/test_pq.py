@@ -179,3 +179,24 @@ def test_pq_recall_self_eval_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rerank_recovers_recall(spark, sf_dir):
+    """The two-stage serve must beat (or tie) raw ADC on recall@10 —
+    the exact re-rank can only promote true neighbors that the
+    shortlist already contains."""
+    ids, X = _load(sf_dir)
+    q = np.array(PQ_QUERY_VEC)
+    exact = ((X - q) ** 2).sum(axis=1)
+    exact_top10 = set(ids[np.argsort(exact, kind="stable")[:10]])
+    adc_hits = exact_top10 & {
+        r.vec_id
+        for r in QUERIES["embedding_topk_pq_adc"](spark, sf_dir).collect()
+    }
+    rr_rows = QUERIES["embedding_topk_pq_rerank"](spark, sf_dir).collect()
+    rr_hits = exact_top10 & {r.vec_id for r in rr_rows}
+    assert len(rr_hits) >= len(adc_hits), (rr_hits, adc_hits)
+    assert len(rr_hits) >= 3  # shortlist-50 recovers a real share here
+    # output is ordered by true distance
+    dists = [r.exact_dist_q for r in rr_rows]
+    assert dists == sorted(dists)
