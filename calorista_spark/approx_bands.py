@@ -144,9 +144,104 @@ def _band_bpe_merges(spark: SparkSession, sf_dir: str) -> dict:
     return _finish({"merge_sequence_disagreement": _rel(agree, n)})
 
 
+
+
+def _band_theta_overlap(spark: SparkSession, sf_dir: str) -> dict:
+    """Theta intersection/union estimates vs the exact self-join twin
+    (distinct (type, user) pairs joined on user)."""
+    from calorista_spark.catalog import read_table
+    from calorista_spark.queries import QUERIES
+
+    ev = read_table(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", "user_id")
+        .where("user_id IS NOT NULL")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    both = {
+        (r.ta, r.tb): r.n
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_type = {
+        r.event_type: r.n
+        for r in d.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    metrics: dict[str, float] = {}
+    for r in QUERIES["events_type_overlap_theta"](spark, sf_dir).collect():
+        eb = both.get((r.type_a, r.type_b), 0)
+        ee = per_type[r.type_a] + per_type[r.type_b] - eb
+        metrics[f"both[{r.type_a}|{r.type_b}]"] = _rel(r.est_both, eb)
+        metrics[f"either[{r.type_a}|{r.type_b}]"] = _rel(r.est_either, ee)
+    return _finish(metrics)
+
+
+def _band_kll_quantiles(spark: SparkSession, sf_dir: str) -> dict:
+    """KLL quantile estimates judged by their EXACT RANK in the true
+    distribution of their scope (day or whole table): KLL guarantees
+    ~1.7% rank error at the default k, so |rank(est) − q| is the
+    statistically meaningful metric — a value-space tolerance would be
+    distribution-dependent. merged-vs-direct rides along as relative
+    rank difference (estimate-close, not bit-identical — the HLL
+    lesson)."""
+    from calorista_spark.catalog import read_table
+    from calorista_spark.queries import QUERIES
+
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    ).where("v IS NOT NULL")
+    rows = QUERIES["events_value_quantiles_kll"](spark, sf_dir).collect()
+    day_rows = [r for r in rows if not r.day.startswith("TOTAL")]
+    est = spark.createDataFrame(
+        [(r.day, float(r.p50), float(r.p90)) for r in day_rows],
+        "day string, p50 double, p90 double",
+    )
+    ranks = {
+        r.day: (r.r50, r.r90)
+        for r in vals.join(F.broadcast(est), "day")
+        .groupBy("day")
+        .agg(
+            F.avg((F.col("v") <= F.col("p50")).cast("double")).alias("r50"),
+            F.avg((F.col("v") <= F.col("p90")).cast("double")).alias("r90"),
+        )
+        .collect()
+    }
+    metrics: dict[str, float] = {}
+    for day, (r50, r90) in sorted(ranks.items()):
+        metrics[f"rank_err_p50[{day}]"] = round(abs(r50 - 0.5), 5)
+        metrics[f"rank_err_p90[{day}]"] = round(abs(r90 - 0.9), 5)
+    totals = {r.day: r for r in rows if r.day.startswith("TOTAL")}
+    if totals:
+        tm = totals["TOTAL(merged)"]
+        n = vals.count()
+        r50 = vals.where(F.col("v") <= float(tm.p50)).count() / n
+        r90 = vals.where(F.col("v") <= float(tm.p90)).count() / n
+        metrics["rank_err_p50[TOTAL]"] = round(abs(r50 - 0.5), 5)
+        metrics["rank_err_p90[TOTAL]"] = round(abs(r90 - 0.9), 5)
+        td = totals["TOTAL(direct)"]
+        metrics["merged_vs_direct_p50"] = _rel(tm.p50, td.p50)
+    return _finish(metrics)
+
+
 APPROX_BANDS: dict[str, Callable[[SparkSession, str], dict]] = {
     "orders_column_profile_approx": _band_profile,
     "approx_stats_by_returnflag": _band_stats,
     "events_distinct_users_sketch_rollup": _band_sketch_rollup,
     "corpus_bpe_merges": _band_bpe_merges,
+    "events_type_overlap_theta": _band_theta_overlap,
+    "events_value_quantiles_kll": _band_kll_quantiles,
 }

@@ -170,3 +170,101 @@ def events_distinct_users_sketch_rollup(
         .alias("est_users")
     ).select(F.lit("TOTAL(direct)").alias("day"), "est_users")
     return per_day.unionAll(merged).unionAll(direct).orderBy("day")
+
+
+@query("events_type_overlap_theta", None)
+def events_type_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via THETA sketches (Apache DataSketches
+    ``theta_sketch_agg`` + set operations) — the mergeable-sketch
+    answer to "how many distinct users did BOTH event types see?",
+    which HLL cannot answer (no intersection) and exact COUNT(DISTINCT)
+    answers only with a per-pair self-join over the raw data. One raw
+    scan builds k per-type sketches; every pairwise intersection/union
+    then runs on the tiny sketch table (k(k-1)/2 rows via a
+    broadcast theta-join — the region_nation_cross small-side
+    pattern). At 100 TB the raw data is read ONCE for any number of
+    pair queries. Sketch output ⇒ rows-only driver check;
+    approx_bands.py quantifies each estimate against the exact
+    self-join twin (±5% gate)."""
+    ev = read_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    )
+    return (
+        pairs.select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            )
+            .cast("long")
+            .alias("est_both"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("a.sk"), F.col("b.sk"))
+            )
+            .cast("long")
+            .alias("est_either"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query("events_value_quantiles_kll", None)
+def events_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the percentile sibling of
+    ``events_distinct_users_sketch_rollup``: per-day KLL sketches of
+    ``value`` (``kll_sketch_agg_double``) are materialized once; any
+    range's p50/p90 then comes from ``kll_merge_agg_double`` over the
+    tiny sketch table without rescanning raw data. Emits per-day
+    medians plus a TOTAL(merged) and TOTAL(direct) row; like the HLL
+    twin, merged-vs-direct is estimate-close, NOT bit-identical once
+    sketches exceed their exact capacity (k=200 items) — the r8 HLL
+    lesson applied from day one. approx_bands.py checks each estimate
+    by its EXACT RANK in the true distribution (KLL guarantees ~1.7%
+    rank error at default k; value-space tolerance would be
+    distribution-dependent). Sketch output ⇒ rows-only driver
+    check."""
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.to_date("ts").alias("day"), F.col("value").cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    daily = vals.groupBy("day").agg(
+        F.kll_sketch_agg_double("v").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+    )
+    # empty-input guard: aggregating ZERO rows yields a non-null but
+    # EMPTY sketch buffer that get_quantile rejects — filter on the
+    # row count, not on sketch nullness (found by the --empty audit)
+    merged = (
+        daily.agg(
+            F.kll_merge_agg_double("sk").alias("msk"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            F.lit("TOTAL(merged)").alias("day"),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("p90"),
+        )
+    )
+    direct = (
+        vals.agg(
+            F.kll_sketch_agg_double("v").alias("dsk"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            F.lit("TOTAL(direct)").alias("day"),
+            F.kll_sketch_get_quantile_double("dsk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("dsk", F.lit(0.9)).alias("p90"),
+        )
+    )
+    return per_day.unionAll(merged).unionAll(direct).orderBy("day")

@@ -101,3 +101,70 @@ def test_sketch_rollup_merge_is_lossless_and_close(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_days + 2
+
+
+def test_theta_overlap_matches_exact_on_test_corpus(spark, sf_dir):
+    """Theta intersections are exact below the sketch's nominal-entry
+    threshold — on the test corpus every estimate must equal the
+    self-join exact answer, and the matrix must cover every type
+    pair once (type_a < type_b)."""
+    from calorista_spark.approx_bands import APPROX_BANDS
+    from calorista_spark.catalog import read_table
+
+    band = APPROX_BANDS["events_type_overlap_theta"](spark, sf_dir)
+    assert band["max_rel_err"] == 0.0, band
+    n_types = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["events_type_overlap_theta"](spark, sf_dir).collect()
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.est_both <= r.est_either
+
+
+def test_kll_rollup_rank_error_and_empty_guard(spark, sf_dir):
+    from calorista_spark.approx_bands import APPROX_BANDS
+
+    band = APPROX_BANDS["events_value_quantiles_kll"](spark, sf_dir)
+    assert band["within_tolerance"], band
+    rows = {
+        r.day: r
+        for r in QUERIES["events_value_quantiles_kll"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert "TOTAL(merged)" in rows and "TOTAL(direct)" in rows
+    for r in rows.values():
+        assert r.p50 <= r.p90, r
+    # EMPTY input must yield zero rows, not an invalid-sketch error:
+    # aggregating zero rows produces a non-null but EMPTY kll buffer
+    # that get_quantile rejects (found by the --empty audit in r8)
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import calorista_spark.catalog as catalog
+
+    orig = catalog.read_table
+    try:
+        catalog.read_table = (
+            lambda _s, _d, name, **kw: empty
+            if name == "events"
+            else orig(_s, _d, name, **kw)
+        )
+        import calorista_spark.queries.profiling as prof
+
+        prof.read_table = catalog.read_table
+        assert (
+            QUERIES["events_value_quantiles_kll"](spark, "unused").count()
+            == 0
+        )
+    finally:
+        catalog.read_table = orig
+        import calorista_spark.queries.profiling as prof
+
+        prof.read_table = orig
