@@ -51,6 +51,17 @@ _SCALE_FREE = {
     "multimodal_resize_roundtrip",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    # PQ family: wall-clock is the ~3-4 s flat plan-compile cost of the
+    # frozen-codebook projection (documented in COVERAGE), not data
+    # cost — at 2k-8k embedding rows a fitted exponent would measure
+    # the constant, displacing genuinely data-heavy queries from the
+    # top-K record (bulk throughput is pinned in scale_smoke pq_assign
+    # at 1M rows instead)
+    "embedding_pq_codes",
+    "embedding_topk_pq_adc",
+    "embedding_topk_ivfpq",
+    "embedding_pq_recall",
+    "embedding_topk_pq_rerank",
 }
 
 
