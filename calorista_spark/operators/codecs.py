@@ -239,7 +239,19 @@ def decode_png(content: bytes) -> np.ndarray:
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
+        if len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError(
+                f"PNG PLTE length {len(plte)} is not a positive multiple of 3"
+            )
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        # malformed rasters referencing entries past the palette must
+        # fail the codec seam's ValueError contract, not leak a raw
+        # numpy IndexError (ADVICE r8)
+        if int(out.max()) >= len(pal):
+            raise ValueError(
+                f"PNG palette index {int(out.max())} out of range "
+                f"(PLTE has {len(pal)} entries)"
+            )
         return pal[out]
     if color == 4:  # gray+alpha → luma
         return np.ascontiguousarray(out.reshape(height, width, 2)[:, :, 0])

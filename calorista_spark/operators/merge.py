@@ -72,6 +72,7 @@ def merge_upsert_cdc(
     source: DataFrame,
     keys: list[str],
     op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """CDC merge (r8 — adds the delete branch the r7 verdict flagged):
     ``source`` rows carry an operation column (``'upsert'`` |
@@ -82,11 +83,57 @@ def merge_upsert_cdc(
       - delete, key matched  → row removed (tombstone applied)
       - delete, key unseen   → no-op (idempotent replay safety)
 
+    The contract is ONE source row per key per batch — every real CDC
+    apply reduces its feed first. r9: the contract is now ENFORCED
+    instead of assumed. With ``seq_col`` the source is reduced to the
+    latest op per key (order by seq desc; ties break delete-over-
+    upsert, then a whole-row hash, so the reduce is deterministic);
+    without it a duplicate key raises at execution time rather than
+    fanning out through the full-outer join with op order ignored
+    (an upsert row would otherwise survive a later delete).
+
     On Delta this is ``MERGE ... WHEN MATCHED AND s.op = 'delete' THEN
     DELETE``; here it is the same single full-outer shuffle as
     :func:`merge_upsert` plus one filter — at scale, bucket both sides
-    by the key and the join co-locates.
+    by the key and the join co-locates. The seq reduce / duplicate
+    check partitions by the same keys the join shuffles on.
     """
+    if seq_col is not None:
+        tiebreak = [F.col(c) for c in source.columns if c != seq_col]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(),
+            # same seq: a delete is the conservative winner
+            F.when(F.col(op_col) == F.lit("delete"), 0).otherwise(1),
+            F.hash(*tiebreak),
+        )
+        source = (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if seq_col not in target.columns:
+            source = source.drop(seq_col)
+    else:
+        dup = F.count(F.lit(1)).over(Window.partitionBy(*keys)) > 1
+        source = source.withColumn(
+            op_col,
+            F.when(
+                dup,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_upsert_cdc: multiple source rows for key ("
+                        ),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(
+                            ") in one batch; reduce the feed or pass seq_col"
+                        ),
+                    )
+                ),
+            ).otherwise(F.col(op_col)),
+        )
     cols = [c for c in target.columns if c != op_col]
     if set(cols) != set(c for c in source.columns if c != op_col):
         raise ValueError(
@@ -261,6 +308,7 @@ def scd2_apply_tombstones(
     tombstones: DataFrame,
     keys: list[str],
     effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
     valid_to: str = "valid_to",
 ) -> DataFrame:
     """SCD2 DELETE path (r8): a tombstone feed retires dimension keys
@@ -278,20 +326,29 @@ def scd2_apply_tombstones(
       - history rows untouched
 
     Multiple tombstones per key in one batch reduce to the EARLIEST
-    effective time (the entity died at its first death). One keyed
-    shuffle against the current slice only — history streams through,
-    so cost is O(|current| + |tombstones|), independent of depth.
+    effective time (the entity died at its first death). A tombstone
+    dated BEFORE the current row's ``valid_from`` clamps to
+    ``valid_from`` (r9 — an out-of-order tombstone must not produce an
+    inverted interval ``valid_to < valid_from``, which would break
+    point-in-time join invariants; the row closes the instant it
+    opened instead). One keyed shuffle against the current slice only
+    — history streams through, so cost is O(|current| + |tombstones|),
+    independent of depth.
     """
     ts = tombstones.groupBy(*keys).agg(
         F.min(effective_col).alias("__tomb_eff")
     )
     current = dim.filter(F.col(valid_to).isNull())
     history = dim.filter(F.col(valid_to).isNotNull())
+    vt_type = dim.schema[valid_to].dataType
     closed = current.join(ts, keys, "left").withColumn(
         valid_to,
         F.when(
             F.col("__tomb_eff").isNotNull(),
-            F.col("__tomb_eff").cast(dim.schema[valid_to].dataType),
+            F.greatest(
+                F.col(valid_from).cast(vt_type),
+                F.col("__tomb_eff").cast(vt_type),
+            ),
         ).otherwise(F.col(valid_to)),
     ).drop("__tomb_eff")
     return history.unionByName(closed.select(*dim.columns))

@@ -252,8 +252,21 @@ def synthetic_audio_assets(
 
 _Y4M_MAGIC = b"YUV4MPEG2 "
 
-# chroma bytes per luma pixel, by colorspace token prefix
-_Y4M_CHROMA = {"mono": 0.0, "420": 0.5, "422": 1.0, "444": 2.0}
+# extra plane bytes per luma pixel, by EXACT colorspace token (r9:
+# prefix matching mapped C444alpha onto C444 and excluded the alpha
+# plane from the frame stride, so every frame after index 0 failed the
+# FRAME-marker check and was silently dropped — ADVICE r8). C444alpha
+# carries full-size U, V AND A planes → 3.0.
+_Y4M_CHROMA = {
+    "mono": 0.0,
+    "420": 0.5,
+    "420jpeg": 0.5,
+    "420mpeg2": 0.5,
+    "420paldv": 0.5,
+    "422": 1.0,
+    "444": 2.0,
+    "444alpha": 3.0,
+}
 
 
 def _y4m_layout(content: bytes) -> tuple[int, int, int, int, int]:
@@ -281,9 +294,7 @@ def _y4m_layout(content: bytes) -> tuple[int, int, int, int, int]:
             colorspace = val.decode("ascii")
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
-    chroma = next(
-        (f for p, f in _Y4M_CHROMA.items() if colorspace.startswith(p)), None
-    )
+    chroma = _Y4M_CHROMA.get(colorspace)
     if chroma is None:
         raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
     if chroma in (0.5,) and (width % 2 or height % 2):
@@ -335,9 +346,7 @@ def encode_y4m(
     if len(shapes) != 1:
         raise ValueError("frames must share dimensions")
     h, w = shapes.pop()
-    chroma = next(
-        (f for p, f in _Y4M_CHROMA.items() if colorspace.startswith(p)), None
-    )
+    chroma = _Y4M_CHROMA.get(colorspace)
     if chroma is None:
         raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
     if chroma == 0.5 and (w % 2 or h % 2):
@@ -347,7 +356,11 @@ def encode_y4m(
     header = f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C{colorspace}\n".encode(
         "ascii"
     )
-    chroma_pad = b"\x80" * int(w * h * chroma)
+    if colorspace == "444alpha":
+        # neutral U/V planes + fully-opaque alpha plane
+        chroma_pad = b"\x80" * (2 * w * h) + b"\xff" * (w * h)
+    else:
+        chroma_pad = b"\x80" * int(w * h * chroma)
     parts = [header]
     for f in frames:
         parts.append(b"FRAME\n")

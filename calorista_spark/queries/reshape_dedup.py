@@ -417,7 +417,9 @@ SELECT user_id, n_events, valid_from, valid_to,
        valid_to IS NULL AS is_current
 FROM (
   SELECT d.user_id, d.n_events, d.valid_from,
-         CASE WHEN d.valid_to IS NULL THEN t.eff ELSE d.valid_to END
+         CASE WHEN d.valid_to IS NOT NULL THEN d.valid_to
+              WHEN t.eff IS NULL THEN NULL
+              ELSE GREATEST(d.valid_from, t.eff) END
            AS valid_to
   FROM dim d LEFT JOIN tomb t ON d.user_id = t.user_id
 )

@@ -233,32 +233,46 @@ def merge_batch_into_store(
 
 
 def merge_cdc_batch_into_store(
-    batch: DataFrame, store_path: str, keys: list[str], op_col: str = "op"
+    batch: DataFrame,
+    store_path: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
 ) -> None:
     """One micro-batch of the CDC MERGE (r8): applies upserts AND
     tombstone deletes against the parquet store via
     :func:`operators.merge.merge_upsert_cdc`. IDEMPOTENT per batch —
     re-upserting is a no-op replace, re-deleting an absent key is a
     no-op — so foreachBatch + checkpoint is exactly-once across
-    crash/restart exactly like the insert/update-only path."""
+    crash/restart exactly like the insert/update-only path.
+
+    r9: the one-row-per-key-per-batch contract is enforced by the
+    operator — pass ``seq_col`` (the CDC sequence/ts column) to reduce
+    a multi-op micro-batch to the latest op per key; without it a
+    duplicate key fails the batch (and the checkpoint replays it)
+    rather than applying ops in an undefined order. The bootstrap
+    branch (empty store) goes through the SAME operator against an
+    empty target so the contract holds from the first batch."""
     from calorista_spark.operators.merge import merge_upsert_cdc
 
     spark = batch.sparkSession
     import os
 
-    data_cols = [c for c in batch.columns if c != op_col]
+    data_cols = [c for c in batch.columns if c != op_col and c != seq_col]
     if any(
         f.endswith(".parquet") or f == "_SUCCESS"
         for f in (os.listdir(store_path) if os.path.isdir(store_path) else [])
     ):
         target = spark.read.parquet(store_path)
-        merged = merge_upsert_cdc(
-            target, batch.select(*data_cols, op_col), keys, op_col=op_col
-        )
     else:
-        merged = batch.filter(F.col(op_col) != F.lit("delete")).select(
-            *data_cols
-        )
+        target = batch.select(*data_cols).limit(0)
+    merged = merge_upsert_cdc(
+        target,
+        batch.select(*data_cols, op_col, *([seq_col] if seq_col else [])),
+        keys,
+        op_col=op_col,
+        seq_col=seq_col,
+    )
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         store_path
     )
@@ -270,6 +284,7 @@ def start_incremental_cdc_merge(
     keys: list[str],
     checkpoint: str,
     op_col: str = "op",
+    seq_col: str | None = None,
     trigger_available_now: bool = True,
     on_batch=None,
 ):
@@ -277,12 +292,15 @@ def start_incremental_cdc_merge(
     the streaming twin of the ``merge_cdc_events`` query (on Delta:
     ``WHEN MATCHED AND s.op='delete' THEN DELETE``). Same checkpoint /
     exactly-once orchestration as :func:`start_incremental_merge`;
-    ``on_batch`` is the failure-injection seam for the restart smoke."""
+    ``on_batch`` is the failure-injection seam for the restart smoke.
+    ``seq_col`` forwards to the per-batch latest-op-per-key reduce."""
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_id)
-        merge_cdc_batch_into_store(batch, store_path, keys, op_col=op_col)
+        merge_cdc_batch_into_store(
+            batch, store_path, keys, op_col=op_col, seq_col=seq_col
+        )
 
     writer = stream.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint

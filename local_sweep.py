@@ -20,6 +20,9 @@ Env: SWEEP_CONF="k=v;k=v"  extra Spark confs (e.g. the partition-count
      or the ANSI axis "spark.sql.ansi.enabled=true")
      SWEEP_MASTER   Spark master (default local[8])
      SWEEP_OUT      output JSON path (default CORRECTNESS_local_full.json)
+     SWEEP_ONLY     comma-separated query names — targeted re-check of
+                    just-touched queries (r9); default sweeps all
+
 """
 
 from __future__ import annotations
@@ -62,9 +65,15 @@ def main() -> None:
         _norm_rows,
     )
 
+    only = {
+        q.strip()
+        for q in os.environ.get("SWEEP_ONLY", "").split(",")
+        if q.strip()
+    }
+    names = sorted(only & set(QUERIES)) if only else sorted(QUERIES)
     out: dict[str, dict] = {}
     t_start = time.time()
-    for name in sorted(QUERIES):
+    for name in names:
         rec: dict = {
             "rows_match": None,
             "schema_match": None,
@@ -133,7 +142,8 @@ def main() -> None:
         "sf_dir": sf_dir,
         "session_tz": tz,
         "extra_conf": dict(conf_pairs),
-        "n_queries": len(QUERIES),
+        "n_queries": len(names),
+        "n_registered": len(QUERIES),
         "oracle_green": oracle_green,
         "rows_only": rows_only,
         "failures": bad,

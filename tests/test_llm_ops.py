@@ -613,3 +613,69 @@ def test_wav_codec_stdlib_interop():
         assert r.getnchannels() == 2 and r.getframerate() == 22050
         back = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
     assert (back == samples).all()
+
+
+def test_y4m_444alpha_exact_token_layout():
+    """r9 (ADVICE r8): colorspace tokens match EXACTLY — C444alpha is
+    not C444. Its alpha plane is part of the frame stride, so frame
+    count and seek-decode stay correct instead of silently dropping
+    every frame after index 0."""
+    import numpy as np
+
+    from calorista_spark.operators.multimodal import (
+        decode_y4m_frame,
+        encode_y4m,
+        y4m_frame_count,
+    )
+
+    frames = [np.full((4, 6), f * 7, dtype=np.uint8) for f in range(3)]
+    stream = encode_y4m(frames, colorspace="444alpha")
+    head = b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C444alpha\n"
+    assert stream.startswith(head + b"FRAME\n")
+    # frame = marker + Y + U + V + A (4 full planes of 24 bytes)
+    assert len(stream) == len(head) + 3 * (6 + 4 * 24)
+    assert y4m_frame_count(stream) == 3
+    for f in range(3):
+        got = decode_y4m_frame(stream, f)
+        assert got.shape == (4, 6) and (got == f * 7).all()
+
+
+def test_png_palette_bounds_validated():
+    """r9 (ADVICE r8): a malformed palette PNG whose raster references
+    an out-of-range index raises the codec seam's ValueError contract,
+    not a raw numpy IndexError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from calorista_spark.operators.codecs import decode_png
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def palette_png(plte: bytes, indices: list[int]) -> bytes:
+        w = len(indices)
+        ihdr = struct.pack(">IIBBBBB", w, 1, 8, 3, 0, 0, 0)
+        raster = zlib.compress(bytes([0, *indices]))  # one unfiltered row
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", raster)
+            + chunk(b"IEND", b"")
+        )
+
+    two_entry = bytes([255, 0, 0, 0, 255, 0])  # red, green
+    ok = decode_png(palette_png(two_entry, [0, 1, 1]))
+    assert ok.shape == (1, 3, 3) and list(ok[0, 1]) == [0, 255, 0]
+
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(palette_png(two_entry, [0, 5]))
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_png(palette_png(bytes([1, 2, 3, 4]), [0]))

@@ -115,9 +115,13 @@ def test_adc_topk_ranking_quality(spark, sf_dir):
 
 
 def test_null_embedding_totality(spark):
+    """Null totality: whole-null AND element-null vectors (r9, ADVICE
+    r8) both yield NULL codes/error — never a truncated codes string
+    from concat_ws silently skipping null per-subspace codes — and
+    neither is servable by the top-k path."""
     m_dim = _CB.shape[0] * _CB.shape[2]
     df = spark.createDataFrame(
-        [(1, [0.1] * m_dim), (2, None)],
+        [(1, [0.1] * m_dim), (2, None), (3, [0.1] * (m_dim - 1) + [None])],
         "vec_id long, embedding array<float>",
     )
     import calorista_spark.catalog as catalog
@@ -136,6 +140,8 @@ def test_null_embedding_totality(spark):
         }
         assert rows[1].pq_codes is not None and rows[1].recon_err_q is not None
         assert rows[2].pq_codes is None and rows[2].recon_err_q is None
+        # element-null: NULL out, not a truncated '0-3-...' fragment
+        assert rows[3].pq_codes is None and rows[3].recon_err_q is None
         topk = QUERIES["embedding_topk_pq_adc"](spark, "unused").collect()
         assert [r.vec_id for r in topk] == [1]
     finally:

@@ -210,3 +210,80 @@ def test_merge_classify_cdc_branches(spark):
         6: "delete",
         7: "delete_noop",
     }
+
+
+def test_merge_upsert_cdc_duplicate_key_raises(spark):
+    """r9 (ADVICE r8, medium): the one-source-row-per-key-per-batch
+    contract is enforced — a batch carrying two ops for one key must
+    fail loudly at execution, not fan out through the full-outer join
+    with op order ignored."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from calorista_spark.operators.merge import merge_upsert_cdc
+
+    tgt = spark.createDataFrame([(1, "a")], ["k", "v"])
+    src = spark.createDataFrame(
+        [(1, "A", "upsert"), (1, None, "delete")], ["k", "v", "op"]
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+        merge_upsert_cdc(tgt, src, ["k"]).collect()
+    assert "multiple source rows" in str(exc.value)
+
+
+def test_merge_upsert_cdc_seq_reduce_latest_op_wins(spark):
+    """With seq_col the source reduces to the latest op per key, so a
+    later delete beats an earlier upsert (and vice versa) — the exact
+    fan-out/op-order bug the r8 ADVICE described."""
+    from calorista_spark.operators.merge import merge_upsert_cdc
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    src = spark.createDataFrame(
+        [
+            (1, "A", "upsert", 1),   # key 1: upsert then delete → gone
+            (1, None, "delete", 2),
+            (2, None, "delete", 1),  # key 2: delete then upsert → kept
+            (2, "B", "upsert", 2),
+            (3, "c", "upsert", 1),   # key 3: two upserts → latest wins
+            (3, "C", "upsert", 2),
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    out = merge_upsert_cdc(tgt, src, ["k"], seq_col="seq")
+    assert {(r.k, r.v) for r in out.collect()} == {(2, "B"), (3, "C")}
+    # same-seq tie: the delete is the conservative winner
+    tie = spark.createDataFrame(
+        [(2, "B2", "upsert", 5), (2, None, "delete", 5)],
+        ["k", "v", "op", "seq"],
+    )
+    out2 = merge_upsert_cdc(tgt, tie, ["k"], seq_col="seq")
+    assert {(r.k, r.v) for r in out2.collect()} == {(1, "a")}
+
+
+def test_scd2_tombstone_before_valid_from_clamps(spark):
+    """r9 (ADVICE r8): an out-of-order tombstone dated BEFORE the
+    current row's valid_from clamps to valid_from — never an inverted
+    interval (valid_to < valid_from), which would break point-in-time
+    join invariants."""
+    from calorista_spark.operators.merge import scd2_apply_tombstones
+
+    early = datetime.datetime(2023, 6, 1)  # before every valid_from
+    tombs = spark.createDataFrame(
+        [(3, early)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("effective_ts", T.TimestampType()),
+            ]
+        ),
+    )
+    out = scd2_apply_tombstones(_dim(spark), tombs, ["k"])
+    row = [r for r in out.collect() if r.k == 3][0]
+    assert row.valid_to == row.valid_from == T0
+    # invariant: no interval anywhere is inverted
+    bad = [
+        r for r in out.collect()
+        if r.valid_to is not None and r.valid_to < r.valid_from
+    ]
+    assert bad == []

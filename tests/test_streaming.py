@@ -381,3 +381,39 @@ def test_st6b_left_outer_interval_join_emits_unmatched_after_watermark(
     _write_batch(spark, psrc, [(999, far, 99, 9.0)])
     second = run()
     assert (2, None) in second        # null-emission after watermark
+
+
+def test_merge_cdc_batch_bootstrap_enforces_contract(spark, tmp_path):
+    """r9: the bootstrap (empty-store) branch goes through the same
+    merge_upsert_cdc operator, so a first batch carrying upsert-then-
+    delete for one key resolves by seq order instead of keeping the
+    upsert."""
+    from pyspark.sql import functions as F
+
+    from calorista_spark.streaming.incremental import (
+        merge_cdc_batch_into_store,
+    )
+
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store)
+    batch = spark.createDataFrame(
+        [
+            (1, "a", "upsert", 1),
+            (1, None, "delete", 2),   # same key, later delete wins
+            (2, "b", "upsert", 1),
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    merge_cdc_batch_into_store(batch, store, ["k"], seq_col="seq")
+    got = {(r.k, r.v) for r in spark.read.parquet(store).collect()}
+    assert got == {(2, "b")}
+    # second batch merges against the bootstrapped store
+    batch2 = spark.createDataFrame(
+        [(2, None, "delete", 3), (3, "c", "upsert", 3)],
+        ["k", "v", "op", "seq"],
+    )
+    merge_cdc_batch_into_store(batch2, store, ["k"], seq_col="seq")
+    got2 = {(r.k, r.v) for r in spark.read.parquet(store).collect()}
+    assert got2 == {(3, "c")}
