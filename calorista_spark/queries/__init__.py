@@ -10,6 +10,7 @@ from calorista_spark.queries import analytic_extra  # noqa: F401
 from calorista_spark.queries import compression_drift  # noqa: F401
 from calorista_spark.queries import core  # noqa: F401
 from calorista_spark.queries import corpus_layout  # noqa: F401
+from calorista_spark.queries import corpus_e2e  # noqa: F401
 from calorista_spark.queries import corpus_lm  # noqa: F401
 from calorista_spark.queries import corpus_sampling  # noqa: F401
 from calorista_spark.queries import corpus_novelty  # noqa: F401

@@ -270,9 +270,14 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE chain: the full LSH near-dup pipeline down to VERIFIED
 # (exact Jaccard >= 0.8) pairs — used by doc_neardup_pairs and the
 # cross-split leakage audit.
-_LSH_VERIFIED_PAIRS_CTES = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+def lsh_verified_pairs_ctes(src: str = "documents") -> str:
+    """The LSH near-dup CTE chain (shingle → minhash → band →
+    bucket-join → exact-Jaccard ≥ 0.8) as a CTE BODY (no leading
+    WITH), parameterized on the source relation so composed pipelines
+    (queries/corpus_e2e.py, r9) can run it over an upstream stage
+    instead of the raw table. ``src`` must expose (doc_id, text)."""
+    return f"""sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM {src}
 ),
 hashed AS (
   SELECT doc_id,
@@ -298,7 +303,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM {src}),
 pairs AS (
   SELECT c.id_a, c.id_b,
          CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
@@ -309,6 +314,9 @@ pairs AS (
   WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
         / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
 )"""
+
+
+_LSH_VERIFIED_PAIRS_CTES = "WITH " + lsh_verified_pairs_ctes()
 
 _NEARDUP_ORACLE = (
     _LSH_VERIFIED_PAIRS_CTES

@@ -12,6 +12,8 @@ comparison per column.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +66,64 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("o_orderkey").alias("key_b"),
         F.round(bumped, 2).alias("price_b"),
+    )
+    j = a.join(b, a["key_a"] == b["key_b"], "full_outer")
+    action = (
+        F.when(F.col("key_a").isNull(), F.lit("added"))
+        .when(F.col("key_b").isNull(), F.lit("removed"))
+        .when(F.col("price_a") != F.col("price_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("key_a"), F.col("key_b")).alias("o_orderkey"),
+        action.alias("action"),
+        "price_a",
+        "price_b",
+    ).orderBy("o_orderkey")
+
+
+@query("store_version_diff", _DIFF_ORACLE)
+def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders_snapshot_diff re-expressed over TWO COMMITTED VERSIONS
+    of a commit-log store (r9 — sources/commitlog.py): snapshot A is
+    committed as v1, snapshot B as v2 (derived exactly as in
+    orders_snapshot_diff, so the oracle is shared verbatim), then the
+    diff reads ``store.read(version=1)`` against
+    ``store.read(version=2)`` — the time-travel audit a real pipeline
+    runs after every MERGE ("what did that commit change?"). The
+    store is rebuilt deterministically per call, so the query stays a
+    pure function of the orders table."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    orders = read_table(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderkey") < 1200).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    bumped = F.when(
+        F.col("o_orderkey") < 200, F.col("o_totalprice") * 1.1
+    ).otherwise(F.col("o_totalprice"))
+    snap_b = orders.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 1300)
+    ).select("o_orderkey", F.round(bumped, 2).alias("price"))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"calorista_store_diff_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = CommitLogStore(path)
+    assert store.commit(snap_a, op="overwrite", expect_version=None) == 1
+    assert store.commit(snap_b, op="overwrite", expect_version=1) == 2
+
+    a = store.read(spark, version=1).select(
+        F.col("o_orderkey").alias("key_a"), F.col("price").alias("price_a")
+    )
+    b = store.read(spark, version=2).select(
+        F.col("o_orderkey").alias("key_b"), F.col("price").alias("price_b")
     )
     j = a.join(b, a["key_a"] == b["key_b"], "full_outer")
     action = (

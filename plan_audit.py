@@ -95,7 +95,87 @@ GLOBAL_WINDOW_AUDIT: dict[str, str] = {
 }
 
 
+# The plan-ledger regression gate (r9 — VERDICT r8 #7): the committed
+# plans_baseline.json pins each query's structural plan metrics; the
+# pytest gate (tests/test_plans.py::test_plan_ledger_no_regressions)
+# fails if any metric silently worsens. Regenerate DELIBERATELY with
+#   python plan_audit.py --baseline
+# so a structural change shows up as a reviewable diff of the file.
+LEDGER_METRICS = ("exch", "bcast", "cart", "rowPy", "globalWin")
+# metrics where an INCREASE is a regression; bcast is informational
+_WORSE_IF_UP = ("exch", "cart", "rowPy", "globalWin")
+BASELINE_SF = "/root/testdata/sf0.001"
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "plans_baseline.json"
+)
+
+
+def ledger_row(a: dict) -> dict[str, int]:
+    return {
+        "exch": a["exchanges"],
+        "bcast": a["broadcast_joins"],
+        "cart": a["cartesian"],
+        "rowPy": a["row_python"],
+        "globalWin": a["global_windows"],
+    }
+
+
+def ledger_compare(baseline: dict, current: dict) -> list[str]:
+    """Regression report: queries whose gated metrics increased vs the
+    committed baseline, plus queries with no baseline entry. Dropped
+    queries are ignored (removal shows in the baseline diff itself)."""
+    problems = []
+    for name, cur in sorted(current.items()):
+        base = baseline.get(name)
+        if base is None:
+            problems.append(
+                f"{name}: no baseline entry — run "
+                "`python plan_audit.py --baseline` and review the diff"
+            )
+            continue
+        for m in _WORSE_IF_UP:
+            if cur[m] > base[m]:
+                problems.append(
+                    f"{name}: {m} regressed {base[m]} -> {cur[m]}"
+                )
+    return problems
+
+
+def compile_ledger(spark, sf_dir: str, names=None) -> dict[str, dict]:
+    out = {}
+    for name in sorted(names or QUERIES):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        out[name] = ledger_row(audit_plan(plan))
+    return out
+
+
+def write_baseline() -> None:
+    import json
+
+    spark = build_session(app_name="calorista-plan-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+    ledger = compile_ledger(spark, BASELINE_SF)
+    with open(BASELINE_PATH, "w") as fh:
+        json.dump(
+            {"_meta": {"sf_dir": BASELINE_SF, "n_queries": len(ledger)}}
+            | ledger,
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {BASELINE_PATH}: {len(ledger)} queries")
+    spark.stop()
+
+
 def main() -> None:
+    if "--baseline" in sys.argv[1:]:
+        write_baseline()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(app_name="calorista-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")

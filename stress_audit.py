@@ -226,8 +226,14 @@ def sweep(out: str) -> tuple[int, list]:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(out, t + '.parquet')}')"
         )
+    only = {
+        q.strip()
+        for q in os.environ.get("STRESS_ONLY", "").split(",")
+        if q.strip()
+    }
+    names = sorted(only & set(osql)) if only else sorted(osql)
     bad = []
-    for i, name in enumerate(sorted(osql)):
+    for i, name in enumerate(names):
         try:
             sdf = qs[name](spark, out)
             srows = sorted(
@@ -253,9 +259,9 @@ def sweep(out: str) -> tuple[int, list]:
             print(f"ERROR {name}: {ex!r}"[:200], file=sys.stderr, flush=True)
         if i % 20 == 0:
             spark.catalog.clearCache()
-            print(f"... {i}/{len(osql)}", file=sys.stderr, flush=True)
+            print(f"... {i}/{len(names)}", file=sys.stderr, flush=True)
     spark.stop()
-    return len(osql), bad
+    return len(names), bad
 
 
 def main() -> None:

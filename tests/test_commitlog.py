@@ -1,0 +1,187 @@
+"""Commit-log table format (sources/commitlog.py, r9): atomicity,
+optimistic concurrency, time travel, replay ledger, vacuum, and the
+streaming exactly-once proof."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from calorista_spark.sources.commitlog import (
+    CommitConflictError,
+    CommitLogStore,
+    start_commitlog_cdc_merge,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_read_and_time_travel(spark, tmp_path):
+    store = CommitLogStore(str(tmp_path / "s"))
+    assert store.latest_version() is None
+    v1 = store.commit(_df(spark, [(1, "a"), (2, "b")]), expect_version=None)
+    v2 = store.merge(spark, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    assert (v1, v2) == (1, 2)
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }
+    # time travel: v1 still reads exactly as committed
+    assert {(r.k, r.v) for r in store.read(spark, version=1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_crash_between_data_and_manifest_leaves_old_snapshot(spark, tmp_path):
+    """The torn-write window of the overwrite fallback is gone: data
+    written without a published manifest is invisible, the previous
+    snapshot stays fully readable, and vacuum GCs the orphan."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(_df(spark, [(1, "a")]), expect_version=None)
+    # simulate the crash: data lands, manifest never publishes
+    _df(spark, [(9, "ghost")]).write.parquet(
+        os.path.join(store.data_dir, "orphan-token")
+    )
+    assert store.latest_version() == 1
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {(1, "a")}
+    deleted = store.vacuum()
+    assert any("orphan-token" in p for p in deleted)
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {(1, "a")}
+
+
+def test_concurrent_writer_conflict_detected(spark, tmp_path):
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(_df(spark, [(1, "a")]), expect_version=None)
+    # writer A reads v1 and prepares; writer B commits v2 first
+    store.commit(_df(spark, [(1, "B")]), expect_version=1)
+    with pytest.raises(CommitConflictError):
+        store.commit(_df(spark, [(1, "A")]), expect_version=1)
+    # the losing writer changed nothing
+    assert store.latest_version() == 2
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {(1, "B")}
+    # the race can also lose at the link itself (version published
+    # between the parent check and the link): same typed error, and
+    # the already-committed v3 is untouched
+    from unittest import mock
+
+    final = os.path.join(store.commits_dir, "v00000003.json")
+    with open(final, "w") as fh:
+        json.dump(dict(store.manifest(2), version=3, parent=2), fh)
+    with mock.patch.object(CommitLogStore, "latest_version", return_value=2):
+        with pytest.raises(CommitConflictError, match="concurrently"):
+            store.commit(_df(spark, [(1, "C")]), expect_version=2)
+    assert store.latest_version() == 3
+    assert {(r.k, r.v) for r in store.read(spark, version=3).collect()} == {
+        (1, "B")
+    }
+
+
+def test_batch_ledger_skips_replays(spark, tmp_path):
+    store = CommitLogStore(str(tmp_path / "s"))
+    v1 = store.merge(spark, _df(spark, [(1, "a")]), ["k"], batch_id=0)
+    v2 = store.merge(spark, _df(spark, [(2, "b")]), ["k"], batch_id=1)
+    # checkpoint replay of batch 1 (and a late batch 0): no new commit
+    assert store.merge(spark, _df(spark, [(2, "XX")]), ["k"], batch_id=1) == v2
+    assert store.merge(spark, _df(spark, [(1, "XX")]), ["k"], batch_id=0) == v2
+    assert (v1, v2) == (1, 2)
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_empty_snapshot_roundtrip(spark, tmp_path):
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(_df(spark, []), expect_version=None)
+    out = store.read(spark)
+    assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_vacuum_expires_history_but_keeps_retained(spark, tmp_path):
+    store = CommitLogStore(str(tmp_path / "s"))
+    for i in range(4):
+        store.merge(spark, _df(spark, [(i, f"v{i}")]), ["k"])
+    store.vacuum(keep_versions=2)
+    assert store.versions() == [3, 4]
+    assert store.read(spark, version=3).count() == 3
+    with pytest.raises(FileNotFoundError):
+        store.manifest(1)
+    assert store.read(spark).count() == 4
+
+
+def test_streaming_cdc_restart_exactly_once(spark, tmp_path):
+    """Crash ON the tombstone batch, restart from the checkpoint: the
+    commit ledger (batch_id high-water) makes the replay a no-op and
+    the final table equals the uninterrupted batch fold — with the
+    audit trail (one commit per applied batch) visible in history."""
+    root = str(tmp_path)
+    feed = [
+        spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("v"),
+            F.lit("upsert").alias("op"),
+        ),
+        spark.range(0, 20).select(
+            (F.col("id") * 3).alias("k"),
+            F.lit(None).cast("string").alias("v"),
+            F.lit("delete").alias("op"),
+        ),
+        spark.range(60, 80).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("v"),
+            F.lit("upsert").alias("op"),
+        ),
+    ]
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    schema = feed[0].schema
+    for i, f in enumerate(feed):
+        d = os.path.join(src, f"f{i}")
+        f.coalesce(1).write.parquet(d)
+        t = time.time() - 10 + i
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (t, t))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    flag = os.path.join(root, "bomb")
+    open(flag, "w").close()
+
+    def bomb(batch_id: int) -> None:
+        if batch_id == 1 and os.path.exists(flag):
+            os.unlink(flag)
+            raise RuntimeError("injected failure on the delete batch")
+
+    store_path = os.path.join(root, "store")
+    ckpt = os.path.join(root, "ckpt")
+    q = start_commitlog_cdc_merge(
+        stream(), store_path, ["k"], ckpt, on_batch=bomb
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # restart from the same checkpoint — batch 1 replays, then batch 2
+    q2 = start_commitlog_cdc_merge(stream(), store_path, ["k"], ckpt)
+    q2.awaitTermination()
+
+    store = CommitLogStore(store_path)
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    expected = {(k, str(k)) for k in range(80) if not (k < 60 and k % 3 == 0)}
+    assert got == expected
+    # ledger: batches 0..2 applied exactly once, in order
+    applied = [store.manifest(v)["batch_id"] for v in store.versions()]
+    assert applied == [0, 1, 2]
+    assert store.last_batch_id() == 2

@@ -225,3 +225,42 @@ def test_every_global_window_is_audited(spark, sf_dir):
         "plan_audit.GLOBAL_WINDOW_AUDIT with a boundedness argument "
         "or remove the window"
     )
+
+
+def test_plan_ledger_no_regressions(spark, sf_dir):
+    """r9 plan-ledger gate (VERDICT r8 #7): every query's structural
+    plan metrics (exchange count, cartesians, row-Python stages,
+    global windows) are pinned in the committed plans_baseline.json;
+    a silent increase in any of them fails here. Regenerate the
+    baseline deliberately (`python plan_audit.py --baseline`) so the
+    change lands as a reviewable diff."""
+    import json
+
+    import plan_audit
+
+    with open(plan_audit.BASELINE_PATH) as fh:
+        baseline = json.load(fh)
+    baseline.pop("_meta", None)
+    current = plan_audit.compile_ledger(spark, sf_dir)
+    problems = plan_audit.ledger_compare(baseline, current)
+    assert problems == [], "\n".join(problems)
+
+
+def test_plan_ledger_catches_regression_mutation(spark, sf_dir):
+    """The gate must actually fire: an artificial +1-exchange mutation
+    (a gratuitous repartition) and a fabricated row-Python stage are
+    both flagged by the comparator."""
+    import plan_audit
+
+    df = QUERIES["daily_totals"](spark, sf_dir)
+    mutated = df.repartition(7)
+    plan = mutated._jdf.queryExecution().executedPlan().toString()
+    cur = plan_audit.ledger_row(plan_audit.audit_plan(plan))
+    base_plan = df._jdf.queryExecution().executedPlan().toString()
+    base = plan_audit.ledger_row(plan_audit.audit_plan(base_plan))
+    problems = plan_audit.ledger_compare(
+        {"daily_totals": base}, {"daily_totals": cur}
+    )
+    assert any("exch regressed" in p for p in problems), problems
+    # and a missing baseline entry is itself a failure
+    assert plan_audit.ledger_compare({}, {"q": base}) != []
