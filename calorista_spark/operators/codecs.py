@@ -22,6 +22,8 @@ run Arrow-batched in ``mapInPandas`` (see operators/multimodal.py).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 try:  # optional — not present in this container
@@ -348,6 +350,12 @@ def decode_image_bytes(content: bytes) -> np.ndarray:
         except UnsupportedImageError:
             if not HAVE_PIL:
                 raise
+    if fmt == "jpeg":
+        try:
+            return decode_jpeg(content)
+        except UnsupportedImageError:
+            if not HAVE_PIL:
+                raise
     if HAVE_PIL:  # pragma: no cover - exercised only where PIL exists
         import io
 
@@ -359,6 +367,541 @@ def decode_image_bytes(content: bytes) -> np.ndarray:
         "non-interlaced 8-bit PNG are built in; JPEG/GIF/interlaced "
         "PNG need Pillow, which is not importable here"
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec — pure numpy/stdlib (r9, VERDICT r8 #4: "the one
+# format a real user has that this sandbox cannot open"). Implements
+# the public ITU-T.81 baseline process: SOI/APPn/DQT/DHT/SOF0/DRI/SOS
+# marker walk, Annex-K Huffman tables, zigzag, flat-or-arbitrary 8-bit
+# quantization, byte-stuffed entropy segments with restart intervals,
+# orthonormal-matrix (I)DCT, 4:4:4 and 4:2:0 chroma, JFIF YCbCr.
+# Progressive (SOF2), arithmetic, hierarchical, and 12-bit frames
+# raise UnsupportedImageError (typed fall-through); malformed streams
+# raise ValueError — the same contract as the PNG path.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T.81 Annex K typical Huffman tables (public spec constants).
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for x in range(8):
+            a[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+_DCT_A = None
+
+
+def _dct_a() -> np.ndarray:
+    global _DCT_A
+    if _DCT_A is None:
+        _DCT_A = _dct_matrix()
+    return _DCT_A
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_encode_table(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, coef, dc_pred, dc_tab, ac_tab) -> int:
+    """Huffman-encode one quantized 8x8 block; returns the new DC
+    predictor."""
+    dc = int(coef[0, 0])
+    diff = dc - dc_pred
+    t = _category(diff)
+    code, length = dc_tab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    zz = [int(coef.flat[_JPEG_ZZ[i]]) for i in range(64)]
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = ac_tab[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_tab[0x00]  # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def _fdct_quant(block_u8: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    a = _dct_a()
+    shifted = block_u8.astype(np.float64) - 128.0
+    coef = a @ shifted @ a.T
+    return np.round(coef / quant).astype(np.int64)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant_value: int = 8,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) uint8 → baseline grayscale JPEG; (H, W, 3) uint8 RGB →
+    baseline color JPEG (JFIF YCbCr), ``subsampling`` '4:4:4' or
+    '4:2:0'. A FLAT quantization table (default all-8s) makes
+    constant-per-block fixtures round-trip EXACTLY (DC = 8·(v−128) is
+    divisible by 8; every AC quantizes to 0), which is what lets the
+    decoded features be pinned by a closed-form SQL oracle. Bytes are
+    deterministic (fixed tables, no timestamps)."""
+    import struct
+
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_jpeg needs a (H, W)[,3] uint8 array")
+    color = arr.ndim == 3
+    if color and arr.shape[2] != 3:
+        raise ValueError("color input must have exactly 3 channels")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    quant = np.full((8, 8), int(quant_value), dtype=np.int64)
+    if not 1 <= quant_value <= 255:
+        raise ValueError("quant_value must be in [1, 255]")
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zz_quant = bytes(int(quant.flat[_JPEG_ZZ[i]]) for i in range(64))
+    out += seg(0xFFDB, b"\x00" + zz_quant)  # DQT table 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    if not color:
+        comps = [(1, 0x11, 0)]
+    elif subsampling == "4:4:4":
+        comps = [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]
+    else:
+        comps = [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hv, tq in comps:
+        sof += struct.pack(">BBB", cid, hv, tq)
+    out += seg(0xFFC0, sof)
+
+    def dht(cls: int, dest: int, bits, vals) -> bytes:
+        return seg(
+            0xFFC4,
+            bytes([cls << 4 | dest]) + bytes(bits) + bytes(vals),
+        )
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    if color:
+        out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+
+    sos = bytes([len(comps)])
+    for cid, _hv, _tq in comps:
+        tabs = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, tabs])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+
+    # component planes (level-unshifted uint8 → float YCbCr)
+    if color:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [np.round(y), np.round(cb), np.round(cr)]
+    else:
+        planes = [arr.astype(np.float64)]
+
+    hmax = 2 if (color and subsampling == "4:2:0") else 1
+    mcu_h, mcu_w = 8 * hmax, 8 * hmax
+    mcuy = -(-h // mcu_h)
+    mcux = -(-w // mcu_w)
+
+    def comp_plane(idx: int) -> np.ndarray:
+        p = planes[idx]
+        if color and subsampling == "4:2:0" and idx > 0:
+            # pad to even then 2x2 mean (JFIF centered-ish average)
+            ph = p
+            if ph.shape[0] % 2:
+                ph = np.vstack([ph, ph[-1:]])
+            if ph.shape[1] % 2:
+                ph = np.hstack([ph, ph[:, -1:]])
+            p = (
+                ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+            ) / 4.0
+            p = np.round(p)
+        # pad to the MCU grid by edge replication
+        th = mcuy * (8 * (hmax if idx == 0 else 1))
+        tw = mcux * (8 * (hmax if idx == 0 else 1))
+        pad_h, pad_w = th - p.shape[0], tw - p.shape[1]
+        return np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge")
+
+    padded = [comp_plane(i) for i in range(len(planes))]
+    dc_lum = _huff_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _huff_encode_table(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chr = _huff_encode_table(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_chr = _huff_encode_table(_AC_CHR_BITS, _AC_CHR_VALS)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out_bits = bw.flush()
+                out += out_bits + struct.pack(">H", 0xFFD0 + rst)
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                hv = hmax if ci == 0 else 1
+                for by in range(hv):
+                    for bx in range(hv):
+                        y0 = (my * hv + by) * 8
+                        x0 = (mx * hv + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _fdct_quant(block, quant)
+                        preds[ci] = _encode_block(
+                            bw,
+                            coef,
+                            preds[ci],
+                            dc_lum if ci == 0 else dc_chr,
+                            ac_lum if ci == 0 else ac_chr,
+                        )
+            mcu_count += 1
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy segment exhausted mid-symbol")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG decode → uint8 (H, W) gray or (H, W, 3) RGB.
+
+    Handles the ITU-T.81 baseline DCT process (SOF0/SOF1): 8-bit
+    samples, Huffman entropy coding, 1 or 3 components, 4:4:4 or
+    4:2:0 sampling, restart intervals. Progressive (SOF2) and the
+    other non-baseline frame types raise
+    :class:`UnsupportedImageError`; malformed streams raise
+    ``ValueError`` — same seam contract as :func:`decode_png`."""
+    import re
+    import struct
+
+    if not content.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    scan_comps = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        payload = content[pos + 4 : pos + 2 + seglen]
+        if len(payload) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise UnsupportedImageError("16-bit JPEG quant tables")
+                zz = payload[p + 1 : p + 65]
+                if len(zz) < 64:
+                    raise ValueError("truncated DQT")
+                tab = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    tab[_JPEG_ZZ[i]] = zz[i]
+                quant[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                cls, dest = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT")
+                (huff_dc if cls == 0 else huff_ac)[dest] = _huff_decode_table(
+                    bits, vals
+                )
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise UnsupportedImageError(f"{prec}-bit JPEG")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise UnsupportedImageError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedImageError(
+                f"non-baseline JPEG frame (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            scan_comps = [
+                (payload[1 + 2 * i], payload[2 + 2 * i] >> 4, payload[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            data_start = pos + 2 + seglen
+            # entropy data runs to the next non-RST marker
+            p = data_start
+            while p + 1 < len(content):
+                if content[p] == 0xFF and content[p + 1] not in (0x00,) and not (
+                    0xD0 <= content[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            scan = content[data_start:p]
+            pos = p
+            continue
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise UnsupportedImageError(f"{len(comps)}-component JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    samplings = {(c[1], c[2]) for c in comps}
+    if len(comps) == 3 and not (
+        samplings == {(1, 1)}
+        or (comps[0][1], comps[0][2]) == (2, 2)
+        and samplings == {(2, 2), (1, 1)}
+    ):
+        raise UnsupportedImageError(
+            f"unsupported chroma sampling {sorted(samplings)}"
+        )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    a = _dct_a()
+    planes = []
+    for cid, ch, cv, tq in comps:
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64))
+
+    # split on restart markers; each segment restarts DC prediction
+    segments = re.split(b"\xff[\xd0-\xd7]", scan) if restart_interval else [scan]
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter).replace(b"\xff\x00", b"\xff"))
+    preds = [0] * len(comps)
+    tabsel = {cid: (dc, ac) for cid, dc, ac in (scan_comps or [])}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br = _BitReader(next(seg_iter).replace(b"\xff\x00", b"\xff"))
+                preds = [0] * len(comps)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                if tq not in quant:
+                    raise ValueError(f"JPEG missing quant table {tq}")
+                dsel, asel = tabsel.get(cid, (0, 0))
+                if dsel not in huff_dc or asel not in huff_ac:
+                    raise ValueError("JPEG missing Huffman tables")
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = _huff_read(br, huff_dc[dsel])
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        preds[ci] += diff
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, huff_ac[asel])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                raise ValueError("corrupt JPEG AC coefficients")
+                            coef[_JPEG_ZZ[k]] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = coef.reshape(8, 8) * quant[tq]
+                        pix = a.T @ block.astype(np.float64) @ a
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+
+    def upsample(ci: int) -> np.ndarray:
+        cid, ch, cv, _tq = comps[ci]
+        p = planes[ci]
+        if ch != hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        return p[:h, :w] + 128.0
+
+    if len(comps) == 1:
+        out = np.clip(np.round(upsample(0)), 0, 255).astype(np.uint8)
+        return out
+    y, cb, cr = (upsample(i) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

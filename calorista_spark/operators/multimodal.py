@@ -687,6 +687,13 @@ def synthetic_image_assets(
             rows = []
             for aid in pdf["id"]:
                 y = (np.arange(height, dtype=np.int64) + int(aid)) % 256
+                if fmt == "jpeg":
+                    # BLOCK gradient: constant per 8-row band, so every
+                    # 8x8 block is constant → DC-only under the flat
+                    # quant table → the lossy codec round-trips these
+                    # EXACTLY and the oracle stays closed-form
+                    yy = np.arange(height, dtype=np.int64)
+                    y = (int(aid) + (yy - yy % 8)) % 256
                 arr = np.repeat(y.astype(np.uint8)[:, None], width, axis=1)
                 if rgb:
                     arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -697,6 +704,13 @@ def synthetic_image_assets(
 
                     payload = encode_png(arr, row_filters=[0, 1, 2, 3, 4])
                     mime = "image/png"
+                elif fmt == "jpeg":
+                    from calorista_spark.operators.codecs import encode_jpeg
+
+                    payload = encode_jpeg(
+                        arr, subsampling="4:2:0" if rgb else "4:4:4"
+                    )
+                    mime = "image/jpeg"
                 else:
                     payload = encode_netpbm(arr)
                     mime = (

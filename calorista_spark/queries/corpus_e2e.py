@@ -174,7 +174,10 @@ def _mixture_rates(per_src_rows) -> dict[str, int]:
 
 
 def build_e2e_stages(
-    spark: SparkSession, sf_dir: str, observe: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    observe: bool = False,
+    checkpoint: bool = True,
 ) -> tuple[dict[str, DataFrame], dict]:
     """Construct the composed job. Returns ``frames`` with the wide
     ``flags`` corpus frame (one row per raw document, one boolean per
@@ -187,6 +190,10 @@ def build_e2e_stages(
     the PQ-codebook/BPE-vocab convention), which also materializes
     the pinned upstream caches exactly once."""
     observations: dict = {}
+    # checkpoint=False is the measurement control for the composed-vs-
+    # stagewise smoke (scale_smoke.py): identical DAG, no stage
+    # commits, so every consumer recomputes its shared subtrees
+    commit = stage_checkpoint if checkpoint else (lambda df: df)
 
     def _obs(df: DataFrame, name: str, metrics: dict[str, F.Column] | None = None) -> DataFrame:
         if not observe:
@@ -222,7 +229,7 @@ def build_e2e_stages(
     rn = F.row_number().over(
         Window.partitionBy("q_pass", F.md5("text")).orderBy("doc_id")
     )
-    base = stage_checkpoint(
+    base = commit(
         docs.select(
             "doc_id",
             "source",
@@ -243,7 +250,7 @@ def build_e2e_stages(
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
     cand = lsh_candidate_pairs(bands, "doc_id")
     jac = ngram_jaccard(cand, exactd, "doc_id", "text", n=3, sets=sets)
-    losers = stage_checkpoint(
+    losers = commit(
         jac.filter(F.col("jaccard") >= 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
@@ -264,7 +271,7 @@ def build_e2e_stages(
     in_eval = F.max(F.when(~F.col("is_train"), True)).over(
         Window.partitionBy("gram")
     )
-    contaminated = stage_checkpoint(
+    contaminated = commit(
         grams.withColumn("hit", in_eval)
         .filter("is_train")
         .groupBy("doc_id")
@@ -335,7 +342,7 @@ def build_e2e_stages(
     )
 
     # --- the sampled training set: pinned (packing + BPE + funnel) ---
-    sampled = stage_checkpoint(
+    sampled = commit(
         flags.filter("samp").select("doc_id", "source", "text", "n_tokens")
     )
 

@@ -482,14 +482,15 @@ sim AS (
 _SIMHASH_NEARDUP_ORACLE = (
     _SIMHASH_CTE
     + """,
-bytes AS (
-  SELECT doc_id, simhash, i AS byte_idx, (simhash >> (8 * i)) & 255 AS byte_val
-  FROM sim CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS i)
+halves AS (
+  SELECT doc_id, simhash, i AS half_idx,
+         (simhash >> (16 * i)) & 65535 AS half_val
+  FROM sim CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS INTEGER) AS i)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a, b.doc_id AS id_b, b.simhash AS sh_b
-  FROM bytes a JOIN bytes b
-    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+  FROM halves a JOIN halves b
+    ON a.half_idx = b.half_idx AND a.half_val = b.half_val AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cand
@@ -501,49 +502,59 @@ ORDER BY id_a, id_b
 
 @query("doc_simhash_neardup", _SIMHASH_NEARDUP_ORACLE)
 def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: SimHash near-dup pairs with an EXACT byte-band prefilter.
+    """L2: SimHash near-dup pairs with an EXACT half-band prefilter.
 
-    Pigeonhole: hamming ≤ 3 over 4 bytes (we use τ=1) ⇒ at least one byte is
-    identical, so a hash join on (byte_idx, byte_val) finds every
-    qualifying pair with no all-pairs comparison — the simhash
+    Pigeonhole: hamming ≤ 1 over 2 sixteen-bit halves ⇒ at least one
+    half is identical, so a hash join on (half_idx, half_val) finds
+    every qualifying pair with no all-pairs comparison — the simhash
     equivalent of LSH banding.
+
+    r9 scale fix (found by the shuffle-VOLUME record, SCALING_r09):
+    the previous 4×8-bit byte-banding has only 256 bucket values per
+    band, so bucket occupancy — and the candidate-pair count — grows
+    ~quadratically once the corpus exceeds ~256 docs per band
+    (measured record exponent 1.22 at 1×/2×/4× sf0.1). 16-bit halves
+    give 65 536 buckets per band: identical τ=1 guarantee, candidate
+    growth back to ~linear until ~65k docs per bucket, and the
+    documented next rung (τ≥2 or larger corpora) is more/wider bands,
+    not a different algorithm.
     """
     docs = read_table(spark, sf_dir, "documents")
     # both join branches read the signatures; checkpoint the tiny
     # (doc_id, simhash) frame so the tokenize+hash pipeline runs once,
     # not once per branch
     sim = stage_checkpoint(simhash_32(docs, "doc_id", "text"))
-    byte_structs = F.array(
+    half_structs = F.array(
         *[
             F.struct(
-                F.lit(i).alias("byte_idx"),
-                F.shiftrightunsigned(F.col("simhash"), 8 * i)
-                .bitwiseAND(F.lit(255))
-                .alias("byte_val"),
+                F.lit(i).alias("half_idx"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(65535))
+                .alias("half_val"),
             )
-            for i in range(4)
+            for i in range(2)
         ]
     )
-    with_bytes = sim.select(
-        "doc_id", "simhash", F.explode(byte_structs).alias("bb")
-    ).select("doc_id", "simhash", F.col("bb.byte_idx"), F.col("bb.byte_val"))
-    a = with_bytes.select(
+    with_halves = sim.select(
+        "doc_id", "simhash", F.explode(half_structs).alias("hh")
+    ).select("doc_id", "simhash", F.col("hh.half_idx"), F.col("hh.half_val"))
+    a = with_halves.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sh_a"),
-        "byte_idx",
-        F.col("byte_val").alias("bv_a"),
+        "half_idx",
+        F.col("half_val").alias("hv_a"),
     )
-    b = with_bytes.select(
+    b = with_halves.select(
         F.col("doc_id").alias("id_b"),
         F.col("simhash").alias("sh_b"),
-        "byte_idx",
-        F.col("byte_val").alias("bv_b"),
+        "half_idx",
+        F.col("half_val").alias("hv_b"),
     )
     cand = (
         a.join(
             b,
-            (a["byte_idx"] == b["byte_idx"])
-            & (a["bv_a"] == b["bv_b"])
+            (a["half_idx"] == b["half_idx"])
+            & (a["hv_a"] == b["hv_b"])
             & (a["id_a"] < b["id_b"]),
         )
         .select("id_a", "sh_a", "id_b", "sh_b")

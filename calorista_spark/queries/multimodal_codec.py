@@ -227,3 +227,41 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id", "frame_index")
     )
+
+
+# JPEG closed form: the block gradient is constant per 8-row band —
+# pixel(y, x) = (asset_id + y - y%8) % 256 — and the flat quant table
+# makes baseline JPEG round-trip those blocks EXACTLY (DC = 8·(v−128)
+# divides by 8; every AC quantizes to 0), so the LOSSY codec's decoded
+# mean luma is still independently computable by the oracle.
+_JPEG_ORACLE = f"""
+SELECT a.asset_id,
+       CAST({_W} AS INTEGER) AS width,
+       CAST({_H} AS INTEGER) AS height,
+       FLOOR((SUM((a.asset_id + y.y - (y.y % 8)) % 256) * 1.0 / {_H})
+             / 255.0 * 1e6 + 0.5) / 1e6 AS mean_luma
+FROM range({_N}) AS a(asset_id), range({_H}) AS y(y)
+GROUP BY a.asset_id
+ORDER BY a.asset_id
+"""
+
+
+@query("multimodal_jpeg_features", _JPEG_ORACLE)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode on the executors (r9 — the pure-numpy
+    ITU-T.81 codec in operators/codecs.py: marker walk, Annex-K
+    Huffman, dequantize, IDCT; no Pillow anywhere): block-gradient
+    assets encoded as real JPEGs whose constant 8×8 blocks survive the
+    lossy path bit-exactly under the flat quant table, decoded via the
+    same Arrow-batched feature extractor as every other format, and
+    pinned by the closed-form oracle. Progressive/corrupt inputs raise
+    typed errors (tests). ``sf_dir`` unused (generated assets by
+    design)."""
+    assets = synthetic_image_assets(
+        spark, n=_N, width=_W, height=_H, fmt="jpeg"
+    )
+    return (
+        extract_features(assets)
+        .select("asset_id", "width", "height", _luma6("mean_luma"))
+        .orderBy("asset_id")
+    )

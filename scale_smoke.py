@@ -1154,6 +1154,226 @@ def main() -> None:
 
     results["pq_assign_1M"] = timed("pq_assign", pq_check)
 
+    # 6f. RocksDB state store (r9 — VERDICT r8 #5): SURVEY §4.3 names
+    # RocksDB state as the 100 TB posture; every prior proof ran on
+    # the default HDFS-backed store. Re-run the 1M-event watermarked
+    # dedup AND a crash/restart recovery under
+    # RocksDBStateStoreProvider, recording state size and recovery
+    # time from the provider's own metrics.
+    def rocksdb_check():
+        import json as _json
+        import shutil
+        import tempfile
+
+        from calorista_spark.streaming.incremental import watermarked_dedup
+
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        root = tempfile.mkdtemp(prefix="smoke_rocksdb_")
+        try:
+            n_ev = max(N // 10, 100_000)  # 1M at the default N
+            days = 30
+            ev = spark.range(n_ev).select(
+                F.pmod(F.col("id"), n_ev * 9 // 10).alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000)
+                    + F.pmod(
+                        F.hash(F.pmod(F.col("id"), n_ev * 9 // 10)),
+                        days * 86_400,
+                    ).cast("long")
+                    * 1_000_000
+                ).alias("ts"),
+            )
+            src = os.path.join(root, "src")
+            ev.repartitionByRange(4, "ts").write.parquet(src)
+            files = sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            base_mtime = time.time() - len(files)
+            for i, f in enumerate(files):
+                os.utime(
+                    os.path.join(src, f), (base_mtime + i, base_mtime + i)
+                )
+
+            def stream():
+                return (
+                    spark.readStream.schema(ev.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src)
+                )
+
+            ckpt = os.path.join(root, "ckpt")
+            crashed = {"batches": 0}
+
+            class _Bomb(Exception):
+                pass
+
+            # crash injection: a foreachBatch sink that dies ON batch 2
+            # (state for batches 0-1 already committed to RocksDB)
+            out_dir = os.path.join(root, "out")
+
+            def sink(batch, batch_id):
+                if batch_id == 2 and not os.path.exists(
+                    os.path.join(root, "defused")
+                ):
+                    open(os.path.join(root, "defused"), "w").close()
+                    raise _Bomb("injected crash on batch 2")
+                batch.write.mode("append").parquet(
+                    os.path.join(out_dir, f"b{batch_id}")
+                )
+                crashed["batches"] += 1
+
+            q = (
+                watermarked_dedup(stream(), ["event_id"], "ts", delay="2 days")
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                raise AssertionError("bomb did not fire")
+            except Exception:
+                pass
+            t0 = time.perf_counter()
+            q2 = (
+                watermarked_dedup(stream(), ["event_id"], "ts", delay="2 days")
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+            recovery_sec = time.perf_counter() - t0
+            prog = [_json.loads(p.json) for p in q2.recentProgress]
+            rocks = {}
+            state_rows = 0
+            for p in prog:
+                for s in p.get("stateOperators", []):
+                    state_rows = max(state_rows, s.get("numRowsTotal", 0))
+                    cm = s.get("customMetrics", {})
+                    for k in (
+                        "rocksdbSstFileSize",
+                        "rocksdbPinnedBlocksMemoryUsage",
+                    ):
+                        if k in cm:
+                            rocks[k] = max(rocks.get(k, 0), cm[k])
+            assert rocks, "no RocksDB metrics — provider did not engage"
+            got = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(out_dir)
+                .count()
+            )
+            n_distinct = n_ev * 9 // 10
+            assert got == n_distinct, (got, n_distinct)
+            return (
+                f"events={n_ev} dedup_out={got} state_rows={state_rows} "
+                f"sst_bytes={rocks.get('rocksdbSstFileSize')} "
+                f"pinned_mem={rocks.get('rocksdbPinnedBlocksMemoryUsage')} "
+                f"recovery_sec={recovery_sec:.1f} (crash on batch 2, "
+                "exactly-once across restart)"
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["rocksdb_state_1M"] = timed("rocksdb_state", rocksdb_check)
+
+    # 8. composed end-to-end corpus job at 200k docs (r9 — VERDICT r8
+    # #1): the full ingest→quality→dedup→decontam→sample→pack→tokenize
+    # DAG over a synthetic 200k-doc corpus, composed (stage commits)
+    # vs stagewise-naive (identical DAG, no commits — every consumer
+    # recomputes its shared subtrees). Results must be identical; the
+    # wall-clock gap is what the stage boundaries buy.
+    def corpus_e2e_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.cache import release_caches
+        from calorista_spark.queries.corpus_e2e import (
+            _shard_manifest,
+            build_e2e_stages,
+        )
+
+        n_docs = max(N // 50, 1000)  # 200k at the default N
+        root = tempfile.mkdtemp(prefix="smoke_e2e_")
+        try:
+            base = spark.range(n_docs).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") - F.pmod(F.col("id"), 2)).alias("pair_root"),
+                F.concat(
+                    F.lit("src"), F.pmod(F.col("id"), 20).cast("string")
+                ).alias("source"),
+            )
+            # 40 four-hex-char words per doc (mean word length 4.0 →
+            # inside the quality gate); adjacent ids share 39/40 words
+            # → planted near-dup pairs for the LSH stage
+            words = [
+                F.substring(
+                    F.conv(
+                        F.abs(
+                            F.hash(
+                                F.when(F.lit(j) == 0, F.col("doc_id")).otherwise(
+                                    F.col("pair_root")
+                                ),
+                                F.lit(j),
+                            )
+                        ).cast("string"),
+                        10,
+                        16,
+                    ),
+                    1,
+                    4,
+                )
+                for j in range(40)
+            ]
+            docs = base.select(
+                "doc_id",
+                "source",
+                F.concat_ws(" ", *words).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+            docs.write.parquet(os.path.join(root, "documents.parquet"))
+
+            def run(checkpoint: bool):
+                frames, _ = build_e2e_stages(
+                    spark, root, checkpoint=checkpoint
+                )
+                rows = sorted(
+                    tuple(r) for r in _shard_manifest(frames).collect()
+                )
+                release_caches(spark)
+                return rows
+
+            t0 = time.perf_counter()
+            composed = run(True)
+            t_composed = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            stagewise = run(False)
+            t_stagewise = time.perf_counter() - t0
+            assert composed == stagewise, "composed != stagewise results"
+            n_bins = len(composed)
+            assert n_bins > 0
+            return (
+                f"docs={n_docs} bins={n_bins} composed={t_composed:.1f}s "
+                f"stagewise_naive={t_stagewise:.1f}s "
+                f"speedup={t_stagewise / max(t_composed, 1e-6):.2f}x"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["corpus_e2e_200k"] = timed("corpus_e2e", corpus_e2e_check)
+
     # 7. plan-shape invariants at scale: the scalable rank pipeline
     # must contain a range exchange and no partition-less data window
     plan = (

@@ -24,7 +24,7 @@ alphabetically-early names), then only the top-K proceed to the
 2x/4x fits.
 
 Run: python scaling_exponents.py [src_sf_dir] [out_json]
-     (defaults: /root/testdata/sf0.1, SCALING_r08.json)
+     (defaults: /root/testdata/sf0.1, SCALING_r09.json)
 Prints one JSON line; exits 1 if any exponent > ALPHA_MAX (1.6).
 """
 
@@ -44,6 +44,7 @@ TOP_K = 10
 SCALES = (1, 2, 4)
 RUNS = 2
 ALPHA_MAX = 1.6
+VOL_ALPHA_MAX = 1.1  # exchange RECORD volume must be ~linear (r9, VERDICT r8 #3)
 # generated-input queries: cost does not depend on sf_dir by design
 _SCALE_FREE = {
     "multimodal_image_features",
@@ -51,6 +52,7 @@ _SCALE_FREE = {
     "multimodal_resize_roundtrip",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    "multimodal_jpeg_features",
     # PQ family: wall-clock is the ~3-4 s flat plan-compile cost of the
     # frozen-codebook projection (documented in COVERAGE), not data
     # cost — at 2k-8k embedding rows a fitted exponent would measure
@@ -126,9 +128,83 @@ def fit_alpha(points: list[tuple[int, float]]) -> float:
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
 
 
+class ShuffleMeter:
+    """Per-run shuffle VOLUME from the AppStatusStore (r9 — VERDICT r8
+    #3: seconds at local[32] can hide constant-factor luck; exchange
+    BYTES cannot). ``delta()`` reports, for the stages created since
+    the last ``mark()``:
+
+    - total shuffle write bytes (what the exchanges actually moved);
+    - peak per-stage shuffle write (the biggest single exchange);
+    - peak single-TASK shuffle read bytes (the partition-pressure
+      number — what must fit through one reducer at a time), from the
+      store's task-metric distributions at quantile 1.0.
+    """
+
+    def __init__(self, spark):
+        self._sc = spark.sparkContext
+        self._store = self._sc._jsc.sc().statusStore()
+        self._gw = self._sc._gateway
+        self._seen: set[int] = set()
+        self.mark()
+
+    def _stages(self):
+        empty_q = self._gw.new_array(self._gw.jvm.double, 0)
+        out = []
+        it = self._store.stageList(
+            self._gw.jvm.java.util.ArrayList(),
+            False,
+            False,
+            empty_q,
+            self._gw.jvm.java.util.ArrayList(),
+        ).iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def mark(self) -> None:
+        self._seen = {s.stageId() for s in self._stages()}
+
+    def delta(self) -> dict[str, int]:
+        new = [s for s in self._stages() if s.stageId() not in self._seen]
+        total_w = sum(s.shuffleWriteBytes() for s in new)
+        total_rec = sum(s.shuffleWriteRecords() for s in new)
+        peak_stage = max(
+            (s.shuffleWriteBytes() for s in new), default=0
+        )
+        peak_task = 0
+        q1 = self._gw.new_array(self._gw.jvm.double, 1)
+        q1[0] = 1.0
+        for s in new:
+            if s.shuffleReadBytes() <= 0:
+                continue
+            try:
+                # stageAttempt returns (StageData, Seq[TaskData])
+                sd = self._store.stageAttempt(
+                    s.stageId(),
+                    s.attemptId(),
+                    False,
+                    self._gw.jvm.java.util.ArrayList(),
+                    True,
+                    q1,
+                )._1()
+                dist = sd.taskMetricsDistributions()
+                if dist.isDefined():
+                    rb = dist.get().shuffleReadMetrics().readBytes()
+                    peak_task = max(peak_task, int(rb.apply(0)))
+            except Exception:  # noqa: BLE001 — evicted stage etc.
+                continue
+        return {
+            "shuffle_write_bytes": int(total_w),
+            "shuffle_write_records": int(total_rec),
+            "peak_stage_write_bytes": int(peak_stage),
+            "peak_task_read_bytes": int(peak_task),
+        }
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r08.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09.json"
 
     from calorista_spark.cache import release_caches
     from calorista_spark.queries import QUERIES
@@ -182,41 +258,94 @@ def main() -> None:
         flush=True,
     )
 
+    meter = ShuffleMeter(spark)
+    # the two cheapest of the heavy set additionally run at 16x to
+    # prove volume linearity holds past the small-scale regime
+    cheap2 = sorted(heavy, key=sweep.get)[:2]
+    if 16 not in dirs:
+        d16 = "/tmp/scale_16x_sf"
+        build_scaled(src, d16, 16)
+        dirs[16] = d16
+
     record = {}
     for name in heavy:
         points = []
+        bpoints = []
         timings = {}
-        for k in SCALES:
+        volumes = {}
+        scales = (*SCALES, 16) if name in cheap2 else SCALES
+        for k in scales:
             best = None
+            vol = None
             for _ in range(RUNS):
+                meter.mark()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, dirs[k]).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 dt = time.perf_counter() - t0
+                if vol is None:
+                    vol = meter.delta()  # bytes are run-invariant
                 release_caches(spark)
                 best = dt if best is None else min(best, dt)
             timings[f"{k}x"] = round(best, 3)
+            volumes[f"{k}x"] = vol
             points.append((k, best))
+            if vol["shuffle_write_records"] > 0:
+                bpoints.append((k, float(vol["shuffle_write_records"])))
         alpha = fit_alpha(points)
-        record[name] = {"sec": timings, "alpha": alpha}
-        print(f"{name}: {timings} alpha={alpha}", file=sys.stderr, flush=True)
+        # exchange-volume exponent fits on shuffle RECORDS — the plan
+        # property — not bytes: shuffle bytes are codec-compressed, and
+        # the vocabulary-remapped k× corpora compress progressively
+        # worse (larger dictionaries), which shows up as a spurious
+        # ~1.1 bytes exponent on perfectly record-linear LSH pipelines.
+        # Sub-10k-record shuffles (final tiny aggregates) are metadata
+        # noise and excluded from the fit (volumes still recorded).
+        base_rec = volumes[f"{SCALES[0]}x"]["shuffle_write_records"]
+        alpha_vol = (
+            fit_alpha(bpoints)
+            if len(bpoints) >= 2 and base_rec >= 10_000
+            else None
+        )
+        record[name] = {
+            "sec": timings,
+            "alpha": alpha,
+            "shuffle": volumes,
+            "alpha_records": alpha_vol,
+            "scales": [f"{k}x" for k in scales],
+        }
+        print(
+            f"{name}: {timings} alpha={alpha} alpha_records={alpha_vol} "
+            f"rec={ {k: v['shuffle_write_records'] for k, v in volumes.items()} }",
+            file=sys.stderr,
+            flush=True,
+        )
 
     worst = max(record.values(), key=lambda r: r["alpha"])["alpha"]
+    vol_alphas = [
+        r["alpha_records"]
+        for r in record.values()
+        if r["alpha_records"] is not None
+    ]
+    worst_vol = max(vol_alphas) if vol_alphas else None
+    vol_ok = worst_vol is None or worst_vol <= VOL_ALPHA_MAX
     summary = {
         "src": src,
         "rank_sweep_sec": {n: round(t, 3) for n, t in sweep.items()},
         "scales": list(SCALES),
+        "scales_16x": cheap2,
         "queries": record,
         "alpha_max_observed": worst,
         "alpha_gate": ALPHA_MAX,
-        "pass": worst <= ALPHA_MAX,
+        "alpha_records_max_observed": worst_vol,
+        "alpha_records_gate": VOL_ALPHA_MAX,
+        "pass": worst <= ALPHA_MAX and vol_ok,
     }
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
     spark.stop()
-    sys.exit(0 if worst <= ALPHA_MAX else 1)
+    sys.exit(0 if summary["pass"] else 1)
 
 
 if __name__ == "__main__":

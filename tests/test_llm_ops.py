@@ -679,3 +679,67 @@ def test_png_palette_bounds_validated():
         decode_png(palette_png(two_entry, [0, 5]))
     with pytest.raises(ValueError, match="PLTE length"):
         decode_png(palette_png(bytes([1, 2, 3, 4]), [0]))
+
+
+def test_jpeg_codec_baseline():
+    """r9: the pure-numpy baseline JPEG codec (ITU-T.81). Exactness on
+    constant-per-block fixtures under the flat quant table (the oracle
+    contract), bounded loss on arbitrary content, both chroma
+    samplings, restart intervals, and the typed error seam."""
+    import numpy as np
+    import pytest
+
+    from calorista_spark.operators.codecs import (
+        UnsupportedImageError,
+        decode_image_bytes,
+        decode_jpeg,
+        encode_jpeg,
+        sniff_format,
+    )
+
+    H, W, aid = 16, 24, 37
+    yy = np.arange(H)
+    vals = (aid + (yy - yy % 8)) % 256
+    img = np.repeat(vals.astype(np.uint8)[:, None], W, axis=1)
+    data = encode_jpeg(img)
+    assert sniff_format(data) == "jpeg"
+    assert (decode_jpeg(data) == img).all()          # exact round-trip
+    assert (decode_image_bytes(data) == img).all()   # dispatch seam
+
+    # arbitrary content: lossy but bounded (flat quant 8 → small error)
+    rng = np.random.RandomState(0)
+    noisy = (rng.rand(24, 40) * 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy))
+    assert int(np.abs(out.astype(int) - noisy.astype(int)).max()) <= 32
+
+    # achromatic color: YCbCr round-trips exactly in 4:4:4, and in
+    # 4:2:0 when blocks are constant at the 16x16 MCU granularity
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    assert (decode_jpeg(encode_jpeg(rgb, subsampling="4:4:4")) == rgb).all()
+    v16 = (aid + (yy - yy % 16)) % 256
+    img16 = np.repeat(v16.astype(np.uint8)[:, None], 32, axis=1)
+    rgb16 = np.repeat(img16[:, :, None], 3, axis=2)
+    assert (
+        decode_jpeg(encode_jpeg(rgb16, subsampling="4:2:0")) == rgb16
+    ).all()
+
+    # restart intervals: DC predictors reset at every RST marker
+    assert (decode_jpeg(encode_jpeg(img, restart_interval=2)) == img).all()
+
+    # non-MCU-aligned dimensions decode to the exact declared size
+    odd = np.repeat(
+        ((np.arange(17) - np.arange(17) % 8 + 5) % 256)
+        .astype(np.uint8)[:, None],
+        21,
+        axis=1,
+    )
+    assert (decode_jpeg(encode_jpeg(odd)) == odd).all()
+
+    # typed seam: progressive falls through, corrupt raises ValueError
+    mutated = bytearray(data)
+    i = bytes(mutated).find(b"\xff\xc0")
+    mutated[i + 1] = 0xC2
+    with pytest.raises(UnsupportedImageError, match="progressive"):
+        decode_jpeg(bytes(mutated))
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:40])
