@@ -245,6 +245,107 @@ def exact_dist_expr(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized assignment (r9 — VERDICT r8 #6, measured decision).
+# The 256-literal distance projection CANNOT win whole-stage codegen
+# back: both the single-array form and a 256-small-column split form
+# compile with 0 WholeStageCodegen spans (the projection blows the
+# huge-method/class limits either way), costing ~3-4.5 s of doomed
+# janino work per cold execution and ~1.3-1.7 s warm at 2k rows, while
+# an interpreted higher-order-function form runs 20x slower per row
+# (6k rows/s). The Arrow-batched numpy path below measured 2x the
+# bulk throughput of the literal projection (249k vs 124k rows/s at
+# 200k vectors) with near-zero plan cost — so the pandas_udf IS the
+# fast path here, and the "UDFs are the slow path" default is
+# measurably wrong for this operator. The SQL literal renderers above
+# remain the DuckDB-oracle side and the cross-engine spec.
+#
+# Exactness: numpy replays the IDENTICAL IEEE-754 operation sequence
+# as the SQL chain — xsq and dot as explicit left-fold elementwise
+# adds, csq folded in Python, then ((xsq - 2*dot) + csq) — so the
+# micro-unit FLOOR quantization picks the same integer, and argmin
+# (np.argmin = first minimum) matches array_position(min) on both
+# engines. Pinned by tests/test_pq.py and the oracle hash.
+# ---------------------------------------------------------------------------
+
+
+def pq_assign_udf(codebook: np.ndarray):
+    """Returns a scalar pandas_udf: embedding array<float> →
+    struct(codes array<int>, recon bigint) under the frozen codebook.
+    Null or element-null embeddings map to a null struct (totality)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, k, dsub = cb.shape
+    dim = m * dsub
+    csq = np.empty((m, k), dtype=np.float64)
+    for j in range(m):
+        for c in range(k):
+            acc = 0.0
+            for v in cb[j, c]:
+                acc = acc + v * v
+            csq[j, c] = acc
+
+    out_type = T.StructType(
+        [
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("recon", T.LongType()),
+        ]
+    )
+
+    # struct-returning scalar pandas_udf: the Series->DataFrame type-
+    # hint form is not accepted by the hint inferencer, so the eval
+    # type is passed explicitly (the documented StructType contract:
+    # the function returns a pd.DataFrame with one column per field)
+    @F.pandas_udf(out_type, F.PandasUDFType.SCALAR)
+    def _assign(col):
+        n = len(col)
+        valid = np.zeros(n, dtype=bool)
+        X = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(col.values):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape[0] != dim or np.isnan(a).any():
+                continue
+            valid[i] = True
+            X[i] = a
+        Xs = X.reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.int32)
+        recon = np.zeros(n, dtype=np.int64)
+        for j in range(m):
+            x = Xs[:, j, :]
+            xsq = x[:, 0] * x[:, 0]
+            for t in range(1, dsub):
+                xsq = xsq + x[:, t] * x[:, t]
+            d = np.empty((n, k), dtype=np.float64)
+            for c in range(k):
+                cent = cb[j, c]
+                dot = x[:, 0] * cent[0]
+                for t in range(1, dsub):
+                    dot = dot + x[:, t] * cent[t]
+                d[:, c] = (xsq - 2.0 * dot) + csq[j, c]
+            dq = np.floor(d * 1e6 + 0.5).astype(np.int64)
+            codes[:, j] = dq.argmin(axis=1)  # first min, same as SQL
+            recon += dq[np.arange(n), codes[:, j]]
+        return pd.DataFrame(
+            {
+                "codes": [
+                    codes[i].tolist() if valid[i] else None for i in range(n)
+                ],
+                "recon": pd.array(
+                    [int(recon[i]) if valid[i] else None for i in range(n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return _assign
+
+
 def render_codebook_literal(codebook: np.ndarray) -> str:
     """Frozen-constant rendering for a query module (repr round-trips
     doubles exactly)."""
