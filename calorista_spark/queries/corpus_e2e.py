@@ -346,7 +346,33 @@ def build_e2e_stages(
         flags.filter("samp").select("doc_id", "source", "text", "n_tokens")
     )
 
-    # --- sequence packing (512-token greedy bins per source) ---
+    packed, words = pack_and_tokenize(sampled)
+
+    frames = {
+        "flags": flags,
+        "sampled": sampled,
+        "packed": packed,
+        "words": words,
+    }
+    return frames, observations
+
+
+def pack_and_tokenize(sampled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Sequence packing (512-token greedy bins per source) and the
+    BPE-tokenized word stream from a sampled training set. Shared by
+    the lazy builder above and the stage-committed resumable runner
+    (pipeline/corpus_resume.py), so both paths compute the identical
+    shard manifest.
+
+    BPE n_sym is computed INLINE per word occurrence: the rewrite is a
+    pure function of the word, so the values equal the oracle's
+    vocab-join formulation while skipping its distinct+join shuffles
+    (at this fan-out the tokenize is cheaper than the exchange; at
+    open-vocabulary 100 TB scale the (source, word) aggregate of
+    corpus_bpe_compression is the right trade and remains available).
+    """
+    from calorista_spark.operators.bpe import bpe_words_of
+
     wbin = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -360,17 +386,6 @@ def build_e2e_stages(
         .cast("long")
         .alias("bin_id"),
     )
-
-    # --- BPE tokenize (frozen 8-merge production table). n_sym is
-    # computed INLINE per word occurrence: the rewrite is a pure
-    # function of the word, so the values equal the oracle's
-    # vocab-join formulation while skipping its distinct+join
-    # shuffles (at this fan-out the tokenize is cheaper than the
-    # exchange; at open-vocabulary 100 TB scale the (source, word)
-    # aggregate of corpus_bpe_compression is the right trade and
-    # remains available). ---
-    from calorista_spark.operators.bpe import bpe_words_of
-
     words = (
         sampled.select(
             "doc_id", "source", F.explode(bpe_words_of("text")).alias("word")
@@ -378,14 +393,7 @@ def build_e2e_stages(
         .filter(F.length("word") > 0)
         .withColumn("n_sym", F.expr(_N_SYM.format(t=_TOK_EXPR_SPARK)))
     )
-
-    frames = {
-        "flags": flags,
-        "sampled": sampled,
-        "packed": packed,
-        "words": words,
-    }
-    return frames, observations
+    return packed, words
 
 
 def run_corpus_e2e(spark: SparkSession, sf_dir: str):

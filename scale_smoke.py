@@ -1289,6 +1289,129 @@ def main() -> None:
 
     results["rocksdb_state_1M"] = timed("rocksdb_state", rocksdb_check)
 
+    # 6g. commit-log store at scale (r9 — VERDICT r8 #2): streaming
+    # CDC MERGE into the atomic-manifest store, 100k keys across 4
+    # micro-batches with a crash ON the tombstone batch; the restart
+    # must converge exactly-once (batch ledger, not overwrite luck),
+    # every applied batch must be one committed version, and the
+    # pre-crash snapshot must remain time-travel readable.
+    def commitlog_restart_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.sources.commitlog import (
+            CommitLogStore,
+            start_commitlog_cdc_merge,
+        )
+
+        root = tempfile.mkdtemp(prefix="smoke_commitlog_")
+        try:
+            n = max(N // 100, 10_000)  # 100k keys at the default N
+            feed = [
+                spark.range(0, n).select(
+                    F.col("id").alias("k"),
+                    F.col("id").cast("string").alias("v"),
+                    F.lit("upsert").alias("op"),
+                ),
+                spark.range(0, n // 2).select(
+                    F.pmod(F.col("id") * 7, n).alias("k"),
+                    (F.col("id") + 1_000_000).cast("string").alias("v"),
+                    F.lit("upsert").alias("op"),
+                ),
+                spark.range(0, n // 3).select(
+                    (F.col("id") * 3).alias("k"),
+                    F.lit(None).cast("string").alias("v"),
+                    F.lit("delete").alias("op"),
+                ),
+                spark.range(n, n + n // 4).select(
+                    F.col("id").alias("k"),
+                    F.col("id").cast("string").alias("v"),
+                    F.lit("upsert").alias("op"),
+                ),
+            ]
+            src = os.path.join(root, "src")
+            os.makedirs(src)
+            schema = feed[0].schema
+            for i, f in enumerate(feed):
+                d = os.path.join(src, f"f{i}")
+                f.coalesce(1).write.parquet(d)
+                t = time.time() - 10 + i
+                for name in os.listdir(d):
+                    os.utime(os.path.join(d, name), (t, t))
+
+            def stream():
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src)
+                )
+
+            # batch-mode expectation: fold the feed through the CDC
+            # merge operator in order (batch 1 has duplicate keys per
+            # batch? no — k = id*7 mod n over n/2 ids is injective for
+            # odd 7 with... not guaranteed; reduce defensively)
+            from calorista_spark.operators.merge import merge_upsert_cdc
+
+            expected = feed[0].filter(F.col("op") != "delete").drop("op")
+            for f in feed[1:]:
+                src_b = f.dropDuplicates(["k"])
+                expected = merge_upsert_cdc(
+                    expected.withColumn("op", F.lit("upsert")), src_b, ["k"]
+                )
+            exp_rows = expected.count()
+
+            store_path = os.path.join(root, "store")
+            flag = os.path.join(root, "bomb")
+            open(flag, "w").close()
+
+            def bomb(batch_id: int) -> None:
+                if batch_id == 2 and os.path.exists(flag):
+                    os.unlink(flag)
+                    raise RuntimeError("injected crash on tombstone batch")
+
+            q = start_commitlog_cdc_merge(
+                stream(),
+                store_path,
+                ["k"],
+                os.path.join(root, "ckpt"),
+                on_batch=bomb,
+            )
+            try:
+                q.awaitTermination()
+                raise AssertionError("bomb did not fire")
+            except AssertionError:
+                raise
+            except Exception:
+                pass
+            store = CommitLogStore(store_path)
+            pre_crash = store.latest_version()
+            t0 = time.perf_counter()
+            q2 = start_commitlog_cdc_merge(
+                stream(), store_path, ["k"], os.path.join(root, "ckpt")
+            )
+            q2.awaitTermination()
+            recovery = time.perf_counter() - t0
+            got = store.read(spark).count()
+            assert got == exp_rows, (got, exp_rows)
+            applied = [
+                store.manifest(v)["batch_id"] for v in store.versions()
+            ]
+            assert applied == [0, 1, 2, 3], applied
+            # the pre-crash snapshot is still readable (time travel)
+            assert store.read(spark, version=pre_crash).count() > 0
+            return (
+                f"keys={n} final_rows={got} versions={applied} "
+                f"recovery_sec={recovery:.1f} "
+                "(crash on tombstone batch; ledger-exact replay)"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["commitlog_cdc_100k"] = timed(
+        "commitlog_cdc", commitlog_restart_check
+    )
+
     # 8. composed end-to-end corpus job at 200k docs (r9 — VERDICT r8
     # #1): the full ingest→quality→dedup→decontam→sample→pack→tokenize
     # DAG over a synthetic 200k-doc corpus, composed (stage commits)

@@ -115,3 +115,49 @@ def test_shard_manifest_consistency(spark, sf_dir):
     # bins are contiguous 0..max within each source (greedy packing)
     for src, bins in per_source.items():
         assert sorted(bins) == list(range(len(bins))), src
+
+
+def test_resumable_stage_commits(spark, sf_dir, tmp_path):
+    """r9: the stage-committed runner (pipeline/corpus_resume.py) —
+    first run commits every stage as a store version; a rerun reuses
+    all of them (stage-granular resume); forcing a downstream stage
+    recomputes only it; results always equal the single-job query."""
+    from calorista_spark.pipeline.corpus_resume import (
+        run_corpus_e2e_committed,
+    )
+
+    root = str(tmp_path / "stores")
+    expected = sorted(
+        tuple(r) for r in QUERIES["corpus_e2e_shards"](spark, sf_dir).collect()
+    )
+    release_caches(spark)
+
+    shards, rep = run_corpus_e2e_committed(spark, sf_dir, root)
+    assert {s: r["action"] for s, r in rep.items()} == {
+        "flags": "computed",
+        "sampled": "computed",
+        "shards": "computed",
+    }
+    assert sorted(tuple(r) for r in shards.collect()) == expected
+    release_caches(spark)
+
+    # resume: nothing recomputes, same manifest
+    shards2, rep2 = run_corpus_e2e_committed(spark, sf_dir, root)
+    assert {s: r["action"] for s, r in rep2.items()} == {
+        "flags": "reused",
+        "sampled": "reused",
+        "shards": "reused",
+    }
+    assert sorted(tuple(r) for r in shards2.collect()) == expected
+    release_caches(spark)
+
+    # force just the last stage: upstream reused, output identical,
+    # and the shards store gained a version (the old one still reads)
+    shards3, rep3 = run_corpus_e2e_committed(
+        spark, sf_dir, root, force=("shards",)
+    )
+    assert rep3["flags"]["action"] == "reused"
+    assert rep3["sampled"]["action"] == "reused"
+    assert rep3["shards"] == {"action": "computed", "version": 2}
+    assert sorted(tuple(r) for r in shards3.collect()) == expected
+    release_caches(spark)
