@@ -356,6 +356,12 @@ def decode_image_bytes(content: bytes) -> np.ndarray:
         except UnsupportedImageError:
             if not HAVE_PIL:
                 raise
+    if fmt == "gif":
+        try:
+            return decode_gif(content)
+        except UnsupportedImageError:
+            if not HAVE_PIL:
+                raise
     if HAVE_PIL:  # pragma: no cover - exercised only where PIL exists
         import io
 
@@ -902,6 +908,213 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec — pure stdlib/numpy (r9). Implements the public GIF87a/89a
+# spec: logical screen descriptor, global/local color tables, LZW
+# image data (variable code width, CLEAR/EOI), interlace, GCE
+# transparency skipped (first frame decoded, animation frames beyond
+# the first are out of scope for the feature seam). The encoder emits
+# spec-valid LZW at literal code width with periodic CLEAR codes —
+# deterministic bytes, no compression search. Malformed streams raise
+# ValueError; exotic variants raise UnsupportedImageError.
+# ---------------------------------------------------------------------------
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → uint8 (H, W, 3) RGB."""
+    if not content.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF payload")
+    import struct
+
+    pos = 6
+    if pos + 7 > len(content):
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[pos : pos + 7])
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            content, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(content):
+                raise ValueError("truncated GIF sub-blocks")
+            size = content[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF contains no image descriptor")
+        if b == 0x21:  # extension — skip
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        # image descriptor
+        _ix, _iy, iw, ih, ipacked = struct.unpack(
+            "<HHHHB", content[pos + 1 : pos + 10]
+        )
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                content, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise UnsupportedImageError("GIF frame without any color table")
+        interlaced = bool(ipacked & 0x40)
+        min_code_size = content[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            size = content[pos]
+            pos += 1
+            if size == 0:
+                break
+            data += content[pos : pos + size]
+            pos += size
+        idx = _lzw_decode(bytes(data), min_code_size, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF LZW stream shorter than raster")
+        arr = np.array(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if interlaced:
+            out = np.empty_like(arr)
+            rows = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            for src_i, dst_i in enumerate(rows):
+                out[dst_i] = arr[src_i]
+            arr = out
+        if int(arr.max(initial=0)) >= len(table):
+            raise ValueError(
+                f"GIF pixel index {int(arr.max())} out of color-table "
+                f"range ({len(table)} entries)"
+            )
+        return table[arr]
+    raise ValueError("GIF stream ended before an image descriptor")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-flavored LZW (LSB-first bit packing, CLEAR/EOI codes,
+    code width grows after the table fills, capped at 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend((i,) for i in range(clear))
+        table.append(())  # CLEAR placeholder
+        table.append(())  # EOI placeholder
+        return min_code_size + 1
+
+    width = reset()
+    acc = 0
+    nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("invalid first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of sequence")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(H, W) uint8 → GIF89a with an identity 256-gray color table.
+
+    Deterministic, compression-free LZW: every pixel is emitted as a
+    literal 8-bit-rooted code, with a CLEAR before each code batch so
+    the code width never grows past 9 bits — spec-valid output any
+    decoder accepts, and byte-deterministic by construction (the
+    NetPBM determinism argument applied to GIF)."""
+    import struct
+
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("encode_gif needs a (H, W) uint8 array")
+    h, w = arr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    for i in range(256):  # identity grayscale table
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code_size = 8
+    clear, eoi = 256, 257
+    out.append(min_code_size)
+
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    flat = arr.reshape(-1)
+    # CLEAR every 254 literals keeps the table at its initial size, so
+    # the code width stays 9 bits throughout (table grows by one per
+    # emitted code; 2^9 - 258 = 254 codes of headroom)
+    put(clear, 9)
+    for i, v in enumerate(flat.tolist()):
+        if i and i % 254 == 0:
+            put(clear, 9)
+        put(int(v), 9)
+    put(eoi, 9)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for off in range(0, len(bits), 255):
+        chunk = bits[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

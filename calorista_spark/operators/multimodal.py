@@ -711,6 +711,13 @@ def synthetic_image_assets(
                         arr, subsampling="4:2:0" if rgb else "4:4:4"
                     )
                     mime = "image/jpeg"
+                elif fmt == "gif":
+                    from calorista_spark.operators.codecs import encode_gif
+
+                    payload = encode_gif(
+                        arr if arr.ndim == 2 else arr[:, :, 0]
+                    )
+                    mime = "image/gif"
                 else:
                     payload = encode_netpbm(arr)
                     mime = (

@@ -265,3 +265,36 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", "width", "height", _luma6("mean_luma"))
         .orderBy("asset_id")
     )
+
+
+# GIF is lossless (palette-indexed), so the row-gradient closed form
+# of the NetPBM/PNG oracles applies verbatim — the query pins the
+# stdlib LZW decoder, interlace handling, and color-table mapping.
+_GIF_ORACLE = f"""
+SELECT a.asset_id,
+       CAST({_W} AS INTEGER) AS width,
+       CAST({_H} AS INTEGER) AS height,
+       FLOOR((SUM((a.asset_id + y.y) % 256) * 1.0 / {_H}) / 255.0 * 1e6 + 0.5)
+         / 1e6 AS mean_luma
+FROM range({_N}) AS a(asset_id), range({_H}) AS y(y)
+GROUP BY a.asset_id
+ORDER BY a.asset_id
+"""
+
+
+@query("multimodal_gif_features", _GIF_ORACLE)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode on the executors (r9 — the pure-stdlib LZW
+    decoder in operators/codecs.py): the same closed-form gradient
+    assets as the PNG query, encoded as spec-valid GIF89a (identity
+    grayscale color table, compression-free LZW with periodic CLEAR
+    codes), decoded through the shared Arrow-batched feature
+    extractor, pinned by the closed-form oracle. With PNG, JPEG, and
+    GIF all decoding pure-stdlib, every everyone-has-it image format
+    now runs without Pillow. ``sf_dir`` unused (generated assets)."""
+    assets = synthetic_image_assets(spark, n=_N, width=_W, height=_H, fmt="gif")
+    return (
+        extract_features(assets)
+        .select("asset_id", "width", "height", _luma6("mean_luma"))
+        .orderBy("asset_id")
+    )

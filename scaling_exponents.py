@@ -77,6 +77,7 @@ _SCALE_FREE = {
     "multimodal_audio_features",
     "multimodal_video_frames",
     "multimodal_jpeg_features",
+    "multimodal_gif_features",
     # PQ family: at 2k-8k embedding rows the wall-clock is session/
     # Arrow-batch setup constants, not data cost — a fitted exponent
     # would measure the constant, displacing genuinely data-heavy

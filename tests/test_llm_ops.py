@@ -216,8 +216,10 @@ def test_real_codec_netpbm_roundtrip():
     # silently produce pixels
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-    # JPEG still needs Pillow: the gap must be named, not obscure
-    with pytest.raises(NotImplementedError):
+    # JPEG decodes for real since r9 (pure-numpy baseline path) —
+    # corrupt JPEG bytes now fail the marker walk with a typed decode
+    # error, exactly like corrupt PNG
+    with pytest.raises(ValueError, match="truncated JPEG"):
         decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
@@ -743,3 +745,54 @@ def test_jpeg_codec_baseline():
         decode_jpeg(bytes(mutated))
     with pytest.raises(ValueError):
         decode_jpeg(data[:40])
+
+
+def test_gif_codec_stdlib():
+    """r9: pure-stdlib GIF87a/89a decoder (variable-width LZW,
+    interlace, color tables) + the deterministic compression-free
+    encoder — lossless round-trip, interlace de-permutation, and the
+    typed error seam."""
+    import numpy as np
+    import pytest
+
+    from calorista_spark.operators.codecs import (
+        UnsupportedImageError,
+        decode_gif,
+        decode_image_bytes,
+        encode_gif,
+        sniff_format,
+    )
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(17, 23) * 255).astype(np.uint8)
+    data = encode_gif(img)
+    assert sniff_format(data) == "gif"
+    out = decode_gif(data)
+    assert out.shape == (17, 23, 3)
+    assert (out == img[:, :, None]).all()            # identity palette
+    assert (decode_image_bytes(data) == img[:, :, None]).all()
+
+    # interlaced frames land in display order (the Adam-style 8/8/4/2
+    # row schedule of the GIF spec)
+    tall = (np.arange(16 * 8) % 256).astype(np.uint8).reshape(16, 8)
+    rows = (
+        list(range(0, 16, 8))
+        + list(range(4, 16, 8))
+        + list(range(2, 16, 4))
+        + list(range(1, 16, 2))
+    )
+    stream_order = tall[rows]
+    d = bytearray(encode_gif(stream_order))
+    idesc = 6 + 7 + 768
+    assert d[idesc] == 0x2C
+    d[idesc + 9] |= 0x40  # set the interlace flag
+    assert (decode_gif(bytes(d))[:, :, 0] == tall).all()
+
+    with pytest.raises(ValueError):
+        decode_gif(data[:40])                        # truncated
+    # frame with no color table anywhere: typed fall-through
+    no_tab = bytearray(encode_gif(stream_order))
+    no_tab[10] &= 0x7F
+    del no_tab[13 : 13 + 768]
+    with pytest.raises(UnsupportedImageError):
+        decode_gif(bytes(no_tab))
