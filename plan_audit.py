@@ -157,7 +157,17 @@ def compile_ledger(spark, sf_dir: str, names=None) -> dict[str, dict]:
 def write_baseline() -> None:
     import json
 
-    spark = build_session(app_name="calorista-plan-baseline")
+    # MUST mirror tests/conftest.py's session exactly: several plan
+    # shapes (the two-pass rank family unions per-slice offsets) scale
+    # their exchange count with session parallelism, so a baseline
+    # compiled under a different master/partition count than the gate's
+    # session reads as a spurious regression (found by the gate itself
+    # on its first cross-session run, r9).
+    spark = build_session(
+        app_name="calorista-plan-baseline",
+        master="local[4]",
+        shuffle_partitions=8,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ledger = compile_ledger(spark, BASELINE_SF)
     with open(BASELINE_PATH, "w") as fh:

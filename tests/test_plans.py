@@ -70,20 +70,38 @@ def test_whole_stage_codegen_everywhere_core(spark, sf_dir):
 
 
 def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
-    # L6's escape hatch (queries/udf_surface.py, multimodal) is the
-    # ONLY sanctioned Python; everything else is JVM-side expressions
-    from calorista_spark.queries import udf_surface
+    """Row-at-a-time Python (BatchEvalPython) is banned in EVERY plan.
+    Arrow-batched Python (ArrowEvalPython / the mapInPandas family) is
+    the sanctioned escape hatch, allowed only in the modules that own
+    it: the L6 UDF surface, the multimodal codec family, and — r9, a
+    measured decision — the PQ assignment kernel (vector_pq), where
+    whole-stage codegen is provably unwinnable and the numpy path is
+    2× the literal projection's throughput."""
+    from calorista_spark.queries import (
+        multimodal_codec,
+        udf_surface,
+        vector_pq,
+    )
 
-    exempt = {
+    arrow_sanctioned = {
         name
         for name, fn in QUERIES.items()
-        if fn.__module__ == udf_surface.__name__
+        if fn.__module__
+        in {
+            udf_surface.__name__,
+            multimodal_codec.__name__,
+            vector_pq.__name__,
+        }
     }
     for name, fn in QUERIES.items():
-        if name in exempt:
-            continue
         plan = plan_of(fn(spark, sf_dir), mode="simple")
-        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+        assert "BatchEvalPython" not in plan, (
+            f"{name} uses row-at-a-time Python"
+        )
+        if name not in arrow_sanctioned:
+            assert "EvalPython" not in plan and "InPandas" not in plan, (
+                f"{name} fell off the JVM fast path"
+            )
 
 
 def test_q2_broadcasts_all_four_dims(spark, sf_dir):
