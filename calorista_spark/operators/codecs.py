@@ -339,8 +339,10 @@ def encode_png(
 def decode_image_bytes(content: bytes) -> np.ndarray:
     """Decode any supported image payload → uint8 array ((H, W) gray
     or (H, W, 3) RGB). NetPBM always works (numpy); non-interlaced
-    8-bit PNG decodes via the stdlib path (r8); interlaced/16-bit PNG
-    and JPEG/GIF need Pillow. This is THE codec seam."""
+    8-bit PNG (r8), baseline JPEG (r9), and GIF87a/89a (r9) decode via
+    the pure stdlib/numpy paths; only interlaced/16-bit PNG and
+    progressive JPEG still fall through to Pillow when importable.
+    This is THE codec seam."""
     fmt = sniff_format(content)
     if fmt in ("pgm", "ppm"):
         return decode_netpbm(content)
@@ -388,6 +390,21 @@ def decode_image_bytes(content: bytes) -> np.ndarray:
 # raise UnsupportedImageError (typed fall-through); malformed streams
 # raise ValueError — the same contract as the PNG path.
 # ---------------------------------------------------------------------------
+
+# Decompression-bomb guard (the Pillow MAX_IMAGE_PIXELS idea): corrupt
+# or hostile dimension fields must fail fast, not allocate gigabytes
+# and grind a Python MCU loop — found by mutation-fuzzing the decoders
+# (a flipped SOF height byte produced a 60 GB allocation).
+_MAX_DECODE_PIXELS = 100_000_000
+
+
+def _check_dims(w: int, h: int, fmt: str) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"implausible {fmt} dimensions {w}x{h} "
+            f"(cap {_MAX_DECODE_PIXELS} pixels)"
+        )
+
 
 _JPEG_ZZ = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -729,6 +746,22 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Baseline JPEG decode → uint8 (H, W) gray or (H, W, 3) RGB.
 
+    Seam contract: malformed/truncated streams raise ``ValueError``;
+    non-baseline frames raise :class:`UnsupportedImageError` — never a
+    raw struct.error/IndexError/StopIteration, so the Arrow-batched
+    feature extractors can null the row instead of killing the task.
+    """
+    try:
+        return _decode_jpeg_impl(content)
+    except (UnsupportedImageError, ValueError):
+        raise
+    except (IndexError, StopIteration, Exception) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg_impl(content: bytes) -> np.ndarray:
+    """Baseline JPEG decode → uint8 (H, W) gray or (H, W, 3) RGB.
+
     Handles the ITU-T.81 baseline DCT process (SOF0/SOF1): 8-bit
     samples, Huffman entropy coding, 1 or 3 components, 4:4:4 or
     4:2:0 sampling, restart intervals. Progressive (SOF2) and the
@@ -789,6 +822,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise UnsupportedImageError(f"{prec}-bit JPEG")
+            _check_dims(w, h, "JPEG")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
@@ -839,6 +873,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # entropy-length sanity bound (CPU twin of the pixel cap): every
+    # block costs >= 2 bits even as pure EOBs under any Huffman table,
+    # so a scan too short for the frame's block count is malformed —
+    # reject it up front instead of grinding a million-block Python
+    # loop on fuzzer garbage.
+    blocks_per_mcu = sum(c[1] * c[2] for c in comps)
+    if mcux * mcuy * blocks_per_mcu * 2 > len(scan) * 8 + 64:
+        raise ValueError(
+            "JPEG entropy segment too short for the declared frame size"
+        )
     a = _dct_a()
     planes = []
     for cid, ch, cv, tq in comps:
@@ -923,6 +967,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 
 def decode_gif(content: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → uint8 (H, W) RGB.
+
+    Same seam contract as :func:`decode_jpeg`: malformed/truncated
+    streams raise ``ValueError``, table-less frames raise
+    :class:`UnsupportedImageError`, nothing else escapes.
+    """
+    try:
+        return _decode_gif_impl(content)
+    except (UnsupportedImageError, ValueError):
+        raise
+    except Exception as exc:
+        raise ValueError(f"malformed GIF stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_gif_impl(content: bytes) -> np.ndarray:
     """First frame of a GIF87a/89a → uint8 (H, W, 3) RGB."""
     if not content.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF payload")
@@ -964,6 +1023,7 @@ def decode_gif(content: bytes) -> np.ndarray:
         _ix, _iy, iw, ih, ipacked = struct.unpack(
             "<HHHHB", content[pos + 1 : pos + 10]
         )
+        _check_dims(iw, ih, "GIF")
         pos += 10
         table = gct
         if ipacked & 0x80:
@@ -1012,6 +1072,12 @@ def decode_gif(content: bytes) -> np.ndarray:
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
     """GIF-flavored LZW (LSB-first bit packing, CLEAR/EOI codes,
     code width grows after the table fills, capped at 12 bits)."""
+    # spec bound: codes cap at 12 bits, so the root size must leave
+    # room for CLEAR/EOI + at least one dictionary entry. A corrupt
+    # size byte (e.g. 255) would otherwise build a 2^255-entry table —
+    # the GIF twin of the JPEG dimension bomb (fuzz-found, r9).
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []

@@ -308,6 +308,8 @@ def scd2_apply_tombstones(
     tombstones: DataFrame,
     keys: list[str],
     effective_col: str = "effective_ts",
+    *,  # r9: new valid_from sits before valid_to — keyword-only so a
+    #     positional caller cannot silently re-bind valid_to
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
 ) -> DataFrame:

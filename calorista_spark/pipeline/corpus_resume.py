@@ -77,8 +77,13 @@ def run_corpus_e2e_committed(
     }
     report: dict = {}
 
-    def _stage(name: str, compute) -> DataFrame:
-        op_tag = f"e2e-{name}:{tag}"
+    def _stage(name: str, compute, parent_version: int | None = None) -> DataFrame:
+        # the commit tag chains the PARENT stage's version, so forcing
+        # (or otherwise recomputing) an upstream stage automatically
+        # invalidates every stage downstream of it — a stale "sampled"
+        # can never be served against a fresh "flags"
+        parent = "" if parent_version is None else f":p{parent_version}"
+        op_tag = f"e2e-{name}:{tag}{parent}"
         store = stores[name]
         v = None if name in force else _latest_for(store, op_tag)
         if v is None:
@@ -99,11 +104,13 @@ def run_corpus_e2e_committed(
         lambda: flags.filter("samp").select(
             "doc_id", "source", "text", "n_tokens"
         ),
+        parent_version=report["flags"]["version"],
     )
     shards = _stage(
         "shards",
         lambda: _shard_manifest(
             dict(zip(("packed", "words"), pack_and_tokenize(sampled)))
         ),
+        parent_version=report["sampled"]["version"],
     )
     return shards, report

@@ -110,19 +110,23 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 1300)
     ).select("o_orderkey", F.round(bumped, 2).alias("price"))
 
+    # per-(input, process) path: concurrent sessions (sweep + pytest +
+    # stress audit) must not rmtree each other's live store mid-read
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = os.path.join(
-        tempfile.gettempdir(), f"calorista_store_diff_{tag}"
+        tempfile.gettempdir(), f"calorista_store_diff_{tag}_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     store = CommitLogStore(path)
-    assert store.commit(snap_a, op="overwrite", expect_version=None) == 1
-    assert store.commit(snap_b, op="overwrite", expect_version=1) == 2
+    v1 = store.commit(snap_a, op="overwrite", expect_version=None)
+    v2 = store.commit(snap_b, op="overwrite", expect_version=v1)
+    if (v1, v2) != (1, 2):  # not assert: must hold under python -O too
+        raise RuntimeError(f"unexpected store versions {(v1, v2)}")
 
-    a = store.read(spark, version=1).select(
+    a = store.read(spark, version=v1).select(
         F.col("o_orderkey").alias("key_a"), F.col("price").alias("price_a")
     )
-    b = store.read(spark, version=2).select(
+    b = store.read(spark, version=v2).select(
         F.col("o_orderkey").alias("key_b"), F.col("price").alias("price_b")
     )
     j = a.join(b, a["key_a"] == b["key_b"], "full_outer")

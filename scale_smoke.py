@@ -1240,6 +1240,8 @@ def main() -> None:
             try:
                 q.awaitTermination()
                 raise AssertionError("bomb did not fire")
+            except AssertionError:
+                raise
             except Exception:
                 pass
             t0 = time.perf_counter()
@@ -1313,8 +1315,10 @@ def main() -> None:
                     F.col("id").cast("string").alias("v"),
                     F.lit("upsert").alias("op"),
                 ),
+                # re-upserts of existing keys; id + n//3 is injective
+                # for EVERY n (pmod(id*7, n) collides whenever 7 | n)
                 spark.range(0, n // 2).select(
-                    F.pmod(F.col("id") * 7, n).alias("k"),
+                    (F.col("id") + n // 3).alias("k"),
                     (F.col("id") + 1_000_000).cast("string").alias("v"),
                     F.lit("upsert").alias("op"),
                 ),
@@ -1348,16 +1352,15 @@ def main() -> None:
                 )
 
             # batch-mode expectation: fold the feed through the CDC
-            # merge operator in order (batch 1 has duplicate keys per
-            # batch? no — k = id*7 mod n over n/2 ids is injective for
-            # odd 7 with... not guaranteed; reduce defensively)
+            # merge operator in order (every batch has unique keys by
+            # construction, matching the streamed merge's enforced
+            # one-row-per-key contract)
             from calorista_spark.operators.merge import merge_upsert_cdc
 
             expected = feed[0].filter(F.col("op") != "delete").drop("op")
             for f in feed[1:]:
-                src_b = f.dropDuplicates(["k"])
                 expected = merge_upsert_cdc(
-                    expected.withColumn("op", F.lit("upsert")), src_b, ["k"]
+                    expected.withColumn("op", F.lit("upsert")), f, ["k"]
                 )
             exp_rows = expected.count()
 

@@ -161,3 +161,17 @@ def test_resumable_stage_commits(spark, sf_dir, tmp_path):
     assert rep3["shards"] == {"action": "computed", "version": 2}
     assert sorted(tuple(r) for r in shards3.collect()) == expected
     release_caches(spark)
+
+    # forcing an UPSTREAM stage cascades: the chained parent-version
+    # tags invalidate everything downstream, so no stale sampled/shards
+    # commit can ever be served against a recomputed flags
+    shards4, rep4 = run_corpus_e2e_committed(
+        spark, sf_dir, root, force=("flags",)
+    )
+    assert {s: r["action"] for s, r in rep4.items()} == {
+        "flags": "computed",
+        "sampled": "computed",
+        "shards": "computed",
+    }
+    assert sorted(tuple(r) for r in shards4.collect()) == expected
+    release_caches(spark)

@@ -796,3 +796,55 @@ def test_gif_codec_stdlib():
     del no_tab[13 : 13 + 768]
     with pytest.raises(UnsupportedImageError):
         decode_gif(bytes(no_tab))
+
+
+def test_image_codec_error_seam_fuzz():
+    """r9 (self-review finding): EVERY malformed-stream failure in the
+    JPEG/GIF decoders must surface as ValueError (or the typed
+    UnsupportedImageError) — never a raw struct.error / IndexError /
+    StopIteration that would escape the Arrow extractors' null-the-row
+    seam and kill the Spark task. Includes the decompression-bomb
+    guards: hostile dimension fields fail fast instead of allocating
+    gigabytes or grinding a million-block Python loop."""
+    import random
+
+    import numpy as np
+
+    from calorista_spark.operators.codecs import (
+        UnsupportedImageError,
+        decode_gif,
+        decode_jpeg,
+        encode_gif,
+        encode_jpeg,
+    )
+
+    img = (np.arange(48) % 256).astype(np.uint8).reshape(4, 12)
+    g = encode_gif(img)
+    j = encode_jpeg(img, restart_interval=1)
+    rng = random.Random(0)
+    for data, dec in [(g, decode_gif), (j, decode_jpeg)]:
+        # truncations at every interesting boundary
+        for cut in (8, 20, len(data) // 3, len(data) // 2, len(data) - 3):
+            try:
+                dec(data[:cut])
+            except (ValueError, UnsupportedImageError):
+                pass
+        # random byte mutations
+        for _ in range(60):
+            b = bytearray(data)
+            for _ in range(5):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                dec(bytes(b))
+            except (ValueError, UnsupportedImageError):
+                pass
+    # dimension bombs reject fast
+    import struct
+
+    bomb = bytearray(encode_jpeg(img))
+    i = bytes(bomb).find(b"\xff\xc0")
+    bomb[i + 5 : i + 9] = struct.pack(">HH", 60000, 60000)
+    import pytest
+
+    with pytest.raises(ValueError, match="implausible|entropy"):
+        decode_jpeg(bytes(bomb))
