@@ -142,6 +142,17 @@ def ledger_compare(baseline: dict, current: dict) -> list[str]:
 
 
 def compile_ledger(spark, sf_dir: str, names=None) -> dict[str, dict]:
+    """Compile every query's plan metrics. MUST start from a clean
+    cache state: Spark's CacheManager substitutes InMemoryRelations by
+    LOGICAL-PLAN EQUALITY, so a frame some earlier test executed and
+    left cached changes this compile's printed exchange count (7 → 9
+    on the two-pass rank family — the gate's second phantom-regression
+    lesson, r9). Both the baseline generator and the pytest gate go
+    through here, so the two sides always compile under the same
+    (empty) cache state and the same iteration order."""
+    from calorista_spark.cache import release_caches
+
+    release_caches(spark)
     out = {}
     for name in sorted(names or QUERIES):
         plan = (
