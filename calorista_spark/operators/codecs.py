@@ -781,12 +781,25 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     pos = 2
     scan = None
     scan_comps = None
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
+        # r10 (ADVICE r9): T.81 B.1.1.2 allows any number of 0xFF fill
+        # bytes before the marker code — skip them instead of treating
+        # the fill byte as the marker
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(content):
+            break
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM, RSTn, SOI) carry no length field
+            pos += 2
+            continue
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
         payload = content[pos + 4 : pos + 2 + seglen]
         if len(payload) != seglen - 2:
@@ -843,14 +856,20 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
                 for i in range(ns)
             ]
             data_start = pos + 2 + seglen
-            # entropy data runs to the next non-RST marker
+            # entropy data runs to the next non-RST marker; a stream
+            # that simply ends without a terminating marker keeps its
+            # final byte (r10, ADVICE r9 — the old p+1 bound dropped it)
             p = data_start
+            terminated = False
             while p + 1 < len(content):
                 if content[p] == 0xFF and content[p + 1] not in (0x00,) and not (
                     0xD0 <= content[p + 1] <= 0xD7
                 ):
+                    terminated = True
                     break
                 p += 1
+            if not terminated:
+                p = len(content)
             scan = content[data_start:p]
             pos = p
             continue
@@ -967,7 +986,7 @@ def _decode_jpeg_impl(content: bytes) -> np.ndarray:
 
 
 def decode_gif(content: bytes) -> np.ndarray:
-    """First frame of a GIF87a/89a → uint8 (H, W) RGB.
+    """First frame of a GIF87a/89a → uint8 (H, W, 3) RGB.
 
     Same seam contract as :func:`decode_jpeg`: malformed/truncated
     streams raise ``ValueError``, table-less frames raise
@@ -1141,6 +1160,11 @@ def encode_gif(arr: np.ndarray) -> bytes:
     if arr.dtype != np.uint8 or arr.ndim != 2:
         raise ValueError("encode_gif needs a (H, W) uint8 array")
     h, w = arr.shape
+    if h == 0 or w == 0:
+        # r10 (ADVICE r9): a zero-area GIF would encode, but decode_gif's
+        # dimension guard rejects it — refuse at encode time so the codec
+        # round-trips everything it emits
+        raise ValueError("encode_gif needs a non-empty array")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
     for i in range(256):  # identity grayscale table

@@ -99,12 +99,17 @@ def merge_upsert_cdc(
     check partitions by the same keys the join shuffles on.
     """
     if seq_col is not None:
-        tiebreak = [F.col(c) for c in source.columns if c != seq_col]
+        # r10 (VERDICT r9 #5): the final tie-break is the collision-
+        # proof sha2 row hash, not F.hash — Spark's 32-bit murmur can
+        # collide, which would make the winner row-order-dependent for
+        # two distinct rows with equal seq and equal op. Sorted column
+        # order so the hash is canonical regardless of projection order.
+        tiebreak = row_hash(*sorted(c for c in source.columns if c != seq_col))
         w = Window.partitionBy(*keys).orderBy(
             F.col(seq_col).desc(),
             # same seq: a delete is the conservative winner
             F.when(F.col(op_col) == F.lit("delete"), 0).otherwise(1),
-            F.hash(*tiebreak),
+            tiebreak,
         )
         source = (
             source.withColumn("__rn", F.row_number().over(w))

@@ -40,7 +40,27 @@ STAGES = ("flags", "sampled", "shards")
 
 
 def _input_tag(sf_dir: str) -> str:
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    """Identity of the input corpus for stage-reuse decisions.
+
+    r10 (ADVICE r9): the tag folds in a cheap CONTENT fingerprint of
+    the documents parquet (file names + sizes + mtimes), not just the
+    path — regenerating or mutating the files under ``sf_dir`` in
+    place now invalidates every cached stage, so a rerun can never
+    serve flags/sampled/shards computed from the old corpus. Cost is
+    one directory listing, no data read.
+    """
+    h = hashlib.md5(sf_dir.encode())
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    entries = []
+    if os.path.isdir(doc_path):
+        for name in sorted(os.listdir(doc_path)):
+            st = os.stat(os.path.join(doc_path, name))
+            entries.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(doc_path):
+        st = os.stat(doc_path)
+        entries.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
+    h.update("\n".join(entries).encode())
+    return h.hexdigest()[:12]
 
 
 def _latest_for(store: CommitLogStore, op_tag: str) -> int | None:

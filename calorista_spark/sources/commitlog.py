@@ -251,11 +251,26 @@ class CommitLogStore:
 
     # -- maintenance ---------------------------------------------------------
 
-    def vacuum(self, keep_versions: int | None = None) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int | None = None,
+        retention_seconds: float = 600.0,
+    ) -> list[str]:
         """Remove orphan data dirs (crash leftovers / losers of commit
         races) and, with ``keep_versions``, expire old manifests plus
         the data only they referenced. Never touches anything the
-        retained manifests list. Returns the deleted paths."""
+        retained manifests list. Returns the deleted paths.
+
+        r10 (VERDICT r9 #2 / ADVICE): unreferenced data dirs younger
+        than ``retention_seconds`` (by mtime) are SKIPPED — a concurrent
+        writer mid-commit (data written, manifest not yet linked) looks
+        identical to a crash orphan, so immediate GC could delete files
+        a racing commit then publishes a manifest for. The age gate is
+        the same defense as Delta's ``deletedFileRetentionDuration``:
+        pick a window longer than any plausible data-write-to-link gap.
+        ``retention_seconds=0`` restores immediate GC for quiesced
+        single-writer maintenance.
+        """
         vs = self.versions()
         keep = vs if keep_versions is None else vs[-keep_versions:]
         referenced: set[str] = set()
@@ -268,9 +283,18 @@ class CommitLogStore:
                 p = os.path.join(self.commits_dir, f"v{v:08d}.json")
                 os.unlink(p)
                 deleted.append(p)
+        import time as _time
+
+        now = _time.time()
         for token in os.listdir(self.data_dir):
             if token not in referenced:
                 p = os.path.join(self.data_dir, token)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # deleted by a concurrent vacuum
+                if age < retention_seconds:
+                    continue  # possibly an in-flight writer's dir
                 shutil.rmtree(p)
                 deleted.append(p)
         return deleted

@@ -175,3 +175,35 @@ def test_resumable_stage_commits(spark, sf_dir, tmp_path):
     }
     assert sorted(tuple(r) for r in shards4.collect()) == expected
     release_caches(spark)
+
+
+def test_input_tag_tracks_content_not_just_path(sf_dir, tmp_path):
+    """r10 (ADVICE r9): stage reuse keys on a content fingerprint of
+    the documents parquet, so regenerating the input in place (same
+    path, new bytes/mtime) changes the tag and invalidates every
+    cached stage."""
+    import os
+    import shutil
+
+    from calorista_spark.pipeline.corpus_resume import _input_tag
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    work = str(tmp_path / "sfcopy")
+    os.makedirs(work)
+    dst = os.path.join(work, "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    t1 = _input_tag(work)
+    assert t1 == _input_tag(work)  # stable across calls
+    # in-place mutation (mtime bump == regenerated file): tag changes
+    target = dst
+    if os.path.isdir(dst):
+        target = os.path.join(
+            dst, sorted(os.listdir(dst))[0]
+        )
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert _input_tag(work) != t1
+    # and a different path with identical content also differs (the
+    # path itself stays part of the identity)
+    assert _input_tag(sf_dir) != t1

@@ -747,6 +747,40 @@ def test_jpeg_codec_baseline():
         decode_jpeg(data[:40])
 
 
+def test_jpeg_spec_valid_external_variants():
+    """r10 (ADVICE r9): spec-valid streams this codec's own encoder
+    never emits — 0xFF fill bytes before markers (T.81 B.1.1.2), a
+    standalone TEM marker, and a stream that ends without EOI — must
+    all decode to the same pixels as the canonical bytes."""
+    import numpy as np
+
+    from calorista_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    H, W, aid = 16, 24, 37
+    yy = np.arange(H)
+    vals = (aid + (yy - yy % 8)) % 256
+    img = np.repeat(vals.astype(np.uint8)[:, None], W, axis=1)
+    data = encode_jpeg(img)
+
+    # fill bytes: two extra 0xFF before the SOF marker
+    i = data.find(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff" + data[i:]
+    assert (decode_jpeg(padded) == img).all()
+
+    # standalone TEM (0xFF01) between segments: no length field
+    tem = data[:2] + b"\xff\x01" + data[2:]
+    assert (decode_jpeg(tem) == img).all()
+
+    # stream truncated AT the EOI marker: the final entropy byte must
+    # survive (the old boundary search dropped it)
+    assert data.endswith(b"\xff\xd9")
+    assert (decode_jpeg(data[:-2]) == img).all()
+
+    # all three at once
+    combo = tem[:i + 2] + b"\xff" + tem[i + 2:-2]
+    assert (decode_jpeg(combo) == img).all()
+
+
 def test_gif_codec_stdlib():
     """r9: pure-stdlib GIF87a/89a decoder (variable-width LZW,
     interlace, color tables) + the deterministic compression-free

@@ -261,6 +261,38 @@ def test_merge_upsert_cdc_seq_reduce_latest_op_wins(spark):
     assert {(r.k, r.v) for r in out2.collect()} == {(1, "a")}
 
 
+def test_merge_upsert_cdc_equal_seq_equal_op_tiebreak_exact(spark):
+    """r10 (VERDICT r9 #5): two DISTINCT rows with equal seq and equal
+    op must reduce to a deterministic winner independent of row order —
+    the final tie-break is the collision-proof sha2 row hash, so the
+    winner is the row with the smaller canonical hash, both ways."""
+    import hashlib
+    import json as _json
+
+    from calorista_spark.operators.merge import merge_upsert_cdc
+
+    tgt = spark.createDataFrame([(9, "z")], ["k", "v"])
+    rows = [(1, "left", "upsert", 7), (1, "right", "upsert", 7)]
+
+    def canonical_hash(k, v, op, seq):
+        # mirror the reduce's tie-break: sha2(to_json(struct(sorted
+        # non-seq cols)), 256) — seq is excluded (it is equal within a
+        # tie by construction)
+        payload = _json.dumps(
+            {"k": k, "op": op, "v": v}, separators=(",", ":")
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
+
+    expected_v = min(rows, key=lambda r: canonical_hash(*r))[1]
+    for ordering in (rows, rows[::-1]):
+        src = spark.createDataFrame(ordering, ["k", "v", "op", "seq"])
+        out = merge_upsert_cdc(tgt, src, ["k"], seq_col="seq")
+        assert {(r.k, r.v) for r in out.collect()} == {
+            (9, "z"),
+            (1, expected_v),
+        }
+
+
 def test_scd2_tombstone_before_valid_from_clamps(spark):
     """r9 (ADVICE r8): an out-of-order tombstone dated BEFORE the
     current row's valid_from clamps to valid_from — never an inverted
