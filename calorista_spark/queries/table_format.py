@@ -1,0 +1,195 @@
+"""Table-format queries (r10 — VERDICT r9 #1/#3): partition-scoped
+commit-log MERGE and the change-data-feed reader, both oracle-checked.
+
+Pattern follows snapshot_diff.store_version_diff: the store is rebuilt
+deterministically per call from the immutable events table, so each
+query stays a pure function of its inputs while exercising the REAL
+commit/merge/CDF machinery (sources/commitlog.py). The reference's own
+store merges per date key (main.py:137-161 — only touched dates are
+rewritten); these queries prove this engine's store now has the same
+granularity, plus the incremental-consumer face the reference lacks.
+
+Fixture: the events table aggregated to one row per (event_date,
+user_id, event_type) with an exact BIGINT count — 30 date partitions.
+The merge batch touches exactly two dates: non-'view' counts double
+(updates), 'view' rows are re-sent IDENTICAL (must be suppressed by
+CDF and must not break idempotence), and one synthetic 'backfill' row
+per clicking user inserts. Everything is integer arithmetic, so both
+engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.catalog import read_table
+from calorista_spark.queries.registry import query
+
+_TOUCHED = ("2024-01-05", "2024-01-17")
+_KEYS = ["event_date", "user_id", "event_type"]
+
+
+def _day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.to_date("ts").alias("event_date"), "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _merge_batch(base: DataFrame) -> DataFrame:
+    touched = base.filter(
+        F.col("event_date").isin([F.lit(d).cast("date") for d in _TOUCHED])
+    )
+    updates = touched.withColumn(
+        "n_events",
+        F.when(
+            F.col("event_type") != F.lit("view"), F.col("n_events") * 2
+        ).otherwise(F.col("n_events")),
+    )
+    inserts = touched.filter(F.col("event_type") == "click").select(
+        "event_date",
+        (F.col("user_id") + 100000).alias("user_id"),
+        F.lit("backfill").alias("event_type"),
+        F.lit(1).cast("long").alias("n_events"),
+    )
+    return updates.unionByName(inserts)
+
+
+def _build_store(spark: SparkSession, sf_dir: str, name: str):
+    """(store, v1, v2): v1 = full 30-date snapshot partitioned by
+    event_date; v2 = partition-scoped MERGE of the 2-date batch."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    # per-(query, input, process) path: concurrent sessions (sweep +
+    # pytest + stress audit) must not rmtree each other's live store
+    tag = hashlib.md5(f"{name}:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"calorista_{name}_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = CommitLogStore(path)
+    base = _day_counts(spark, sf_dir)
+    v1 = store.commit(
+        base,
+        op="overwrite",
+        expect_version=None,
+        partition_by="event_date",
+        keys=_KEYS,
+    )
+    v2 = store.merge(spark, _merge_batch(base), _KEYS)
+    if (v1, v2) != (1, 2):  # not assert: must hold under python -O too
+        raise RuntimeError(f"unexpected store versions {(v1, v2)}")
+    return store, v1, v2
+
+
+_PARTITION_MERGE_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_date, user_id, event_type,
+         CASE WHEN event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+                   AND event_type <> 'view'
+              THEN n * 2 ELSE n END AS n
+  FROM base
+  UNION ALL
+  SELECT event_date, user_id + 100000, 'backfill', 1
+  FROM base
+  WHERE event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+    AND event_type = 'click'
+)
+SELECT event_date,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       event_date NOT IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+         AS files_carried
+FROM merged
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
+@query("store_partition_merge_diff", _PARTITION_MERGE_ORACLE)
+def store_partition_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE proof (VERDICT r9 #1): merge a 2-date
+    batch into a 30-date store, then emit per-date row counts of the
+    merged snapshot PLUS ``files_carried`` — whether that date's data
+    files in the v2 manifest are the very same paths v1 listed. The
+    oracle pins the expected pattern (true for all 28 untouched dates,
+    false for the 2 touched), so the correctness gate itself verifies
+    the by-reference carry, not just the merged values; byte-identity
+    of untouched partitions follows from file identity (data files are
+    immutable). The in-query guard additionally hard-fails if a
+    touched partition reused any old file."""
+    store, v1, v2 = _build_store(spark, sf_dir, "partmerge")
+    p1 = store.manifest(v1)["partitions"]
+    p2 = store.manifest(v2)["partitions"]
+    carried = []
+    for d, fl in p2.items():
+        same = p1.get(d) == fl
+        if d in _TOUCHED and set(fl) & set(p1.get(d, [])):
+            raise RuntimeError(f"touched partition {d} reused old files")
+        carried.append((d, same))
+    flags = spark.createDataFrame(
+        carried, "event_date string, files_carried boolean"
+    ).select(
+        F.col("event_date").cast("date").alias("event_date"), "files_carried"
+    )
+    merged = store.read(spark, v2)
+    agg = merged.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    return agg.join(F.broadcast(flags), "event_date").orderBy("event_date")
+
+
+_CDF_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+touched AS (
+  SELECT * FROM base
+  WHERE event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+)
+SELECT event_date, user_id, event_type,
+       CAST(n AS BIGINT) AS n_events,
+       'update_preimage' AS _change_type,
+       CAST(2 AS BIGINT) AS _commit_version
+FROM touched WHERE event_type <> 'view'
+UNION ALL
+SELECT event_date, user_id, event_type,
+       CAST(n * 2 AS BIGINT), 'update_postimage', CAST(2 AS BIGINT)
+FROM touched WHERE event_type <> 'view'
+UNION ALL
+SELECT event_date, user_id + 100000, 'backfill',
+       CAST(1 AS BIGINT), 'insert', CAST(2 AS BIGINT)
+FROM touched WHERE event_type = 'click'
+ORDER BY event_date, user_id, event_type, _change_type
+"""
+
+
+@query("store_change_feed", _CDF_ORACLE)
+def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed proof (VERDICT r9 #3): ``read_changes(v1, v2)``
+    over the same partition-scoped merge must contain EXACTLY the
+    update pre/post pairs for the doubled non-'view' rows and the
+    backfill inserts — and nothing for the re-sent identical 'view'
+    rows (rewritten into new files, suppressed by the row-hash
+    compare). The oracle recomputes the expected feed from the events
+    table alone. Planning note: the manifest file-diff means only the
+    2 touched partitions are read — the CDF of a daily merge into a
+    100 TB store costs O(changed data)."""
+    store, v1, v2 = _build_store(spark, sf_dir, "cdf")
+    return store.read_changes(spark, v1, v2).orderBy(
+        "event_date", "user_id", "event_type", "_change_type"
+    )
