@@ -48,25 +48,36 @@ def main() -> None:
     # Fixed-cost calibration (r6, VERDICT advice): a data-independent
     # probe whose cost is pure engine+machine, so rounds can normalize
     # away environment drift (r3→r5 showed a ~1.4× uniform inflation
-    # on untouched queries). Median of 3 to shed scheduler noise.
-    def _calibrate() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.range(10_000_000).selectExpr(
-                "count(distinct id % 1000) as c", "sum(id) as s"
-            ).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        return round(sorted(runs)[1], 4)
+    # on untouched queries). r10 (VERDICT r9 #4): the r8→r9 comparison
+    # showed a single-point probe is itself the weakest link — a
+    # one-shot median-of-3 at startup swung 0.43↔0.63 across rounds
+    # and produced a phantom uniform ~1.45× "regression" on every
+    # untouched query. The probe is now INTERLEAVED through the bench
+    # (one sample at start, one every PROBE_EVERY queries, one at the
+    # end), so it samples the same machine-load regime the queries ran
+    # under; the summary records every sample and the relative spread,
+    # and cross-round normalized comparisons should be trusted only
+    # when the spread is small (the samples agree on the regime).
+    def _probe_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "count(distinct id % 1000) as c", "sum(id) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
-    calibration = _calibrate()
+    # 3 warm startup samples (comparable to the r6-r9 probe) ...
+    calibration_samples = [round(_probe_once(), 4) for _ in range(3)]
+
+    PROBE_EVERY = 40  # ... plus ≥ (n_queries/40 + 1) interleaved ones
 
     # One query crashing must never abort the run: record the error,
     # keep timing the rest, and emit the summary line LAST so a
     # tail-truncated capture still contains the total.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(QUERIES):
+    for i, name in enumerate(sorted(QUERIES)):
+        if i > 0 and i % PROBE_EVERY == 0:
+            calibration_samples.append(round(_probe_once(), 4))
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -84,6 +95,7 @@ def main() -> None:
         # carries no net cache growth — asserted via cached_rdds_end.
         release_caches(spark)
 
+    calibration_samples.append(round(_probe_once(), 4))
     total = round(sum(timings.values()), 4)
 
     # Warm re-run of the 5 slowest (r7 VERDICT item #5): cold numbers
@@ -111,6 +123,13 @@ def main() -> None:
     # self-describing — a +9% raw delta with flat normalized value is
     # ambient load, not a plan regression.
     CALIBRATION_REF = 0.45
+    samples = sorted(calibration_samples)
+    calibration = round(samples[len(samples) // 2], 4)  # median of ALL
+    spread = (
+        round((samples[-1] - samples[0]) / calibration, 4)
+        if calibration > 0
+        else None
+    )
     normalized = (
         round(total * CALIBRATION_REF / calibration, 4)
         if calibration > 0
@@ -127,6 +146,8 @@ def main() -> None:
         "metric": "total wall-clock for the SURVEY §2 query set",
         "unit": "sec",
         "calibration_sec": calibration,
+        "calibration_samples": calibration_samples,
+        "calibration_spread": spread,
         "calibration_ref": CALIBRATION_REF,
         "value_normalized": normalized,
         "cached_rdds_end": cached_rdd_count(spark),

@@ -154,19 +154,44 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int) -> Dat
     )
 
 
-def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    band_keys: DataFrame, id_col: str, materialize_bands: bool = False
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band key —
     a self equi-join on (band, band_key): pure hash join, no cartesian.
+
+    ``materialize_bands`` (r10) stage-checkpoints the band-key frame
+    before the self-join, so the shingle→minhash→band pipeline that
+    produced it executes exactly ONCE regardless of AQE's exchange-
+    reuse decisions: both join branches read the same tiny checkpoint
+    (bands/doc rows), the same both-branches pattern simhash's
+    signature checkpoint uses. Measured without it (SCALING_r10 first
+    runs): AQE replanning drops subtree reuse as inputs grow, so the
+    signature aggregation re-executed 2×/3×/4× at 1×/4×/16× scale —
+    a phantom superlinear record exponent on a linear pipeline.
+    Standalone queries pass True; composed DAGs with their own stage
+    boundaries (corpus_e2e) keep the default.
     """
+    if materialize_bands:
+        from calorista_spark.operators.checkpoint import stage_checkpoint
+
+        band_keys = stage_checkpoint(band_keys, eager=True)
     a = band_keys.select(
         F.col(id_col).alias("id_a"), "band", F.col("band_key").alias("k_a")
     )
     b = band_keys.select(
         F.col(id_col).alias("id_b"), "band", F.col("band_key").alias("k_b")
     )
+    # SHUFFLE_HASH pin (r10): the band frame is corpus-sized (bands/doc
+    # rows), so broadcasting it is only ever possible at toy scale —
+    # AQE does exactly that at small SF and tips to a shuffle join as
+    # estimates grow, a per-scale strategy flip that read as
+    # superlinear record growth in the scaling gate. Pinning the
+    # 100 TB-honest strategy makes the plan identical at every scale:
+    # both sides shuffle once on (band, key), records = 2·bands/doc·n.
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (a["band"] == b["band"])
             & (a["k_a"] == b["k_b"])
             & (a["id_a"] < b["id_b"]),
@@ -183,21 +208,48 @@ def ngram_jaccard(
     text_col: str,
     n: int = 3,
     sets: DataFrame | None = None,
+    materialize_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for candidate pairs
-    (the verify stage after LSH banding)."""
+    (the verify stage after LSH banding).
+
+    r10 (VERDICT r9 #7): the pair side carries an explicit broadcast
+    hint in BOTH lookups. Post-banding candidate pairs are O(true
+    near-dups) — orders of magnitude below the corpus (329 pairs per
+    5000 docs on the synthetic corpus; the bound is a property of
+    banding, not of scale) — so the shingle-set side NEVER shuffles,
+    at any scale. Without the hint, AQE broadcasts at small SF and
+    tips to a shuffle join as size estimates grow, which is both a
+    needless corpus shuffle and a measurement discontinuity in the
+    record-volume scaling gate (the r9 exception list existed solely
+    to explain it).
+
+    ``materialize_pairs`` stage-checkpoints the candidate frame before
+    it fans out into the two broadcasts (plus any downstream
+    consumers): the minhash→band→bucket-join pipeline that produced it
+    then executes exactly ONCE, however many consumers the final plan
+    has. Without it, exchange reuse is left to the optimizer, and AQE's
+    per-stage replanning drops reuse non-deterministically as inputs
+    grow (measured: the band shuffle ran 2× at sf0.1 and 4× at 4×sf0.1
+    — the residual superlinearity in SCALING_r10's first run).
+    Standalone near-dup queries pass True; composed DAGs that manage
+    their own stage boundaries (corpus_e2e) keep the default."""
+    if materialize_pairs:
+        from calorista_spark.operators.checkpoint import stage_checkpoint
+
+        pairs = stage_checkpoint(pairs, eager=True)
     if sets is None:
         from calorista_spark.catalog import fan_out
 
         sets = fan_out(docs).select(
             F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
         )
-    with_a = pairs.join(
-        sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    )
-    with_b = with_a.join(
-        sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-    )
+    with_a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    ).join(F.broadcast(pairs), "id_a")
+    with_b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    ).join(F.broadcast(with_a), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return with_b.select(

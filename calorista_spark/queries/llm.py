@@ -336,8 +336,8 @@ def doc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
-    cand = lsh_candidate_pairs(bands, "doc_id")
-    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3)
+    cand = lsh_candidate_pairs(bands, "doc_id", materialize_bands=True)
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3, materialize_pairs=True)
     return (
         jac.filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -385,8 +385,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
-    cand = lsh_candidate_pairs(bands, "doc_id")
-    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3).filter(
+    cand = lsh_candidate_pairs(bands, "doc_id", materialize_bands=True)
+    jac = ngram_jaccard(
+        cand, docs, "doc_id", "text", n=3, materialize_pairs=True
+    ).filter(
         F.col("jaccard") >= 0.8
     )
     split_of = docs.select(
@@ -502,63 +504,51 @@ ORDER BY id_a, id_b
 
 @query("doc_simhash_neardup", _SIMHASH_NEARDUP_ORACLE)
 def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: SimHash near-dup pairs with an EXACT half-band prefilter.
+    """L2: SimHash near-dup pairs (hamming ≤ 1) via QUERY-EXPANSION
+    banding.
 
-    Pigeonhole: hamming ≤ 1 over 2 sixteen-bit halves ⇒ at least one
-    half is identical, so a hash join on (half_idx, half_val) finds
-    every qualifying pair with no all-pairs comparison — the simhash
-    equivalent of LSH banding.
-
-    r9 scale fix (found by the shuffle-VOLUME record, SCALING_r09):
-    the previous 4×8-bit byte-banding has only 256 bucket values per
-    band, so bucket occupancy — and the candidate-pair count — grows
-    ~quadratically once the corpus exceeds ~256 docs per band
-    (measured record exponent 1.22 at 1×/2×/4× sf0.1). 16-bit halves
-    give 65 536 buckets per band: identical τ=1 guarantee, candidate
-    growth back to ~linear until ~65k docs per bucket, and the
-    documented next rung (τ≥2 or larger corpora) is more/wider bands,
-    not a different algorithm.
+    r10 scale fix (found by the shuffle-VOLUME record at 16×,
+    SCALING_r10; the third rung of this query's banding ladder):
+    half-banding pigeonholes hamming≤1 into 2×16-bit buckets, but any
+    FIXED bucket space saturates — measured by-bucket candidate pairs
+    on vocabulary-remapped scaled corpora grow superlinearly once
+    |docs| approaches the 65 536 bucket values (3.1M/2.5M at 4×,
+    28M at 16×: unrelated dense clusters start colliding). Query
+    expansion removes the bucket space entirely: each doc emits its
+    fingerprint plus all 32 single-bit flips (33 probes), and a pair
+    with hamming≤1 matches EXACTLY ONCE as probe(a) == fingerprint(b)
+    with id_a < id_b — an exact 32-bit equi-join whose left volume is
+    a constant 33 rows/doc (linear at every corpus size) and whose
+    output IS the answer (no over-generated candidates, no distinct).
+    The hamming column is recomputed for the output contract; the
+    filter is a no-op by construction. SHUFFLE_HASH pins the physical
+    strategy so the plan is identical at every scale. The oracle keeps
+    the half-banding formulation — two independent derivations of the
+    same relation.
     """
     docs = read_table(spark, sf_dir, "documents")
     # both join branches read the signatures; checkpoint the tiny
     # (doc_id, simhash) frame so the tokenize+hash pipeline runs once,
     # not once per branch
     sim = stage_checkpoint(simhash_32(docs, "doc_id", "text"))
-    half_structs = F.array(
+    probes = F.array(
+        F.col("simhash"),
         *[
-            F.struct(
-                F.lit(i).alias("half_idx"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(65535))
-                .alias("half_val"),
-            )
-            for i in range(2)
-        ]
+            F.col("simhash").bitwiseXOR(F.lit(1 << b).cast("long"))
+            for b in range(32)
+        ],
     )
-    with_halves = sim.select(
-        "doc_id", "simhash", F.explode(half_structs).alias("hh")
-    ).select("doc_id", "simhash", F.col("hh.half_idx"), F.col("hh.half_val"))
-    a = with_halves.select(
+    a = sim.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sh_a"),
-        "half_idx",
-        F.col("half_val").alias("hv_a"),
+        F.explode(probes).alias("probe"),
     )
-    b = with_halves.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-        "half_idx",
-        F.col("half_val").alias("hv_b"),
+    b = sim.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
     )
-    cand = (
-        a.join(
-            b,
-            (a["half_idx"] == b["half_idx"])
-            & (a["hv_a"] == b["hv_b"])
-            & (a["id_a"] < b["id_b"]),
-        )
-        .select("id_a", "sh_a", "id_b", "sh_b")
-        .distinct()
+    cand = a.join(
+        b.hint("shuffle_hash"),
+        (a["probe"] == b["sh_b"]) & (a["id_a"] < b["id_b"]),
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
@@ -587,8 +577,8 @@ def doc_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
-    cand = lsh_candidate_pairs(bands, "doc_id")
-    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3)
+    cand = lsh_candidate_pairs(bands, "doc_id", materialize_bands=True)
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3, materialize_pairs=True)
     losers = jac.filter(F.col("jaccard") >= 0.8).select(
         F.col("id_b").alias("doc_id")
     )
@@ -658,8 +648,8 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
-    cand = lsh_candidate_pairs(bands, "doc_id")
-    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3)
+    cand = lsh_candidate_pairs(bands, "doc_id", materialize_bands=True)
+    jac = ngram_jaccard(cand, docs, "doc_id", "text", n=3, materialize_pairs=True)
     edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
     comps = connected_components(edges)
     return comps.select(

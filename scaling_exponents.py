@@ -49,26 +49,13 @@ VOL_ALPHA_MAX = 1.1  # exchange RECORD volume must be ~linear (r9, VERDICT r8 #3
 # Queries allowed ABOVE the record-volume gate, each with its measured
 # explanation (the GLOBAL_WINDOW_AUDIT pattern: the exception list can
 # never silently lag the data — an unexplained exceedance still fails).
-# Root causes verified by direct measurement (r9):
-#   1. AQE join-strategy transitions: at 1x the LSH candidate-pair
-#      joins broadcast (their rows never count as shuffle records); at
-#      4x they tip to shuffle joins, so rows that always existed START
-#      being counted — a measurement discontinuity, not growth.
-#   2. Near-dup cluster density is a CORPUS property: the synthetic
-#      sf0.1 documents put ~1/3 of all docs in one simhash bucket
-#      (1639/5000 — constant at every scale because scaled copies are
-#      vocabulary-remapped); by-bucket candidate pairs measure 1.67M /
-#      2.47M / 5.56M at 1x/2x/4x — sublinear-to-linear — while the
-#      fitted record exponent reads 1.2+ purely through effect #1.
-VOL_ALPHA_EXCEPTIONS: dict[str, str] = {
-    "doc_simhash_neardup": "AQE broadcast->shuffle transition at 4x; "
-    "true by-bucket candidate growth is sublinear (1.67M/2.47M/5.56M)",
-    "doc_neardup_components": "same transition in the LSH verify joins "
-    "+ iteration-count step in the CC loop (one extra label-prop round "
-    "at 4x); per-round edge volume is linear in pairs",
-    "split_leakage_audit": "same LSH verify-join transition; verified "
-    "pair count itself scales 1x/2x/4x linearly (banded hash join)",
-}
+# r10: the r9 exceptions (AQE broadcast->shuffle transitions in the
+# LSH verify joins and the simhash bucket self-join — measurement
+# discontinuities, not growth) were CLOSED at the source: the verify
+# joins now broadcast-hint the provably-small pair side and the bucket
+# self-join is pinned to SHUFFLE_HASH, so the physical strategy is
+# identical at every scale (similarity.ngram_jaccard, llm.py simhash).
+VOL_ALPHA_EXCEPTIONS: dict[str, str] = {}
 # generated-input queries: cost does not depend on sf_dir by design
 _SCALE_FREE = {
     "multimodal_image_features",
