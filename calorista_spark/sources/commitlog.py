@@ -57,7 +57,9 @@ optimistic — the same model Delta uses, minus conflict-free retries.
 
 from __future__ import annotations
 
+import datetime
 import json
+import math
 import os
 import shutil
 import uuid
@@ -70,6 +72,214 @@ from calorista_spark.operators.merge import merge_upsert, merge_upsert_cdc
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
+
+
+# -- file statistics (r10: data skipping) -----------------------------------
+#
+# Every committed parquet file gets a manifest stats entry: row count,
+# byte size, and per-column min/max/null_count lifted STRAIGHT FROM THE
+# PARQUET FOOTER (pyarrow metadata — zero extra scan; the writer
+# already paid for these). Reads with simple predicates then prune
+# files whose stat range provably cannot match, BEFORE Spark ever
+# plans the scan — the same manifest-level skipping Delta/Iceberg do,
+# and the reason a point lookup against a 100 TB store opens a handful
+# of files instead of all of them. Pruning is strictly conservative:
+# a column chunk with missing/unserializable stats keeps its file.
+#
+# Serialization: numbers/bools/strings are stored raw; dates and
+# timestamps are stored as {"k": "d"|"t", "v": isoformat} so
+# comparisons stay lexicographic-correct and MIXED kinds (a date
+# predicate against a timestamp column) are treated as incomparable
+# → never pruned (a date-vs-midnight tie would otherwise misprune).
+
+
+def _stat_value(v):
+    """Normalize a stat/predicate value for JSON + ordered compare;
+    None = unsupported type (disables pruning for that comparison)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v if not (isinstance(v, float) and math.isnan(v)) else None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return {"k": "t", "v": v.isoformat(timespec="microseconds")}
+    if isinstance(v, datetime.date):
+        return {"k": "d", "v": v.isoformat()}
+    return None
+
+
+def _stat_cmp(a, b) -> int | None:
+    """Ordered compare of two normalized stat values; None = the pair
+    is incomparable (different kinds) and must not prune."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, dict) or isinstance(b, dict):
+        if (
+            isinstance(a, dict)
+            and isinstance(b, dict)
+            and a.get("k") == b.get("k")
+        ):
+            return (a["v"] > b["v"]) - (a["v"] < b["v"])
+        return None
+    num_a = isinstance(a, (int, float))
+    num_b = isinstance(b, (int, float))
+    if num_a != num_b:
+        return None
+    return (a > b) - (a < b)
+
+
+def _parquet_file_stats(abs_path: str) -> dict:
+    """File-level stats from the parquet footer: rows, bytes, and for
+    each column with complete row-group statistics, {min, max, nulls}.
+    A column missing stats in ANY row group is omitted (conservative)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    cols: dict[str, dict] = {}
+    incomplete: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            chunk = group.column(ci)
+            name = chunk.path_in_schema
+            if "." in name or name in incomplete:
+                continue  # nested leaves: skip (top-level atomics only)
+            st = chunk.statistics
+            if st is None or not st.has_min_max:
+                incomplete.add(name)
+                cols.pop(name, None)
+                continue
+            mn, mx = _stat_value(st.min), _stat_value(st.max)
+            if mn is None or mx is None:
+                incomplete.add(name)
+                cols.pop(name, None)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            cur = cols.get(name)
+            if cur is None:
+                cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                if _stat_cmp(mn, cur["min"]) == -1:
+                    cur["min"] = mn
+                if _stat_cmp(mx, cur["max"]) == 1:
+                    cur["max"] = mx
+                cur["nulls"] = (
+                    None
+                    if nulls is None or cur["nulls"] is None
+                    else cur["nulls"] + nulls
+                )
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(abs_path),
+        "cols": cols,
+    }
+
+
+def _file_matches(stats: dict | None, predicates: list[tuple]) -> bool:
+    """True unless the file's stats PROVE no row can satisfy every
+    predicate. Predicates: (col, op, value) with op in
+    ==, <, <=, >, >=, between (value=(lo, hi)), in (value=list)."""
+    if not stats:
+        return True
+    cols = stats.get("cols", {})
+    for col, op, value in predicates:
+        st = cols.get(col)
+        if st is None:
+            continue
+        mn, mx = st["min"], st["max"]
+        if op == "==":
+            v = _stat_value(value)
+            if _stat_cmp(v, mn) == -1 or _stat_cmp(v, mx) == 1:
+                return False
+        elif op in ("<", "<="):
+            v = _stat_value(value)
+            c = _stat_cmp(mn, v)
+            if c == 1 or (op == "<" and c == 0):
+                return False
+        elif op in (">", ">="):
+            v = _stat_value(value)
+            c = _stat_cmp(mx, v)
+            if c == -1 or (op == ">" and c == 0):
+                return False
+        elif op == "between":
+            lo, hi = (_stat_value(value[0]), _stat_value(value[1]))
+            if _stat_cmp(mx, lo) == -1 or _stat_cmp(mn, hi) == 1:
+                return False
+        elif op == "in":
+            vs = [_stat_value(v) for v in value]
+            if vs and all(
+                _stat_cmp(v, mn) == -1 or _stat_cmp(v, mx) == 1 for v in vs
+            ):
+                return False
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+    return True
+
+
+def _predicate_column(col, op, value):
+    """The exact Spark filter a predicate stands for (pruning is a
+    superset of this; applying it keeps read_where semantics exact)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    if op == "==":
+        return c == F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "between":
+        return c.between(F.lit(value[0]), F.lit(value[1]))
+    if op == "in":
+        return c.isin(list(value))
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
+# -- schema evolution (r10) -------------------------------------------------
+
+
+def _union_schema(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Additive schema merge: base columns in order, then incoming's
+    NEW columns appended as nullable. A same-name column with a
+    different type raises — no silent widening/coercion (Delta's
+    mergeSchema contract)."""
+    by_name = {f.name: f for f in base.fields}
+    fields = list(base.fields)
+    for f in incoming.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        elif prev.dataType.simpleString() != f.dataType.simpleString():
+            raise ValueError(
+                f"schema conflict on column {f.name!r}: "
+                f"{prev.dataType.simpleString()} vs "
+                f"{f.dataType.simpleString()}"
+            )
+    return T.StructType(fields)
+
+
+def _align_to(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` to ``schema``'s columns in order, filling columns
+    it lacks with typed nulls (how pre-evolution rows acquire the new
+    columns)."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def _fsync_file(path: str) -> None:
@@ -135,6 +345,62 @@ class CommitLogStore:
             *[os.path.join(self.path, f) for f in m["files"]]
         )
 
+    def files_for(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> list[str]:
+        """The manifest-pruned file list for a snapshot read under
+        ``predicates`` — every file whose footer-lifted stats do NOT
+        prove it can contain no matching row. Strictly a superset of
+        the files that hold matches, so :meth:`read_where` built on it
+        is exact. This is the skipping a point lookup or a date-range
+        scan rides at 100 TB: O(matching files) opened, not O(table).
+
+        Predicates: ``(col, op, value)`` with op in ``== < <= > >=``,
+        ``between`` (value = (lo, hi)), ``in`` (value = list). Values
+        must be non-null python literals; pass ``datetime``/``date``
+        objects for temporal columns (kind-mismatched comparisons are
+        conservatively never pruned)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"commit-log store at {self.path} is empty")
+        m = self.manifest(v)
+        stats = m.get("stats", {})
+        return [
+            f for f in m["files"] if _file_matches(stats.get(f), predicates)
+        ]
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with manifest-level data skipping: plans ONLY
+        :meth:`files_for`'s survivors, then applies the full predicate
+        as a residual filter — bit-identical to filtering a full
+        :meth:`read`, minus the skipped IO. (Parquet row-group pushdown
+        still applies inside each surviving file; this layer removes
+        whole files before Spark ever lists them.)"""
+        from functools import reduce
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"commit-log store at {self.path} is empty")
+        m = self.manifest(v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        files = self.files_for(predicates, version=v)
+        residual = reduce(
+            lambda a, b: a & b,
+            [_predicate_column(c, op, val) for c, op, val in predicates],
+        )
+        if not files:
+            return spark.createDataFrame([], schema).filter(residual)
+        return (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in files])
+            .filter(residual)
+        )
+
     # -- write -------------------------------------------------------------
 
     def commit(
@@ -146,6 +412,8 @@ class CommitLogStore:
         partition_by: str | None = None,
         keys: list[str] | None = None,
         carry_partitions: dict[str, list[str]] | None = None,
+        clustering: dict[str, list[str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a NEW snapshot and atomically publish it.
 
@@ -186,6 +454,12 @@ class CommitLogStore:
             staged = df.withColumn(
                 "__part", F.col(partition_by).cast("string")
             )
+            if sort_by:
+                # task-local sort with __part as the leading key: the
+                # write's required partition ordering is then already
+                # satisfied, so no second (unstable) sort can disturb
+                # the clustering order inside each file
+                staged = staged.sortWithinPartitions("__part", *sort_by)
             staged.write.mode("error").partitionBy("__part").parquet(ddir)
             for sub in sorted(os.listdir(ddir)):
                 if not sub.startswith("__part="):
@@ -203,6 +477,8 @@ class CommitLogStore:
                 )
             new_files = sorted(f for fl in partitions.values() for f in fl)
         else:
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
             df.write.mode("error").parquet(ddir)
             new_files = sorted(
                 os.path.join("data", token, f)
@@ -211,6 +487,15 @@ class CommitLogStore:
             )
         for f in new_files:  # durability of the immutable data files
             _fsync_file(os.path.join(self.path, f))
+        # footer-lifted stats for every NEW file (no extra scan);
+        # carried files reuse their parent-manifest entry below
+        stats = {
+            f: _parquet_file_stats(os.path.join(self.path, f))
+            for f in new_files
+        }
+        prev_manifest = self.manifest(latest) if latest is not None else {}
+        prev_stats = prev_manifest.get("stats", {})
+        prev_clustering = prev_manifest.get("clustering", {})
         files = list(new_files)
         if carry_partitions:
             if partition_by is None:
@@ -222,7 +507,21 @@ class CommitLogStore:
                     )
                 partitions[val] = list(fl)
                 files.extend(fl)
+                for f in fl:
+                    if f in prev_stats:
+                        stats[f] = prev_stats[f]
             files.sort()
+        # clustering metadata: explicit entries for partitions THIS
+        # commit laid out sorted (compact), carried entries for
+        # partitions carried by reference; a rewrite without clustering
+        # drops the partition's entry (its layout guarantee is gone)
+        cluster_map = {
+            v: list(cl) for v, cl in (clustering or {}).items()
+        }
+        if carry_partitions:
+            for val in carry_partitions:
+                if val in prev_clustering and val not in cluster_map:
+                    cluster_map[val] = prev_clustering[val]
         prev_last_batch = self.last_batch_id()
         new_version = (latest or 0) + 1
         manifest = {
@@ -239,10 +538,15 @@ class CommitLogStore:
                 else prev_last_batch
             ),
         }
+        manifest["stats"] = {f: stats[f] for f in sorted(stats)}
         if partition_by is not None:
             manifest["partition_by"] = partition_by
             manifest["partitions"] = {
                 v: partitions[v] for v in sorted(partitions)
+            }
+        if cluster_map:
+            manifest["clustering"] = {
+                v: cluster_map[v] for v in sorted(cluster_map)
             }
         if keys is not None:
             manifest["keys"] = list(keys)
@@ -315,6 +619,7 @@ class CommitLogStore:
         keys: list[str],
         batch_id: int | None = None,
         partition_by: str | None = None,
+        schema_mode: str = "strict",
     ) -> int:
         """Transactional keyed upsert (O-D3 on the commit log): read
         the latest snapshot, merge, publish as a new version with the
@@ -333,6 +638,15 @@ class CommitLogStore:
         partition column must be functionally dependent on ``keys`` —
         a key can never move between partitions, otherwise its old row
         in an untouched partition would survive alongside the new one.
+
+        r10 schema evolution: ``schema_mode="strict"`` (default) keeps
+        the table schema fixed — incoming extra columns are dropped,
+        missing ones raise. ``schema_mode="merge"`` evolves the table:
+        new incoming columns append as NULLABLE, existing rows (and
+        carried-by-reference partitions, whose files keep the old
+        physical schema) read back as null for them; a same-name
+        type conflict raises. Manifest schema becomes the union, so
+        every read — snapshot, pruned, CDF — plans the evolved shape.
         """
         latest = self.latest_version()
         if batch_id is not None:
@@ -355,21 +669,20 @@ class CommitLogStore:
             # snapshot merge; passing partition_by here lays the NEW
             # snapshot out partitioned, so the next merge prunes
             target = self.read(spark, latest)
+            carry = None
+        else:
+            target, carry = self._scope_to_touched_partitions(
+                spark, incoming, pb, m
+            )
+        if schema_mode == "merge":
+            union = _union_schema(target.schema, incoming.schema)
+            merged = merge_upsert(
+                _align_to(target, union), _align_to(incoming, union), keys
+            )
+        else:
             merged = merge_upsert(
                 target, incoming.select(*target.columns), keys
             )
-            return self.commit(
-                merged,
-                op="merge",
-                batch_id=batch_id,
-                expect_version=latest,
-                partition_by=pb,
-                keys=keys,
-            )
-        target, carry = self._scope_to_touched_partitions(
-            spark, incoming, pb, m
-        )
-        merged = merge_upsert(target, incoming.select(*target.columns), keys)
         return self.commit(
             merged,
             op="merge",
@@ -389,12 +702,15 @@ class CommitLogStore:
         seq_col: str | None = None,
         batch_id: int | None = None,
         partition_by: str | None = None,
+        schema_mode: str = "strict",
     ) -> int:
         """CDC apply (upserts + tombstone deletes) as one transactional
         commit; same replay ledger and parent pinning as :meth:`merge`,
         and (r10) the same touched-partition scoping — a CDC row's
         partition value is in the batch whether it upserts or deletes,
-        so pruning is exact under the partition∈key contract."""
+        so pruning is exact under the partition∈key contract.
+        ``schema_mode="merge"`` evolves the table additively, exactly
+        as in :meth:`merge`."""
         latest = self.latest_version()
         if batch_id is not None:
             high = self.last_batch_id()
@@ -420,6 +736,23 @@ class CommitLogStore:
                 target, carry = self._scope_to_touched_partitions(
                     spark, incoming, pb, m
                 )
+        if schema_mode == "merge":
+            union = _union_schema(
+                target.schema, incoming.select(*data_cols).schema
+            )
+            target = _align_to(target, union)
+            incoming = _align_to(
+                incoming,
+                T.StructType(
+                    list(union.fields)
+                    + [
+                        f
+                        for f in incoming.schema.fields
+                        if f.name == op_col or f.name == seq_col
+                    ]
+                ),
+            )
+            data_cols = union.fieldNames()
         merged = merge_upsert_cdc(
             target,
             incoming.select(
@@ -560,12 +893,17 @@ class CommitLogStore:
                 continue
             mp = self.manifest(parent)
             pschema = T.StructType.fromJson(json.loads(mp["schema"]))
-            if [(f.name, f.dataType.simpleString()) for f in pschema.fields] != [
-                (f.name, f.dataType.simpleString()) for f in schema.fields
-            ]:
+            pmap = {f.name: f.dataType.simpleString() for f in pschema.fields}
+            cmap = {f.name: f.dataType.simpleString() for f in schema.fields}
+            # additive evolution is fine: parent files read under the
+            # child schema surface typed nulls for appended columns, so
+            # pre/post row hashes stay comparable. Drops/retypes aren't.
+            if set(pmap) - set(cmap) or any(
+                pmap[n] != cmap[n] for n in pmap
+            ):
                 raise ValueError(
-                    f"schema changed at v{v}; CDF across schema changes "
-                    "is not supported"
+                    f"schema changed non-additively at v{v}; CDF only "
+                    "supports appended nullable columns"
                 )
             ks = keys if keys is not None else m.get("keys")
             if ks is None:
@@ -626,6 +964,118 @@ class CommitLogStore:
         return out
 
     # -- maintenance ---------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        cluster_by: list[str] | None = None,
+        partitions: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE (r10): bin-pack each partition's files toward
+        ``target_file_bytes`` and, with ``cluster_by``, lay rows out
+        range-partitioned + sorted on those columns so the footer
+        min/max stats become tight disjoint ranges — the combination
+        that makes :meth:`files_for` pruning bite on non-partition
+        predicates. Data is bit-identical before/after: the commit is
+        ``op="compact"`` metadata-only from a reader's point of view,
+        time travel still reaches the pre-compact layout, and
+        :meth:`read_changes` across it yields ZERO rows (the row-hash
+        suppression sees every row rewritten unchanged). Untouched
+        partitions carry by reference; vacuum later reclaims the
+        superseded small files. This is the standing answer to
+        streaming ingest's small-files problem at 100 TB: merge often,
+        compact on a schedule, never block readers.
+
+        A partition is skipped when it already meets the bin target
+        AND (if ``cluster_by``) its manifest clustering entry matches —
+        so a scheduled ``compact()`` is idempotent: re-running returns
+        the latest version without writing a commit.
+        """
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"commit-log store at {self.path} is empty")
+        m = self.manifest(latest)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        stats = m.get("stats", {})
+        clustering = m.get("clustering", {})
+
+        def nbytes(f: str) -> int:
+            st = stats.get(f)
+            if st is not None:
+                return st["bytes"]
+            return os.path.getsize(os.path.join(self.path, f))
+
+        def n_out(files: list[str]) -> int:
+            return max(
+                1, math.ceil(sum(nbytes(f) for f in files) / target_file_bytes)
+            )
+
+        pb = m.get("partition_by")
+        if pb is None or "partitions" not in m:
+            fl = m["files"]
+            want = n_out(fl)
+            if len(fl) <= want and (
+                cluster_by is None or clustering.get("") == cluster_by
+            ):
+                return latest
+            df = self._read_files(spark, fl, schema)
+            if cluster_by:
+                df = df.repartitionByRange(
+                    want, *[F.col(c) for c in cluster_by]
+                )
+            else:
+                df = df.coalesce(want)
+            return self.commit(
+                df,
+                op="compact",
+                expect_version=latest,
+                keys=m.get("keys"),
+                clustering={"": cluster_by} if cluster_by else None,
+                sort_by=cluster_by,
+            )
+        parts: dict[str, list[str]] = m["partitions"]
+        todo: dict[str, int] = {}
+        for val, fl in parts.items():
+            if partitions is not None and val not in partitions:
+                continue
+            want = n_out(fl)
+            if len(fl) <= want and (
+                cluster_by is None or clustering.get(val) == cluster_by
+            ):
+                continue
+            todo[val] = want
+        if not todo:
+            return latest
+        touched_files = [f for val in todo for f in parts[val]]
+        carry = {val: fl for val, fl in parts.items() if val not in todo}
+        df = self._read_files(spark, touched_files, schema)
+        total = sum(todo.values())
+        secondary = cluster_by or m.get("keys") or []
+        if secondary:
+            # range layout on (partition, secondary): splits a partition
+            # across files only when its bin target demands it, and
+            # with cluster_by the per-file value ranges come out
+            # disjoint → tight skippable stats
+            df = df.repartitionByRange(
+                total, F.col(pb), *[F.col(c) for c in secondary]
+            )
+        else:
+            df = df.repartition(total, F.col(pb))
+        return self.commit(
+            df,
+            op="compact",
+            expect_version=latest,
+            partition_by=pb,
+            keys=m.get("keys"),
+            carry_partitions=carry,
+            clustering=(
+                {val: cluster_by for val in todo} if cluster_by else None
+            ),
+            sort_by=cluster_by,
+        )
 
     def vacuum(
         self,
@@ -755,11 +1205,14 @@ def _changes_between_py(
         def load(files: list[str]) -> list[dict]:
             rows: list[dict] = []
             for f in sorted(files):
-                rows.extend(
-                    pq.read_table(
-                        os.path.join(store.path, f), columns=cols
-                    ).to_pylist()
-                )
+                t = pq.read_table(os.path.join(store.path, f))
+                have = set(t.column_names)
+                # pre-evolution files lack appended columns → nulls,
+                # mirroring the Spark face's schema-on-read
+                for r in t.select(
+                    [c for c in cols if c in have]
+                ).to_pylist():
+                    rows.append({c: r.get(c) for c in cols})
             return rows
 
         if parent is None:

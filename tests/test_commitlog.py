@@ -402,3 +402,228 @@ def test_streaming_cdc_restart_exactly_once(spark, tmp_path):
     applied = [store.manifest(v)["batch_id"] for v in store.versions()]
     assert applied == [0, 1, 2]
     assert store.last_batch_id() == 2
+
+
+# -- r10: data skipping / compact / schema evolution --------------------------
+
+
+def test_files_for_prunes_by_footer_stats(spark, tmp_path):
+    """r10 data skipping: footer-lifted min/max stats in the manifest
+    prune files a predicate provably can't match; read_where stays
+    bit-identical to read().filter()."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    df = (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.format_string("%03d", "id")).alias("v"),
+        )
+        .repartitionByRange(5, "k")
+    )
+    store.commit(df, expect_version=None)
+    m = store.manifest(1)
+    assert len(m["files"]) == 5
+    # every file carries rows/bytes/col stats
+    for f in m["files"]:
+        st = m["stats"][f]
+        assert st["rows"] > 0 and st["bytes"] > 0
+        assert set(st["cols"]) == {"k", "v"}
+        assert st["cols"]["k"]["nulls"] == 0
+    # point lookup: one file; open range: one file; between: a middle slice
+    assert len(store.files_for([("k", "==", 7)])) == 1
+    assert len(store.files_for([("k", ">", 97)])) == 1
+    assert len(store.files_for([("k", "<=", 0)])) == 1
+    assert 1 <= len(store.files_for([("k", "between", (38, 42))])) <= 2
+    assert len(store.files_for([("k", "in", [3, 96])])) == 2
+    # string stats prune too (zero-padded so lexicographic == numeric)
+    assert len(store.files_for([("v", "==", "v007")])) == 1
+    # conjunction: contradictory ranges prune everything
+    assert store.files_for([("k", ">", 90), ("k", "<", 5)]) == []
+    # unknown-stats column: conservative, keeps all files
+    assert len(store.files_for([("nope", "==", 1)])) == 5
+    # read_where == read().filter() exactly, including the empty case
+    for preds in (
+        [("k", "between", (17, 63))],
+        [("k", "==", 7), ("v", ">=", "v007")],
+        [("k", ">", 1000)],
+    ):
+        from calorista_spark.sources.commitlog import _predicate_column
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a & b, [_predicate_column(*p) for p in preds]
+        )
+        got = {(r.k, r.v) for r in store.read_where(spark, preds).collect()}
+        want = {(r.k, r.v) for r in store.read(spark).filter(cond).collect()}
+        assert got == want
+
+
+def test_stats_temporal_kinds_never_cross_prune(spark, tmp_path):
+    """Dates and timestamps carry a kind tag: a predicate of the WRONG
+    temporal kind is incomparable and must not prune (a date-vs-midnight
+    tie would otherwise misprune); the right kind prunes exactly."""
+    import datetime as dt
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1) + dt.timedelta(days=i), i) for i in range(40)],
+        "d date, k long",
+    ).repartitionByRange(4, "d")
+    store.commit(df, expect_version=None)
+    assert len(store.manifest(1)["files"]) == 4
+    # date predicate on a date column: prunes to one file
+    hits = store.files_for([("d", "==", dt.date(2024, 1, 5))])
+    assert len(hits) == 1
+    # datetime predicate on a date column: incomparable → keeps all
+    assert (
+        len(store.files_for([("d", "==", dt.datetime(2024, 1, 5))])) == 4
+    )
+    # out-of-range date: pruned to nothing
+    assert store.files_for([("d", ">", dt.date(2030, 1, 1))]) == []
+
+
+def test_compact_binpacks_and_is_invisible_to_readers(spark, tmp_path):
+    """r10 OPTIMIZE: compact bin-packs each partition's small files,
+    readers see bit-identical data, the CDF across the compact commit
+    is EMPTY (row-hash suppression), time travel still reaches the
+    pre-compact layout, re-running is a no-op, and vacuum reclaims the
+    superseded files."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = _pdf(
+        spark,
+        [(f"d{i}", k, f"{i}:{k}") for i in range(3) for k in range(20)],
+    ).repartition(8)
+    store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    m1 = store.manifest(1)
+    assert all(len(fl) > 1 for fl in m1["partitions"].values())
+    before = {(r.d, r.k, r.v) for r in store.read(spark).collect()}
+
+    v2 = store.compact(spark)
+    m2 = store.manifest(v2)
+    assert m2["op"] == "compact"
+    assert all(len(fl) == 1 for fl in m2["partitions"].values())
+    assert {(r.d, r.k, r.v) for r in store.read(spark).collect()} == before
+    # metadata-only from a reader's POV: zero CDF rows across it
+    assert store.read_changes(spark, 1, v2).count() == 0
+    # time travel reaches the pre-compact layout
+    assert store.manifest(1)["files"] == m1["files"]
+    assert {(r.d, r.k, r.v) for r in store.read(spark, version=1).collect()} == before
+    # idempotent: a second scheduled compact writes NO commit
+    assert store.compact(spark) == v2
+    # vacuum reclaims the superseded small files once history expires
+    store.vacuum(keep_versions=1, retention_seconds=0)
+    assert store.versions() == [v2]
+    assert {(r.d, r.k, r.v) for r in store.read(spark).collect()} == before
+
+
+def test_compact_cluster_by_makes_stats_prunable(spark, tmp_path):
+    """cluster_by lays rows out range-partitioned + sorted, so file
+    min/max become tight disjoint ranges and files_for prunes on a
+    NON-partition column; the clustering entry makes re-runs no-ops
+    and a later unclustered rewrite drops the guarantee."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    # k deliberately shuffled across input partitions: pre-compact every
+    # file spans nearly the full k range, so nothing prunes
+    df = (
+        spark.range(0, 400)
+        .select(
+            ((F.col("id") * 37) % 400).alias("k"),
+            F.lit("d0").alias("d"),
+        )
+        .repartition(6)
+    )
+    store.commit(df, expect_version=None, partition_by="d", keys=["k"])
+    assert len(store.files_for([("k", "==", 7)])) > 1
+    v2 = store.compact(
+        spark, target_file_bytes=1, cluster_by=["k"]
+    )  # 1-byte target: one output file per input file's worth → several files
+    m2 = store.manifest(v2)
+    assert m2["clustering"] == {"d0": ["k"]}
+    assert len(m2["partitions"]["d0"]) > 1
+    # disjoint sorted ranges: a point lookup now opens exactly one file
+    assert len(store.files_for([("k", "==", 7)])) == 1
+    # data unchanged
+    assert store.read(spark).count() == 400
+    assert store.read_changes(spark, 1, v2).count() == 0
+    # idempotent with the same clustering
+    assert store.compact(spark, target_file_bytes=1, cluster_by=["k"]) == v2
+    # a merge into the partition rewrites it unclustered → entry drops
+    v3 = store.merge(
+        spark,
+        spark.createDataFrame([(999, "d0")], "k long, d string"),
+        ["k"],
+    )
+    assert "d0" not in store.manifest(v3).get("clustering", {})
+
+
+def test_merge_schema_evolution_additive(spark, tmp_path):
+    """r10 schema evolution: schema_mode='merge' appends new nullable
+    columns; pre-evolution rows AND carried-by-reference partitions
+    (old physical files) read back as null; strict mode keeps dropping
+    extras; a same-name type conflict raises."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = _pdf(
+        spark, [(f"d{i}", k, f"{i}:{k}") for i in range(3) for k in range(2)]
+    )
+    store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    batch = spark.createDataFrame(
+        [("d1", 0, "UPD", 3.5), ("d1", 9, "NEW", 1.25)],
+        "d string, k long, v string, score double",
+    )
+    # strict (default): extra column silently dropped
+    v2 = store.merge(spark, batch, ["d", "k"])
+    assert store.read(spark).columns == ["d", "k", "v"]
+    # merge mode: schema evolves, untouched partitions carried by reference
+    v3 = store.merge(spark, batch, ["d", "k"], schema_mode="merge")
+    m3 = store.manifest(v3)
+    assert store.read(spark).columns == ["d", "k", "v", "score"]
+    m2 = store.manifest(v2)
+    for d in ("d0", "d2"):
+        assert m3["partitions"][d] == m2["partitions"][d]
+    got = {(r.d, r.k, r.v, r.score) for r in store.read(spark).collect()}
+    assert ("d1", 0, "UPD", 3.5) in got and ("d1", 9, "NEW", 1.25) in got
+    # every pre-evolution row surfaces a typed null
+    assert {t[3] for t in got if t[0] != "d1"} == {None}
+    # pruned reads plan the evolved schema too
+    ev = store.read_where(spark, [("d", "==", "d0")])
+    assert ev.columns == ["d", "k", "v", "score"]
+    assert {r.score for r in ev.collect()} == {None}
+    # type conflict: no silent widening
+    bad = spark.createDataFrame([("d1", 1, 7)], "d string, k long, v long")
+    with pytest.raises(ValueError, match="schema conflict"):
+        store.merge(spark, bad, ["d", "k"], schema_mode="merge")
+    # CDF across the evolution commit stays exact (additive is allowed)
+    cdf = store.read_changes(spark, v2, v3)
+    rows = {(r.d, r.k, r.v, r.score, r._change_type) for r in cdf.collect()}
+    assert rows == {
+        ("d1", 0, "UPD", None, "update_preimage"),
+        ("d1", 0, "UPD", 3.5, "update_postimage"),
+        ("d1", 9, "NEW", None, "update_preimage"),
+        ("d1", 9, "NEW", 1.25, "update_postimage"),
+    }
+
+
+def test_merge_cdc_schema_evolution(spark, tmp_path):
+    """merge_cdc evolves additively the same way, with op/seq columns
+    excluded from the table schema."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = _pdf(
+        spark, [(f"d{i}", k, f"{i}:{k}") for i in range(2) for k in range(2)]
+    )
+    store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    cdc = spark.createDataFrame(
+        [
+            ("d1", 0, None, None, "delete"),
+            ("d1", 5, "new", 9.0, "upsert"),
+        ],
+        "d string, k long, v string, score double, op string",
+    )
+    store.merge_cdc(spark, cdc, ["d", "k"], schema_mode="merge")
+    out = store.read(spark)
+    assert out.columns == ["d", "k", "v", "score"]
+    got = {(r.d, r.k, r.v, r.score) for r in out.collect()}
+    assert ("d1", 5, "new", 9.0) in got
+    assert ("d1", 0, "1:0", None) not in {t[:3] + (t[3],) for t in got}
+    assert len(got) == 4  # 4 base - 1 delete + 1 insert
+    # carried partition rows read null for the appended column
+    assert {t[3] for t in got if t[0] == "d0"} == {None}
