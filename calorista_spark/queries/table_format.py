@@ -193,3 +193,147 @@ def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_changes(spark, v1, v2).orderBy(
         "event_date", "user_id", "event_type", "_change_type"
     )
+
+
+_SKIPPING_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       TRUE AS pruned_exact
+FROM base
+WHERE event_date BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("store_skipping_scan", _SKIPPING_ORACLE)
+def store_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping + compaction proof (r10): commit the 30-date
+    snapshot (many small files per date — one per write task), OPTIMIZE
+    it with ``compact(cluster_by=["user_id"])``, then ``read_where`` a
+    5-date range. The in-query guards pin the table-format invariants
+    the SQL oracle can't see, and raise (→ driver red) if violated:
+
+    - compaction is invisible to readers: the CDF across the compact
+      commit has ZERO rows (every row rewritten byte-identical);
+    - ``files_for`` under the date-range predicate returns EXACTLY the
+      union of the in-range partitions' files — footer min/max stats
+      prune every out-of-range file and keep every in-range one, so
+      the scan opens O(matching files), the property a point lookup
+      rides at 100 TB.
+
+    The returned aggregate is computed from ``read_where``'s pruned
+    plan, so value parity with the oracle proves pruning lost no rows
+    (skipping is conservative, never lossy)."""
+    import datetime as _dt
+
+    store, v1, v2 = _build_store(spark, sf_dir, "skipscan")
+    v3 = store.compact(spark, cluster_by=["user_id"])
+    if v3 != v2 and store.read_changes(spark, v2, v3).count() != 0:
+        raise RuntimeError("compact changed reader-visible data")
+    lo, hi = _dt.date(2024, 1, 8), _dt.date(2024, 1, 12)
+    preds = [("event_date", "between", (lo, hi))]
+    opened = sorted(store.files_for(preds))
+    m = store.manifest(store.latest_version())
+    expected = sorted(
+        f
+        for d, fl in m.get("partitions", {}).items()
+        if "2024-01-08" <= d <= "2024-01-12"
+        for f in fl
+    )
+    if opened != expected:
+        raise RuntimeError(
+            f"stats pruning opened {len(opened)} files, "
+            f"expected exactly the {len(expected)} in-range ones"
+        )
+    return (
+        store.read_where(spark, preds)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .withColumn("pruned_exact", F.lit(True))
+        .orderBy("event_type")
+    )
+
+
+_EVOLUTION_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_date, user_id, event_type,
+         CASE WHEN event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+                   AND event_type <> 'view'
+              THEN n * 2 ELSE n END AS n,
+         CASE WHEN event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+              THEN 'r10' END AS batch_tag
+  FROM base
+  UNION ALL
+  SELECT event_date, user_id + 100000, 'backfill', 1, 'r10'
+  FROM base
+  WHERE event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+    AND event_type = 'click'
+)
+SELECT event_date,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       COALESCE(MAX(batch_tag), 'pre-evolution') AS tag
+FROM merged
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
+@query("store_schema_evolution", _EVOLUTION_ORACLE)
+def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution proof (r10): the merge batch carries a
+    NEW column ``batch_tag``; ``schema_mode="merge"`` appends it as
+    nullable, so post-merge the table schema is the union, rows the
+    batch upserted carry the tag, and every pre-evolution row —
+    including the 28 untouched partitions carried BY REFERENCE, whose
+    physical files still have the old schema — reads back as a typed
+    null. The oracle recomputes the same union from the events table,
+    so value parity proves schema-on-read filled the nulls exactly
+    (and the carried old-schema files stayed readable)."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    tag = hashlib.md5(f"evolve:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"calorista_evolve_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = CommitLogStore(path)
+    base = _day_counts(spark, sf_dir)
+    store.commit(
+        base,
+        op="overwrite",
+        expect_version=None,
+        partition_by="event_date",
+        keys=_KEYS,
+    )
+    batch = _merge_batch(base).withColumn("batch_tag", F.lit("r10"))
+    store.merge(spark, batch, _KEYS, schema_mode="merge")
+    out = store.read(spark)
+    if out.columns != ["event_date", "user_id", "event_type", "n_events", "batch_tag"]:
+        raise RuntimeError(f"evolved schema wrong: {out.columns}")
+    return (
+        out.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.coalesce(F.max("batch_tag"), F.lit("pre-evolution")).alias(
+                "tag"
+            ),
+        )
+        .orderBy("event_date")
+    )
