@@ -337,3 +337,78 @@ def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+_DV_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       TRUE AS zero_rewrite
+FROM base
+WHERE user_id <> 7
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("store_delete_vectors", _DV_ORACLE)
+def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector proof (r10): erase ONE user from the 30-date
+    store — the GDPR case — via ``delete_where``, which masks row
+    positions in sidecar deletion vectors instead of rewriting files.
+    In-query guards raise (→ driver red) unless the table-format
+    invariants hold:
+
+    - the delete commit lists the IDENTICAL data files as its parent
+      (merge-on-read: zero rewrites, O(deleted rows) cost);
+    - the change feed across the delete contains exactly one
+      ``delete`` row per erased base row and nothing else.
+
+    The returned aggregate reads the post-delete snapshot through the
+    DV-masking plan, so oracle parity proves the masked rows — and
+    ONLY those — vanished from every downstream computation."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    tag = hashlib.md5(f"dv:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"calorista_dv_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = CommitLogStore(path)
+    base = _day_counts(spark, sf_dir)
+    v1 = store.commit(
+        base,
+        op="overwrite",
+        expect_version=None,
+        partition_by="event_date",
+        keys=_KEYS,
+    )
+    v2 = store.delete_where(spark, [("user_id", "==", 7)])
+    if v2 != v1:
+        m1, m2 = store.manifest(v1), store.manifest(v2)
+        if m2["files"] != m1["files"]:
+            raise RuntimeError("delete_where rewrote data files")
+        feed = store.read_changes(spark, v1, v2)
+        n_del = feed.filter(F.col("_change_type") == "delete").count()
+        if feed.count() != n_del:
+            raise RuntimeError("delete CDF carries non-delete rows")
+        expected = store.read(spark, v1).filter(F.col("user_id") == 7).count()
+        if n_del != expected:
+            raise RuntimeError(
+                f"CDF shows {n_del} deletes, expected {expected}"
+            )
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .withColumn("zero_rewrite", F.lit(True))
+        .orderBy("event_type")
+    )

@@ -46,6 +46,15 @@ every table format (Delta, Iceberg, Hudi) converges on:
   cheap (it reads the touched partitions only). A streaming face
   (:class:`CommitLogChangesDataSource`) replays the feed as a
   Structured Streaming source with version-based exactly-once offsets.
+- **Deletion vectors (r10).** :meth:`delete_where` is merge-on-read
+  row deletion: instead of rewriting every file that holds a matching
+  row, the commit records each touched file's deleted ROW POSITIONS
+  in a sidecar bitmap and the manifest maps file → DV; every read
+  path (snapshot, pruned, merge target, CDF, compaction input)
+  anti-filters those positions via ``_metadata.row_index``. A sparse
+  delete — the GDPR erasure case — costs O(deleted rows), not
+  O(touched files), exactly Delta's DV / Iceberg v2 position-delete
+  design; :meth:`compact` purges DVs back into clean files.
 
 Scale notes: the manifest lists files, so a snapshot read plans from
 the manifest (no directory listing); history depth costs one tiny
@@ -290,6 +299,34 @@ def _fsync_file(path: str) -> None:
         os.close(fd)
 
 
+# -- deletion vectors (r10) ---------------------------------------------------
+#
+# A DV is the sorted set of deleted row positions (parquet physical
+# row index, 0-based — exactly what Spark's ``_metadata.row_index``
+# exposes) for ONE immutable data file. Stored as a little-endian
+# uint64 sidecar with a magic header; sorted delta-friendly and
+# trivially mmap-able. Production engines use roaring bitmaps here —
+# same contract, denser encoding; the format is versioned (``CLDV1``)
+# so that swap stays local to these two functions.
+
+_DV_MAGIC = b"CLDV1\x00"
+
+
+def _encode_dv(positions) -> bytes:
+    import numpy as np
+
+    arr = np.unique(np.asarray(sorted(positions), dtype=np.uint64))
+    return _DV_MAGIC + arr.astype("<u8").tobytes()
+
+
+def _decode_dv(blob: bytes):
+    import numpy as np
+
+    if not blob.startswith(_DV_MAGIC):
+        raise ValueError("not a CLDV1 deletion vector")
+    return np.frombuffer(blob[len(_DV_MAGIC) :], dtype="<u8")
+
+
 class CommitLogStore:
     """A parquet table with an atomic commit log (see module doc)."""
 
@@ -339,11 +376,7 @@ class CommitLogStore:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
         m = self.manifest(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f) for f in m["files"]]
-        )
+        return self._read_files(spark, m["files"], schema, dv=m.get("dv"))
 
     def files_for(
         self, predicates: list[tuple], version: int | None = None
@@ -393,13 +426,9 @@ class CommitLogStore:
             lambda a, b: a & b,
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
-        if not files:
-            return spark.createDataFrame([], schema).filter(residual)
-        return (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, f) for f in files])
-            .filter(residual)
-        )
+        return self._read_files(
+            spark, files, schema, dv=m.get("dv")
+        ).filter(residual)
 
     # -- write -------------------------------------------------------------
 
@@ -496,7 +525,9 @@ class CommitLogStore:
         prev_manifest = self.manifest(latest) if latest is not None else {}
         prev_stats = prev_manifest.get("stats", {})
         prev_clustering = prev_manifest.get("clustering", {})
+        prev_dv = prev_manifest.get("dv", {})
         files = list(new_files)
+        dv_map: dict[str, str] = {}
         if carry_partitions:
             if partition_by is None:
                 raise ValueError("carry_partitions requires partition_by")
@@ -510,6 +541,11 @@ class CommitLogStore:
                 for f in fl:
                     if f in prev_stats:
                         stats[f] = prev_stats[f]
+                    # carried files keep their deletion vectors: the
+                    # carry is by reference, so their masked rows must
+                    # stay masked in the new snapshot too
+                    if f in prev_dv:
+                        dv_map[f] = prev_dv[f]
             files.sort()
         # clustering metadata: explicit entries for partitions THIS
         # commit laid out sorted (compact), carried entries for
@@ -539,6 +575,8 @@ class CommitLogStore:
             ),
         }
         manifest["stats"] = {f: stats[f] for f in sorted(stats)}
+        if dv_map:
+            manifest["dv"] = {f: dv_map[f] for f in sorted(dv_map)}
         if partition_by is not None:
             manifest["partition_by"] = partition_by
             manifest["partitions"] = {
@@ -550,6 +588,12 @@ class CommitLogStore:
             }
         if keys is not None:
             manifest["keys"] = list(keys)
+        return self._publish(manifest, token)
+
+    def _publish(self, manifest: dict, token: str) -> int:
+        """Atomically publish a fully-built manifest (fsync'd temp +
+        link(2); EEXIST = lost the optimistic-concurrency race)."""
+        new_version = manifest["version"]
         tmp = os.path.join(self.commits_dir, f".tmp-{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -604,12 +648,11 @@ class CommitLogStore:
             f for v, fl in prev_parts.items() if v in touched for f in fl
         ]
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        if touched_files:
-            target = spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f) for f in touched_files]
-            )
-        else:
-            target = spark.createDataFrame([], schema)
+        # DV-aware: a touched file's deleted rows must not resurrect
+        # through the merge's rewrite of that partition
+        target = self._read_files(
+            spark, touched_files, schema, dv=manifest.get("dv")
+        )
         return target, carry
 
     def merge(
@@ -826,16 +869,174 @@ class CommitLogStore:
             carry_partitions=carry,
         )
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        batch_id: int | None = None,
+    ) -> int:
+        """Merge-on-read row deletion (r10): delete every row matching
+        ``predicates`` (same grammar as :meth:`files_for`) WITHOUT
+        rewriting any data file. The commit publishes the SAME file
+        list with updated deletion vectors; every read path masks the
+        positions from then on, and :meth:`compact` later purges them
+        into clean files.
+
+        Cost model (why this is the 100 TB erasure path): planning
+        prunes to the stat-matching files, the scan reads only those,
+        and the only driver-side materialization is the (file,
+        position) list of the rows being deleted — O(deleted rows),
+        the same boundedness contract as Delta's DV writer. A delete
+        that matches a large fraction of the table should be an
+        :meth:`overwrite_partitions` / :meth:`merge` rewrite instead;
+        this path is for sparse deletes.
+
+        Returns the new version; if nothing matched, returns the
+        current version and writes NO commit."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"commit-log store at {self.path} is empty")
+        if batch_id is not None:
+            high = self.last_batch_id()
+            if high is not None and batch_id <= high:
+                return latest
+        m = self.manifest(latest)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        cand = self.files_for(predicates, version=latest)
+        if not cand:
+            return latest
+        from functools import reduce
+
+        residual = reduce(
+            lambda a, b: a & b,
+            [_predicate_column(c, op, val) for c, op, val in predicates],
+        )
+        root = os.path.abspath(self.path)
+        hits = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in cand])
+            .filter(residual)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            .collect()  # bounded: one tuple per DELETED row
+        )
+        if not hits:
+            return latest
+        by_file: dict[str, list[int]] = {}
+        for r in hits:
+            # r["__path"], not r.__path: attribute access would trigger
+            # Python's class-private name mangling inside this method
+            rel = os.path.relpath(r["__path"], root)
+            by_file.setdefault(rel, []).append(r["__pos"])
+        prev_dv = dict(m.get("dv", {}))
+        token = uuid.uuid4().hex
+        ddir = os.path.join(self.data_dir, token)
+        os.makedirs(ddir)
+        new_dv = dict(prev_dv)
+        for i, (rel, positions) in enumerate(sorted(by_file.items())):
+            if rel not in set(m["files"]):
+                raise RuntimeError(f"delete hit untracked file {rel}")
+            merged = set(positions)
+            if rel in prev_dv:  # union with the file's existing DV
+                with open(os.path.join(self.path, prev_dv[rel]), "rb") as fh:
+                    merged.update(int(p) for p in _decode_dv(fh.read()))
+            dv_rel = os.path.join("data", token, f"dv-{i:05d}.bin")
+            with open(os.path.join(self.path, dv_rel), "wb") as fh:
+                fh.write(_encode_dv(merged))
+            _fsync_file(os.path.join(self.path, dv_rel))
+            new_dv[rel] = dv_rel
+        prev_last_batch = self.last_batch_id()
+        manifest = {
+            "version": latest + 1,
+            "parent": latest,
+            "op": "delete",
+            "files": m["files"],
+            "schema": m["schema"],
+            "batch_id": batch_id,
+            "last_batch_id": (
+                batch_id
+                if batch_id is not None
+                and (prev_last_batch is None or batch_id > prev_last_batch)
+                else prev_last_batch
+            ),
+            "stats": m.get("stats", {}),
+            "dv": {f: new_dv[f] for f in sorted(new_dv)},
+        }
+        for k in ("partition_by", "partitions", "clustering", "keys"):
+            if k in m:
+                manifest[k] = m[k]
+        return self._publish(manifest, token)
+
     # -- change data feed (r10) ----------------------------------------------
 
     def _read_files(
-        self, spark: SparkSession, files: list[str], schema: T.StructType
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        dv: dict[str, str] | None = None,
     ) -> DataFrame:
+        """Plan a read of ``files``; files with a deletion vector in
+        ``dv`` get their deleted positions anti-joined out via
+        ``_metadata.row_index`` (broadcast — a DV read plan carries the
+        sparse delete set, not the table). DV-free files keep the plain
+        fast path: no metadata column, no join."""
+        from pyspark.sql import functions as F
+
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        cols = schema.fieldNames()
+        dv = {f: p for f, p in (dv or {}).items() if f in set(files)}
+        plain = [f for f in files if f not in dv]
+        frames: list[DataFrame] = []
+        if plain:
+            frames.append(
+                spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in plain]
+                )
+            )
+        if dv:
+            deleted = []
+            root = os.path.abspath(self.path)
+            for f, dvp in dv.items():
+                with open(os.path.join(self.path, dvp), "rb") as fh:
+                    blob = fh.read()
+                apath = os.path.join(root, f)
+                deleted.extend(
+                    (apath, int(p)) for p in _decode_dv(blob)
+                )
+            dvdf = spark.createDataFrame(
+                deleted, "__dv_path string, __dv_pos long"
+            )
+            live = (
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(self.path, f) for f in dv])
+                .withColumn(
+                    "__path",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                )
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dvdf),
+                    (F.col("__path") == F.col("__dv_path"))
+                    & (F.col("__pos") == F.col("__dv_pos")),
+                    "left_anti",
+                )
+                .select(*cols)
+            )
+            frames.append(live)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     def read_changes(
         self,
@@ -884,7 +1085,9 @@ class CommitLogStore:
             ]
             if parent is None:
                 frames.append(
-                    self._read_files(spark, m["files"], schema).select(
+                    self._read_files(
+                        spark, m["files"], schema, dv=m.get("dv")
+                    ).select(
                         *data_cols,
                         F.lit("insert").alias("_change_type"),
                         *tag,
@@ -911,10 +1114,21 @@ class CommitLogStore:
                     f"v{v} records no merge keys; pass keys= to classify "
                     "overwrite commits"
                 )
-            pre_files = sorted(set(mp["files"]) - set(m["files"]))
-            post_files = sorted(set(m["files"]) - set(mp["files"]))
-            pre = with_row_hash(self._read_files(spark, pre_files, schema))
-            post = with_row_hash(self._read_files(spark, post_files, schema))
+            # file identity includes its deletion vector: a file whose
+            # DV changed reads as pre (parent's mask) AND post (child's
+            # mask); the row-hash join then surfaces exactly the newly
+            # masked rows as deletes and suppresses the unchanged rest
+            pdv, cdv = mp.get("dv", {}), m.get("dv", {})
+            pid = {(f, pdv.get(f)) for f in mp["files"]}
+            cid = {(f, cdv.get(f)) for f in m["files"]}
+            pre_files = sorted(f for f, _ in pid - cid)
+            post_files = sorted(f for f, _ in cid - pid)
+            pre = with_row_hash(
+                self._read_files(spark, pre_files, schema, dv=pdv)
+            )
+            post = with_row_hash(
+                self._read_files(spark, post_files, schema, dv=cdv)
+            )
             p = pre.select(
                 *[F.col(c).alias(f"__p_{c}") for c in data_cols],
                 F.col("row_hash").alias("__p_hash"),
@@ -1013,15 +1227,18 @@ class CommitLogStore:
                 1, math.ceil(sum(nbytes(f) for f in files) / target_file_bytes)
             )
 
+        dv = m.get("dv", {})
         pb = m.get("partition_by")
         if pb is None or "partitions" not in m:
             fl = m["files"]
             want = n_out(fl)
-            if len(fl) <= want and (
-                cluster_by is None or clustering.get("") == cluster_by
+            if (
+                len(fl) <= want
+                and not any(f in dv for f in fl)  # DV purge forces rewrite
+                and (cluster_by is None or clustering.get("") == cluster_by)
             ):
                 return latest
-            df = self._read_files(spark, fl, schema)
+            df = self._read_files(spark, fl, schema, dv=dv)
             if cluster_by:
                 df = df.repartitionByRange(
                     want, *[F.col(c) for c in cluster_by]
@@ -1042,8 +1259,10 @@ class CommitLogStore:
             if partitions is not None and val not in partitions:
                 continue
             want = n_out(fl)
-            if len(fl) <= want and (
-                cluster_by is None or clustering.get(val) == cluster_by
+            if (
+                len(fl) <= want
+                and not any(f in dv for f in fl)  # DV purge forces rewrite
+                and (cluster_by is None or clustering.get(val) == cluster_by)
             ):
                 continue
             todo[val] = want
@@ -1051,7 +1270,7 @@ class CommitLogStore:
             return latest
         touched_files = [f for val in todo for f in parts[val]]
         carry = {val: fl for val, fl in parts.items() if val not in todo}
-        df = self._read_files(spark, touched_files, schema)
+        df = self._read_files(spark, touched_files, schema, dv=dv)
         total = sum(todo.values())
         secondary = cluster_by or m.get("keys") or []
         if secondary:
@@ -1101,8 +1320,11 @@ class CommitLogStore:
         keep = vs if keep_versions is None else vs[-keep_versions:]
         referenced: set[str] = set()
         for v in keep:
-            for f in self.manifest(v)["files"]:
+            mm = self.manifest(v)
+            for f in mm["files"]:
                 referenced.add(f.split(os.sep)[1])
+            for dvp in mm.get("dv", {}).values():
+                referenced.add(dvp.split(os.sep)[1])
         deleted = []
         for v in vs:
             if v not in keep:
@@ -1202,22 +1424,28 @@ def _changes_between_py(
         cols = schema.fieldNames()
         parent = m.get("parent")
 
-        def load(files: list[str]) -> list[dict]:
+        def load(files: list[str], dvm: dict | None = None) -> list[dict]:
             rows: list[dict] = []
             for f in sorted(files):
                 t = pq.read_table(os.path.join(store.path, f))
                 have = set(t.column_names)
+                masked: set[int] = set()
+                if dvm and f in dvm:  # deletion vector: skip positions
+                    with open(os.path.join(store.path, dvm[f]), "rb") as fh:
+                        masked = {int(p) for p in _decode_dv(fh.read())}
                 # pre-evolution files lack appended columns → nulls,
                 # mirroring the Spark face's schema-on-read
-                for r in t.select(
-                    [c for c in cols if c in have]
-                ).to_pylist():
+                for i, r in enumerate(
+                    t.select([c for c in cols if c in have]).to_pylist()
+                ):
+                    if i in masked:
+                        continue
                     rows.append({c: r.get(c) for c in cols})
             return rows
 
         if parent is None:
             ks0 = keys if keys is not None else m.get("keys")
-            rows = load(m["files"])
+            rows = load(m["files"], m.get("dv"))
             if ks0:
                 rows.sort(key=lambda r: tuple(str(r[k]) for k in ks0))
             for r in rows:
@@ -1229,8 +1457,11 @@ def _changes_between_py(
             raise ValueError(
                 f"v{v} records no merge keys; pass a keys option"
             )
-        pre_files = sorted(set(mp["files"]) - set(m["files"]))
-        post_files = sorted(set(m["files"]) - set(mp["files"]))
+        pdv, cdv = mp.get("dv", {}), m.get("dv", {})
+        pid = {(f, pdv.get(f)) for f in mp["files"]}
+        cid = {(f, cdv.get(f)) for f in m["files"]}
+        pre_files = sorted(f for f, _ in pid - cid)
+        post_files = sorted(f for f, _ in cid - pid)
 
         def index(rows: list[dict]) -> dict[tuple, dict]:
             ix: dict[tuple, dict] = {}
@@ -1244,8 +1475,8 @@ def _changes_between_py(
                 ix[k] = r
             return ix
 
-        pre = index(load(pre_files))
-        post = index(load(post_files))
+        pre = index(load(pre_files, pdv))
+        post = index(load(post_files, cdv))
         for k in sorted(set(pre) | set(post), key=lambda t: tuple(map(str, t))):
             p, q = pre.get(k), post.get(k)
             if q is None:

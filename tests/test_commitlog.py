@@ -627,3 +627,90 @@ def test_merge_cdc_schema_evolution(spark, tmp_path):
     assert len(got) == 4  # 4 base - 1 delete + 1 insert
     # carried partition rows read null for the appended column
     assert {t[3] for t in got if t[0] == "d0"} == {None}
+
+
+def test_delete_where_deletion_vectors(spark, tmp_path):
+    """r10 deletion vectors: delete_where masks rows WITHOUT touching
+    any data file (merge-on-read); stacked deletes union; the CDF
+    emits exactly the newly-deleted rows; a no-match delete writes no
+    commit; time travel still sees pre-delete snapshots."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = _pdf(
+        spark, [(f"d{i}", k, f"{i}:{k}") for i in range(4) for k in range(10)]
+    )
+    v1 = store.commit(
+        base, expect_version=None, partition_by="d", keys=["d", "k"]
+    )
+    v2 = store.delete_where(spark, [("k", "in", [3, 7])])
+    m1, m2 = store.manifest(v1), store.manifest(v2)
+    assert m2["files"] == m1["files"]  # zero rewrites
+    assert m2["op"] == "delete" and len(m2["dv"]) > 0
+    got = {(r.d, r.k) for r in store.read(spark).collect()}
+    assert got == {
+        (f"d{i}", k) for i in range(4) for k in range(10) if k not in (3, 7)
+    }
+    # pruned read applies the mask too
+    rw = {(r.d, r.k) for r in store.read_where(spark, [("k", ">=", 6)]).collect()}
+    assert rw == {(f"d{i}", k) for i in range(4) for k in (6, 8, 9)}
+    # CDF: exactly the 8 deletes, agreed by both faces
+    cdf = sorted(
+        (r.d, r.k, r._change_type, r._commit_version)
+        for r in store.read_changes(spark, v1, v2).collect()
+    )
+    assert cdf == sorted(
+        (f"d{i}", k, "delete", v2) for i in range(4) for k in (3, 7)
+    )
+    from calorista_spark.sources.commitlog import _changes_between_py
+
+    assert sorted(
+        (t[0], t[1], t[3], t[4]) for t in _changes_between_py(store, v1, v2, None)
+    ) == cdf
+    # stacked delete: DVs union, CDF shows only the new deletes
+    v3 = store.delete_where(spark, [("d", "==", "d1"), ("k", "<", 2)])
+    assert sorted(
+        (r.d, r.k, r._change_type)
+        for r in store.read_changes(spark, v2, v3).collect()
+    ) == [("d1", 0, "delete"), ("d1", 1, "delete")]
+    # no-match: no commit
+    assert store.delete_where(spark, [("k", ">", 999)]) == v3
+    # time travel: v1 still has everything
+    assert store.read(spark, version=v1).count() == 40
+
+
+def test_deletion_vectors_merge_and_compact_purge(spark, tmp_path):
+    """DV interplay with the rest of the format: a merge rewrite of a
+    DV'd partition applies the mask (no resurrection) and drops its DV;
+    carried partitions keep theirs; compact purges all DVs into clean
+    files with zero reader-visible change; vacuum keeps DV sidecars
+    while any retained manifest references them."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = _pdf(
+        spark, [(f"d{i}", k, f"{i}:{k}") for i in range(4) for k in range(10)]
+    )
+    store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    store.delete_where(spark, [("k", "in", [3, 7])])
+    v3 = store.merge(
+        spark,
+        spark.createDataFrame([("d2", 5, "UPD")], "d string, k long, v string"),
+        ["d", "k"],
+    )
+    m3 = store.manifest(v3)
+    got = {(r.d, r.k, r.v) for r in store.read(spark).collect()}
+    assert ("d2", 3, "2:3") not in got and ("d2", 7, "2:7") not in got
+    assert ("d2", 5, "UPD") in got and ("d1", 3, "1:3") not in got
+    assert not any(f in m3["dv"] for f in m3["partitions"]["d2"])
+    assert any(f in m3["dv"] for f in m3["partitions"]["d1"])
+    # compact: DV'd partitions force a rewrite even at target file count
+    v4 = store.compact(spark)
+    m4 = store.manifest(v4)
+    assert not m4.get("dv")
+    assert {(r.d, r.k, r.v) for r in store.read(spark).collect()} == got
+    assert store.read_changes(spark, v3, v4).count() == 0
+    # vacuum: while v3 is retained its DV sidecars survive; after
+    # dropping history they're GC'd and the head still reads clean
+    store.vacuum(keep_versions=2, retention_seconds=0)
+    assert {
+        (r.d, r.k, r.v) for r in store.read(spark, version=v3).collect()
+    } == got
+    store.vacuum(keep_versions=1, retention_seconds=0)
+    assert {(r.d, r.k, r.v) for r in store.read(spark).collect()} == got
