@@ -291,6 +291,55 @@ def _align_to(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+_ZORDER_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double")
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 6):
+    """Z-value expression for multi-dimensional clustering: each column
+    is bucketed into 2^bits rank buckets by approx quantiles (the ONLY
+    driver-side materialization is the boundary list — 2^bits values
+    per column, data-size independent), then the bucket bits are
+    interleaved. Sorting by the result gives every output file a tight
+    min/max rectangle in EVERY clustered dimension, so manifest-stats
+    pruning bites on any of them — the Delta OPTIMIZE ZORDER BY trade:
+    each single dimension prunes a bit worse than a dedicated linear
+    sort, but all dimensions prune at once. Numeric columns only (use
+    linear clustering for strings/dates). The whole expression is
+    built-in functions — JVM-side, codegen-friendly, no UDF."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        if dict(df.dtypes).get(c) not in _ZORDER_NUMERIC:
+            raise ValueError(
+                f"zorder column {c!r} must be numeric "
+                f"(got {dict(df.dtypes).get(c)}); use linear clustering"
+            )
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    all_bounds = df.approxQuantile(cols, probs, 1.0 / (4 * n))
+
+    def bucket(c: str, bounds: list[float]):
+        # rank bucket = #boundaries <= value; nulls sort first (bucket 0)
+        e = F.lit(0)
+        for b in sorted(set(bounds)):
+            e = e + F.when(F.col(c) >= F.lit(b), 1).otherwise(0)
+        return F.when(F.col(c).isNull(), F.lit(0)).otherwise(e).cast("long")
+
+    buckets = [bucket(c, bs) for c, bs in zip(cols, all_bounds)]
+    parts = []
+    for bit in range(bits):
+        for ci, be in enumerate(buckets):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(be, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + ci,
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("__zval")
+
+
 def _fsync_file(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -365,12 +414,62 @@ class CommitLogStore:
             return None
         return self.manifest(v).get("last_batch_id")
 
+    def version_as_of(self, ts: float) -> int:
+        """The snapshot a reader at wall-clock ``ts`` (unix seconds)
+        would have seen: the newest version committed at or before it —
+        Delta's TIMESTAMP AS OF. Raises if ``ts`` predates the table."""
+        best = None
+        for v in self.versions():
+            at = self.manifest(v).get("committed_at")
+            if at is not None and at <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before ts={ts} in {self.path}"
+            )
+        return best
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one row per retained commit, newest first —
+        the audit trail (version, op, committed_at, batch_id, file and
+        partition counts, DV presence)."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent"),
+                    "op": m.get("op"),
+                    "committed_at": m.get("committed_at"),
+                    "batch_id": m.get("batch_id"),
+                    "n_files": len(m["files"]),
+                    "n_partitions": len(m.get("partitions", {})) or None,
+                    "n_dv_files": len(m.get("dv", {})) or 0,
+                    "rows_physical": sum(
+                        st["rows"] for st in m.get("stats", {}).values()
+                    ),
+                }
+            )
+        return out
+
     # -- read --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
         """Snapshot read; ``version`` time-travels to any retained
-        commit. Planned from the manifest's file list — no directory
-        listing, and concurrent writers cannot disturb it."""
+        commit, ``as_of`` (unix seconds) to the newest commit at or
+        before that wall-clock instant. Planned from the manifest's
+        file list — no directory listing, and concurrent writers
+        cannot disturb it."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
@@ -441,8 +540,9 @@ class CommitLogStore:
         partition_by: str | None = None,
         keys: list[str] | None = None,
         carry_partitions: dict[str, list[str]] | None = None,
-        clustering: dict[str, list[str]] | None = None,
+        clustering: dict | None = None,
         sort_by: list[str] | None = None,
+        sort_expr=None,
     ) -> int:
         """Write ``df`` as a NEW snapshot and atomically publish it.
 
@@ -483,12 +583,19 @@ class CommitLogStore:
             staged = df.withColumn(
                 "__part", F.col(partition_by).cast("string")
             )
-            if sort_by:
+            order_keys = (
+                [F.col(c) for c in sort_by]
+                if sort_by
+                else ([sort_expr] if sort_expr is not None else [])
+            )
+            if order_keys:
                 # task-local sort with __part as the leading key: the
                 # write's required partition ordering is then already
                 # satisfied, so no second (unstable) sort can disturb
-                # the clustering order inside each file
-                staged = staged.sortWithinPartitions("__part", *sort_by)
+                # the clustering order inside each file. sort_expr lets
+                # the key be a computed column (z-value) that is sorted
+                # by but never written.
+                staged = staged.sortWithinPartitions("__part", *order_keys)
             staged.write.mode("error").partitionBy("__part").parquet(ddir)
             for sub in sorted(os.listdir(ddir)):
                 if not sub.startswith("__part="):
@@ -508,6 +615,8 @@ class CommitLogStore:
         else:
             if sort_by:
                 df = df.sortWithinPartitions(*sort_by)
+            elif sort_expr is not None:
+                df = df.sortWithinPartitions(sort_expr)
             df.write.mode("error").parquet(ddir)
             new_files = sorted(
                 os.path.join("data", token, f)
@@ -552,7 +661,8 @@ class CommitLogStore:
         # partitions carried by reference; a rewrite without clustering
         # drops the partition's entry (its layout guarantee is gone)
         cluster_map = {
-            v: list(cl) for v, cl in (clustering or {}).items()
+            v: (dict(cl) if isinstance(cl, dict) else list(cl))
+            for v, cl in (clustering or {}).items()
         }
         if carry_partitions:
             for val in carry_partitions:
@@ -593,7 +703,10 @@ class CommitLogStore:
     def _publish(self, manifest: dict, token: str) -> int:
         """Atomically publish a fully-built manifest (fsync'd temp +
         link(2); EEXIST = lost the optimistic-concurrency race)."""
+        import time as _time
+
         new_version = manifest["version"]
+        manifest["committed_at"] = _time.time()
         tmp = os.path.join(self.commits_dir, f".tmp-{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -1185,6 +1298,7 @@ class CommitLogStore:
         target_file_bytes: int = 128 << 20,
         cluster_by: list[str] | None = None,
         partitions: list[str] | None = None,
+        layout: str = "linear",
     ) -> int:
         """OPTIMIZE (r10): bin-pack each partition's files toward
         ``target_file_bytes`` and, with ``cluster_by``, lay rows out
@@ -1205,9 +1319,25 @@ class CommitLogStore:
         AND (if ``cluster_by``) its manifest clustering entry matches —
         so a scheduled ``compact()`` is idempotent: re-running returns
         the latest version without writing a commit.
+
+        r10 ``layout="zorder"``: instead of a linear sort on
+        ``cluster_by``, rows are laid out along a Z-order (Morton)
+        curve over ALL the cluster columns (see :func:`_zorder_column`)
+        — every file gets a tight stat rectangle in every dimension, so
+        :meth:`files_for` prunes on predicates over ANY clustered
+        column, not just the leading one. Numeric columns only.
         """
         from pyspark.sql import functions as F
 
+        if layout not in ("linear", "zorder"):
+            raise ValueError(f"unknown layout {layout!r}")
+        if layout == "zorder" and not cluster_by:
+            raise ValueError("layout='zorder' requires cluster_by")
+        cluster_tag = (
+            {"layout": "zorder", "cols": list(cluster_by)}
+            if layout == "zorder" and cluster_by
+            else cluster_by
+        )
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
@@ -1235,11 +1365,15 @@ class CommitLogStore:
             if (
                 len(fl) <= want
                 and not any(f in dv for f in fl)  # DV purge forces rewrite
-                and (cluster_by is None or clustering.get("") == cluster_by)
+                and (cluster_by is None or clustering.get("") == cluster_tag)
             ):
                 return latest
             df = self._read_files(spark, fl, schema, dv=dv)
-            if cluster_by:
+            zval = None
+            if layout == "zorder":
+                zval = _zorder_column(df, cluster_by)
+                df = df.repartitionByRange(want, zval)
+            elif cluster_by:
                 df = df.repartitionByRange(
                     want, *[F.col(c) for c in cluster_by]
                 )
@@ -1250,8 +1384,9 @@ class CommitLogStore:
                 op="compact",
                 expect_version=latest,
                 keys=m.get("keys"),
-                clustering={"": cluster_by} if cluster_by else None,
-                sort_by=cluster_by,
+                clustering={"": cluster_tag} if cluster_by else None,
+                sort_by=cluster_by if layout == "linear" else None,
+                sort_expr=zval,
             )
         parts: dict[str, list[str]] = m["partitions"]
         todo: dict[str, int] = {}
@@ -1262,7 +1397,7 @@ class CommitLogStore:
             if (
                 len(fl) <= want
                 and not any(f in dv for f in fl)  # DV purge forces rewrite
-                and (cluster_by is None or clustering.get(val) == cluster_by)
+                and (cluster_by is None or clustering.get(val) == cluster_tag)
             ):
                 continue
             todo[val] = want
@@ -1272,17 +1407,22 @@ class CommitLogStore:
         carry = {val: fl for val, fl in parts.items() if val not in todo}
         df = self._read_files(spark, touched_files, schema, dv=dv)
         total = sum(todo.values())
-        secondary = cluster_by or m.get("keys") or []
-        if secondary:
-            # range layout on (partition, secondary): splits a partition
-            # across files only when its bin target demands it, and
-            # with cluster_by the per-file value ranges come out
-            # disjoint → tight skippable stats
-            df = df.repartitionByRange(
-                total, F.col(pb), *[F.col(c) for c in secondary]
-            )
+        zval = None
+        if layout == "zorder":
+            zval = _zorder_column(df, cluster_by)
+            df = df.repartitionByRange(total, F.col(pb), zval)
         else:
-            df = df.repartition(total, F.col(pb))
+            secondary = cluster_by or m.get("keys") or []
+            if secondary:
+                # range layout on (partition, secondary): splits a
+                # partition across files only when its bin target
+                # demands it, and with cluster_by the per-file value
+                # ranges come out disjoint → tight skippable stats
+                df = df.repartitionByRange(
+                    total, F.col(pb), *[F.col(c) for c in secondary]
+                )
+            else:
+                df = df.repartition(total, F.col(pb))
         return self.commit(
             df,
             op="compact",
@@ -1291,9 +1431,10 @@ class CommitLogStore:
             keys=m.get("keys"),
             carry_partitions=carry,
             clustering=(
-                {val: cluster_by for val in todo} if cluster_by else None
+                {val: cluster_tag for val in todo} if cluster_by else None
             ),
-            sort_by=cluster_by,
+            sort_by=cluster_by if layout == "linear" else None,
+            sort_expr=zval,
         )
 
     def vacuum(

@@ -714,3 +714,97 @@ def test_deletion_vectors_merge_and_compact_purge(spark, tmp_path):
     } == got
     store.vacuum(keep_versions=1, retention_seconds=0)
     assert {(r.d, r.k, r.v) for r in store.read(spark).collect()} == got
+
+
+def test_zorder_compact_prunes_on_every_dimension(spark, tmp_path):
+    """r10 Z-order: compact(layout='zorder') lays rows along a Morton
+    curve over BOTH cluster columns, so manifest-stats pruning bites on
+    predicates over EITHER dimension (a linear sort only serves its
+    leading column); reads stay exact; re-runs are no-ops; non-numeric
+    cluster columns are rejected with a typed error."""
+    from pyspark.sql import functions as F
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    df = (
+        spark.range(0, 4096)
+        .select(
+            ((F.col("id") * 37) % 4096).alias("x"),
+            ((F.col("id") * 101) % 4096).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    v1 = store.commit(df, expect_version=None, keys=["payload"])
+    target = max(
+        1,
+        sum(
+            st["bytes"] for st in store.manifest(v1)["stats"].values()
+        )
+        // 16,
+    )
+    v2 = store.compact(
+        spark, target_file_bytes=target, cluster_by=["x", "y"], layout="zorder"
+    )
+    m2 = store.manifest(v2)
+    nf = len(m2["files"])
+    assert nf > 4
+    assert m2["clustering"][""] == {"layout": "zorder", "cols": ["x", "y"]}
+    # both dimensions prune (each range covers ~5% of the value space)
+    assert len(store.files_for([("x", "between", (100, 300))])) < nf / 2
+    assert len(store.files_for([("y", "between", (100, 300))])) < nf / 2
+    # pruned reads stay exact on both dimensions
+    for col in ("x", "y"):
+        got = {
+            r.payload
+            for r in store.read_where(
+                spark, [(col, "between", (100, 300))]
+            ).collect()
+        }
+        want = {
+            r.payload
+            for r in store.read(spark)
+            .filter((F.col(col) >= 100) & (F.col(col) <= 300))
+            .collect()
+        }
+        assert got == want
+    # idempotent under the same layout; data unchanged across compact
+    assert (
+        store.compact(
+            spark,
+            target_file_bytes=target,
+            cluster_by=["x", "y"],
+            layout="zorder",
+        )
+        == v2
+    )
+    assert store.read_changes(spark, v1, v2).count() == 0
+    with pytest.raises(ValueError, match="unknown layout"):
+        store.compact(spark, cluster_by=["x"], layout="hilbert")
+    s2 = CommitLogStore(str(tmp_path / "s2"))
+    s2.commit(spark.createDataFrame([("a", 1)], "s string, x long"), expect_version=None)
+    with pytest.raises(ValueError, match="must be numeric"):
+        s2.compact(spark, cluster_by=["s"], layout="zorder")
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    """r10: every manifest records committed_at; read(as_of=ts) resolves
+    the newest commit at or before ts (TIMESTAMP AS OF), and history()
+    is the newest-first audit trail."""
+    import time
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(_df(spark, [(1, "a")]), expect_version=None)
+    t_after_v1 = store.manifest(1)["committed_at"]
+    store.merge(spark, _df(spark, [(2, "b")]), ["k"])
+    assert store.version_as_of(t_after_v1) == 1
+    assert store.read(spark, as_of=t_after_v1).count() == 1
+    assert store.read(spark, as_of=time.time()).count() == 2
+    with pytest.raises(ValueError, match="no commit at or before"):
+        store.version_as_of(t_after_v1 - 1e6)
+    with pytest.raises(ValueError, match="not both"):
+        store.read(spark, version=1, as_of=t_after_v1)
+    h = store.history()
+    assert [e["version"] for e in h] == [2, 1]
+    assert h[0]["op"] == "merge" and h[1]["op"] == "overwrite"
+    assert all(e["committed_at"] is not None for e in h)
+    assert h[0]["rows_physical"] >= 2
