@@ -1515,6 +1515,55 @@ def main() -> None:
             assert "__rank_pid" in spec, line
     print("plan invariants: ok")
 
+    # 7b. deletion vectors at scale (r10): a sparse delete against a
+    # 10M-row partitioned commit-log store must cost O(deleted rows) —
+    # zero data files rewritten, the commit is position-sidecars only —
+    # and the masked read must stay exact (count, point-absence, CDF
+    # cardinality all checked).
+    def commitlog_dv_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.sources.commitlog import CommitLogStore
+
+        root = tempfile.mkdtemp(prefix="smoke_dv_")
+        try:
+            store = CommitLogStore(os.path.join(root, "s"))
+            base = spark.range(N).select(
+                F.col("id"),
+                F.pmod(F.col("id"), 30).cast("string").alias("d"),
+                (F.col("id") * 3).alias("v"),
+            )
+            t0 = time.perf_counter()
+            v1 = store.commit(
+                base, expect_version=None, partition_by="d", keys=["id"]
+            )
+            t_commit = time.perf_counter() - t0
+            lo, hi = N // 2, N // 2 + 9_999  # 10k-row sparse delete
+            t0 = time.perf_counter()
+            v2 = store.delete_where(spark, [("id", "between", (lo, hi))])
+            t_delete = time.perf_counter() - t0
+            m1, m2 = store.manifest(v1), store.manifest(v2)
+            assert m2["files"] == m1["files"], "sparse delete rewrote files"
+            n_dv = len(m2["dv"])
+            post = store.read(spark)
+            assert post.count() == N - 10_000
+            assert (
+                store.read_where(spark, [("id", "between", (lo, hi))]).count()
+                == 0
+            )
+            feed = store.read_changes(spark, v1, v2)
+            assert feed.count() == 10_000
+            return (
+                f"rows={N} commit={t_commit:.1f}s "
+                f"delete_10k={t_delete:.1f}s dv_files={n_dv} "
+                f"files_rewritten=0"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["commitlog_dv_10M"] = timed("commitlog_dv", commitlog_dv_check)
+
     # 8. spill-at-scale (r10 — VERDICT r9 #8): the 100 TB story asserts
     # shuffle-linearity but must also DEMONSTRATE graceful degradation
     # when a sort exceeds execution memory. A fresh context pins
