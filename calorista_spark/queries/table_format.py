@@ -412,3 +412,84 @@ def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_rewrite", F.lit(True))
         .orderBy("event_type")
     )
+
+
+_UPDATE_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN user_id = 7 THEN n * 10 ELSE n END) AS BIGINT)
+         AS total_events,
+       TRUE AS zero_rewrite
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("store_update_where", _UPDATE_ORACLE)
+def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE proof (r10): multiply one user's counts by
+    10 via ``update_where`` — one commit that deletion-vector-masks the
+    old rows and appends the updated ones, never rewriting a matching
+    file. Guards raise (→ driver red) unless:
+
+    - every parent data file is still listed in the update commit
+      (zero rewrites — O(updated rows) cost);
+    - the change feed across the update is EXACTLY one
+      update_preimage + one update_postimage per touched base row.
+
+    Value parity of the post-update aggregate against the oracle's
+    CASE expression proves the masked-old/appended-new composition
+    reads back as a plain updated table."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    tag = hashlib.md5(f"upd:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"calorista_upd_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = CommitLogStore(path)
+    base = _day_counts(spark, sf_dir)
+    v1 = store.commit(
+        base,
+        op="overwrite",
+        expect_version=None,
+        partition_by="event_date",
+        keys=_KEYS,
+    )
+    v2 = store.update_where(
+        spark,
+        [("user_id", "==", 7)],
+        {"n_events": F.col("n_events") * 10},
+    )
+    if v2 != v1:
+        m1, m2 = store.manifest(v1), store.manifest(v2)
+        if not set(m1["files"]) <= set(m2["files"]):
+            raise RuntimeError("update_where rewrote parent data files")
+        feed = store.read_changes(spark, v1, v2)
+        pre = feed.filter(F.col("_change_type") == "update_preimage").count()
+        post = feed.filter(
+            F.col("_change_type") == "update_postimage"
+        ).count()
+        touched = (
+            store.read(spark, version=v1).filter(F.col("user_id") == 7).count()
+        )
+        if not (pre == post == touched) or feed.count() != pre + post:
+            raise RuntimeError(
+                f"update CDF wrong: pre={pre} post={post} touched={touched}"
+            )
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .withColumn("zero_rewrite", F.lit(True))
+        .orderBy("event_type")
+    )

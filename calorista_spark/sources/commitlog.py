@@ -1086,6 +1086,176 @@ class CommitLogStore:
                 manifest[k] = m[k]
         return self._publish(manifest, token)
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        assignments: dict,
+        batch_id: int | None = None,
+    ) -> int:
+        """Merge-on-read UPDATE (r10): set ``assignments`` (column →
+        Column expression or literal) on every row matching
+        ``predicates``, as ONE commit that masks the old row positions
+        via deletion vectors and APPENDS the updated rows as new files
+        — no matching file is rewritten, so like :meth:`delete_where`
+        the cost is O(updated rows) regardless of table size. The
+        untouched DML trio is thus complete: INSERT (:meth:`commit` /
+        :meth:`merge`), DELETE (:meth:`delete_where`), UPDATE (here) —
+        all merge-on-read, all atomic, all CDF-visible (the change feed
+        classifies these commits as update pre/post pairs through the
+        keyed row-hash join, or delete+insert if an assignment moves a
+        key). An assignment may change the partition column: the
+        updated row is appended under its NEW partition value.
+
+        Returns the new version; no matches → current version, no
+        commit."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"commit-log store at {self.path} is empty")
+        if batch_id is not None:
+            high = self.last_batch_id()
+            if high is not None and batch_id <= high:
+                return latest
+        m = self.manifest(latest)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        by_type = {f.name: f.dataType for f in schema.fields}
+        for c in assignments:
+            if c not in by_type:
+                raise ValueError(f"unknown column {c!r} in assignments")
+        cand = self.files_for(predicates, version=latest)
+        if not cand:
+            return latest
+        from functools import reduce
+
+        residual = reduce(
+            lambda a, b: a & b,
+            [_predicate_column(c, op, val) for c, op, val in predicates],
+        )
+        # the matching LIVE rows (existing DVs applied — an already-
+        # deleted row must neither be re-emitted nor resurrect); the
+        # same deterministic filter over the immutable files feeds both
+        # the DV position collect and the updated-row write
+        root = os.path.abspath(self.path)
+        dv_prev = m.get("dv", {})
+        matching = self._read_files(spark, cand, schema, dv=dv_prev).filter(
+            residual
+        )
+        # positions come from a metadata-bearing scan of the SAME files
+        pos_scan = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in cand])
+            .filter(residual)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            .collect()  # bounded: one tuple per UPDATED row
+        )
+        if not pos_scan:
+            return latest
+        by_file: dict[str, set[int]] = {}
+        for r in pos_scan:
+            rel = os.path.relpath(r["__path"], root)
+            by_file.setdefault(rel, set()).add(r["__pos"])
+        from pyspark.sql import Column
+
+        def _assigned(f: T.StructField):
+            if f.name not in assignments:
+                return F.col(f.name)
+            v = assignments[f.name]
+            e = v if isinstance(v, Column) else F.lit(v)
+            return e.cast(f.dataType).alias(f.name)
+
+        updated = matching.select(*[_assigned(f) for f in schema.fields])
+        token = uuid.uuid4().hex
+        ddir = os.path.join(self.data_dir, token)
+        pb = m.get("partition_by")
+        new_parts: dict[str, list[str]] = {}
+        if pb is not None and "partitions" in m:
+            from urllib.parse import unquote
+
+            staged = updated.withColumn("__part", F.col(pb).cast("string"))
+            staged.write.mode("error").partitionBy("__part").parquet(ddir)
+            for sub in sorted(os.listdir(ddir)):
+                if not sub.startswith("__part="):
+                    continue
+                val = unquote(sub[len("__part=") :])
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    raise ValueError(
+                        f"update set a null/empty partition value on {pb!r}"
+                    )
+                new_parts[val] = sorted(
+                    os.path.join("data", token, sub, f)
+                    for f in os.listdir(os.path.join(ddir, sub))
+                    if f.endswith(".parquet")
+                )
+        else:
+            updated.write.mode("error").parquet(ddir)
+            new_parts[""] = sorted(
+                os.path.join("data", token, f)
+                for f in os.listdir(ddir)
+                if f.endswith(".parquet")
+            )
+        new_files = sorted(f for fl in new_parts.values() for f in fl)
+        for f in new_files:
+            _fsync_file(os.path.join(self.path, f))
+        stats = dict(m.get("stats", {}))
+        for f in new_files:
+            stats[f] = _parquet_file_stats(os.path.join(self.path, f))
+        new_dv = dict(dv_prev)
+        for i, (rel, positions) in enumerate(sorted(by_file.items())):
+            merged = set(positions)
+            if rel in dv_prev:
+                with open(os.path.join(self.path, dv_prev[rel]), "rb") as fh:
+                    merged.update(int(p) for p in _decode_dv(fh.read()))
+            dv_rel = os.path.join("data", token, f"dv-{i:05d}.bin")
+            with open(os.path.join(self.path, dv_rel), "wb") as fh:
+                fh.write(_encode_dv(merged))
+            _fsync_file(os.path.join(self.path, dv_rel))
+            new_dv[rel] = dv_rel
+        prev_last_batch = self.last_batch_id()
+        manifest = {
+            "version": latest + 1,
+            "parent": latest,
+            "op": "update",
+            "files": sorted(m["files"] + new_files),
+            "schema": m["schema"],
+            "batch_id": batch_id,
+            "last_batch_id": (
+                batch_id
+                if batch_id is not None
+                and (prev_last_batch is None or batch_id > prev_last_batch)
+                else prev_last_batch
+            ),
+            "stats": {f: stats[f] for f in sorted(stats)},
+            "dv": {f: new_dv[f] for f in sorted(new_dv)},
+        }
+        for k in ("partition_by", "keys"):
+            if k in m:
+                manifest[k] = m[k]
+        if pb is not None and "partitions" in m:
+            parts = {v: list(fl) for v, fl in m["partitions"].items()}
+            for val, fl in new_parts.items():
+                parts.setdefault(val, [])
+                parts[val] = sorted(parts[val] + fl)
+            manifest["partitions"] = {v: parts[v] for v in sorted(parts)}
+            # appended files break a partition's sorted-layout guarantee
+            if "clustering" in m:
+                kept = {
+                    v: cl
+                    for v, cl in m["clustering"].items()
+                    if v not in new_parts
+                }
+                if kept:
+                    manifest["clustering"] = kept
+        elif "clustering" in m:
+            pass  # unpartitioned entry "" is invalidated by the append
+        return self._publish(manifest, token)
+
     # -- change data feed (r10) ----------------------------------------------
 
     def _read_files(

@@ -808,3 +808,68 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert h[0]["op"] == "merge" and h[1]["op"] == "overwrite"
     assert all(e["committed_at"] is not None for e in h)
     assert h[0]["rows_physical"] >= 2
+
+
+def test_update_where_merge_on_read(spark, tmp_path):
+    """r10 merge-on-read UPDATE: one commit masks the old positions
+    (DV) and appends the updated rows — no file rewritten; the CDF
+    classifies it as exact update pre/post pairs; updates may move a
+    row to a new partition; prior deletes are respected; compact folds
+    the appended files back into clean ones."""
+    from pyspark.sql import functions as F
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [(f"d{i}", k, f"{i}:{k}", 10 * k) for i in range(3) for k in range(5)],
+        "d string, k long, v string, amt long",
+    )
+    v1 = store.commit(
+        base, expect_version=None, partition_by="d", keys=["d", "k"]
+    )
+    v2 = store.update_where(
+        spark, [("k", "==", 2)], {"amt": F.col("amt") * 2, "v": "UPD"}
+    )
+    m1, m2 = store.manifest(v1), store.manifest(v2)
+    assert set(m1["files"]) <= set(m2["files"])  # zero rewrites
+    assert m2["op"] == "update" and len(m2["dv"]) > 0
+    got = {(r.d, r.k, r.v, r.amt) for r in store.read(spark).collect()}
+    assert got == {
+        (
+            f"d{i}",
+            k,
+            ("UPD" if k == 2 else f"{i}:{k}"),
+            (40 if k == 2 else 10 * k),
+        )
+        for i in range(3)
+        for k in range(5)
+    }
+    cdf = sorted(
+        (r.d, r.k, r.v, r.amt, r._change_type)
+        for r in store.read_changes(spark, v1, v2).collect()
+    )
+    assert cdf == sorted(
+        [(f"d{i}", 2, f"{i}:2", 20, "update_preimage") for i in range(3)]
+        + [(f"d{i}", 2, "UPD", 40, "update_postimage") for i in range(3)]
+    )
+    # partition-moving update
+    v3 = store.update_where(
+        spark, [("d", "==", "d0"), ("k", "==", 0)], {"d": "d9"}
+    )
+    assert "d9" in store.manifest(v3)["partitions"]
+    got = {(r.d, r.k) for r in store.read(spark).collect()}
+    assert ("d9", 0) in got and ("d0", 0) not in got
+    # no-match → no commit; unknown column → typed error
+    assert store.update_where(spark, [("k", "==", 999)], {"v": "x"}) == v3
+    with pytest.raises(ValueError, match="unknown column"):
+        store.update_where(spark, [("k", "==", 1)], {"nope": 1})
+    # compact purges
+    v4 = store.compact(spark)
+    assert not store.manifest(v4).get("dv")
+    assert store.read_changes(spark, v3, v4).count() == 0
+    # a row deleted earlier is not updated back to life
+    s2 = CommitLogStore(str(tmp_path / "s2"))
+    s2.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    s2.delete_where(spark, [("k", "==", 2), ("d", "==", "d0")])
+    s2.update_where(spark, [("k", "==", 2)], {"v": "U2"})
+    got = {(r.d, r.k, r.v) for r in s2.read(spark).collect()}
+    assert ("d0", 2, "U2") not in got and ("d1", 2, "U2") in got
