@@ -61,31 +61,86 @@ def _merge_batch(base: DataFrame) -> DataFrame:
     return updates.unionByName(inserts)
 
 
-def _build_store(spark: SparkSession, sf_dir: str, name: str):
-    """(store, v1, v2): v1 = full 30-date snapshot partitioned by
-    event_date; v2 = partition-scoped MERGE of the 2-date batch."""
+# The six store_* queries all start from the SAME v1 snapshot (the
+# 30-date day-counts table). Building it is the dominant fixture cost
+# (full events aggregation + partitioned snapshot write), so it is
+# built ONCE per (process, input-fingerprint) and each query works on
+# a hardlink CLONE: data files are immutable by the format's own
+# contract, so a clone is O(#files) link(2) calls and mutations only
+# ever add new dirs. The fingerprint covers file names+sizes+mtimes of
+# the events table — regenerated input never reuses a stale base (the
+# r9 path-only stage-reuse lesson, applied here from the start).
+_BASE_CACHE: dict[tuple, str] = {}
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    p = os.path.join(sf_dir, "events.parquet")
+    parts = [sf_dir]
+    if os.path.isdir(p):
+        for n in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, n))
+            parts.append(f"{n}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
+def _base_store_path(spark: SparkSession, sf_dir: str) -> str:
     from calorista_spark.sources.commitlog import CommitLogStore
 
-    # per-(query, input, process) path: concurrent sessions (sweep +
-    # pytest + stress audit) must not rmtree each other's live store
+    fp = _events_fingerprint(sf_dir)
+    key = (sf_dir, fp)
+    cached = _BASE_CACHE.get(key)
+    if cached and os.path.isfile(
+        os.path.join(cached, "_commits", "v00000001.json")
+    ):
+        return cached
+    path = os.path.join(
+        tempfile.gettempdir(), f"calorista_storebase_{fp}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = CommitLogStore(path)
+    v1 = store.commit(
+        _day_counts(spark, sf_dir),
+        op="overwrite",
+        expect_version=None,
+        partition_by="event_date",
+        keys=_KEYS,
+        optimize_write=True,  # O(1) files per date, not one per task
+    )
+    if v1 != 1:  # not assert: must hold under python -O too
+        raise RuntimeError(f"unexpected base version {v1}")
+    _BASE_CACHE[key] = path
+    return path
+
+
+def _clone_store(spark: SparkSession, sf_dir: str, name: str):
+    """A private hardlink clone of the shared v1 base store; mutations
+    write new dirs only, so clones never interfere. Per-(query, input,
+    process) path: concurrent sessions (sweep + pytest + stress audit)
+    must not rmtree each other's live store."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    base = _base_store_path(spark, sf_dir)
     tag = hashlib.md5(f"{name}:{sf_dir}".encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"calorista_{name}_{tag}_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    store = CommitLogStore(path)
-    base = _day_counts(spark, sf_dir)
-    v1 = store.commit(
-        base,
-        op="overwrite",
-        expect_version=None,
-        partition_by="event_date",
-        keys=_KEYS,
-    )
-    v2 = store.merge(spark, _merge_batch(base), _KEYS)
-    if (v1, v2) != (1, 2):  # not assert: must hold under python -O too
-        raise RuntimeError(f"unexpected store versions {(v1, v2)}")
-    return store, v1, v2
+    shutil.copytree(base, path, copy_function=os.link)
+    return CommitLogStore(path)
+
+
+def _build_store(spark: SparkSession, sf_dir: str, name: str):
+    """(store, v1, v2): v1 = full 30-date snapshot partitioned by
+    event_date; v2 = partition-scoped MERGE of the 2-date batch."""
+    store = _clone_store(spark, sf_dir, name)
+    base = store.read(spark, 1)  # the committed v1 snapshot
+    v2 = store.merge(spark, _merge_batch(base), _KEYS, optimize_write=True)
+    if v2 != 2:
+        raise RuntimeError(f"unexpected store versions (1, {v2})")
+    return store, 1, v2
 
 
 _PARTITION_MERGE_ORACLE = f"""
@@ -305,24 +360,13 @@ def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     null. The oracle recomputes the same union from the events table,
     so value parity proves schema-on-read filled the nulls exactly
     (and the carried old-schema files stayed readable)."""
-    from calorista_spark.sources.commitlog import CommitLogStore
-
-    tag = hashlib.md5(f"evolve:{sf_dir}".encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"calorista_evolve_{tag}_{os.getpid()}"
+    store = _clone_store(spark, sf_dir, "evolve")
+    batch = _merge_batch(store.read(spark, 1)).withColumn(
+        "batch_tag", F.lit("r10")
     )
-    shutil.rmtree(path, ignore_errors=True)
-    store = CommitLogStore(path)
-    base = _day_counts(spark, sf_dir)
-    store.commit(
-        base,
-        op="overwrite",
-        expect_version=None,
-        partition_by="event_date",
-        keys=_KEYS,
+    store.merge(
+        spark, batch, _KEYS, schema_mode="merge", optimize_write=True
     )
-    batch = _merge_batch(base).withColumn("batch_tag", F.lit("r10"))
-    store.merge(spark, batch, _KEYS, schema_mode="merge")
     out = store.read(spark)
     if out.columns != ["event_date", "user_id", "event_type", "n_events", "batch_tag"]:
         raise RuntimeError(f"evolved schema wrong: {out.columns}")
@@ -372,22 +416,8 @@ def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned aggregate reads the post-delete snapshot through the
     DV-masking plan, so oracle parity proves the masked rows — and
     ONLY those — vanished from every downstream computation."""
-    from calorista_spark.sources.commitlog import CommitLogStore
-
-    tag = hashlib.md5(f"dv:{sf_dir}".encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"calorista_dv_{tag}_{os.getpid()}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    store = CommitLogStore(path)
-    base = _day_counts(spark, sf_dir)
-    v1 = store.commit(
-        base,
-        op="overwrite",
-        expect_version=None,
-        partition_by="event_date",
-        keys=_KEYS,
-    )
+    store = _clone_store(spark, sf_dir, "dv")
+    v1 = 1
     v2 = store.delete_where(spark, [("user_id", "==", 7)])
     if v2 != v1:
         m1, m2 = store.manifest(v1), store.manifest(v2)
@@ -446,22 +476,8 @@ def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value parity of the post-update aggregate against the oracle's
     CASE expression proves the masked-old/appended-new composition
     reads back as a plain updated table."""
-    from calorista_spark.sources.commitlog import CommitLogStore
-
-    tag = hashlib.md5(f"upd:{sf_dir}".encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"calorista_upd_{tag}_{os.getpid()}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    store = CommitLogStore(path)
-    base = _day_counts(spark, sf_dir)
-    v1 = store.commit(
-        base,
-        op="overwrite",
-        expect_version=None,
-        partition_by="event_date",
-        keys=_KEYS,
-    )
+    store = _clone_store(spark, sf_dir, "upd")
+    v1 = 1
     v2 = store.update_where(
         spark,
         [("user_id", "==", 7)],

@@ -543,6 +543,7 @@ class CommitLogStore:
         clustering: dict | None = None,
         sort_by: list[str] | None = None,
         sort_expr=None,
+        optimize_write: bool = False,
     ) -> int:
         """Write ``df`` as a NEW snapshot and atomically publish it.
 
@@ -583,6 +584,21 @@ class CommitLogStore:
             staged = df.withColumn(
                 "__part", F.col(partition_by).cast("string")
             )
+            if optimize_write:
+                # Delta-style optimized write: hash-shuffle rows to
+                # their partition value before the hive write, so each
+                # partition gets O(1) files instead of one per upstream
+                # task — without this, a 32-task write into 30
+                # partitions lands ~960 small files that compact must
+                # then clean up. The explicit task count keeps the
+                # write parallel (partition values hash across all
+                # cores; collapsing to one task per VALUE would
+                # serialize the write). Trade-off (why it's opt-in): a
+                # single huge partition still lands in one task — at
+                # real scale enable it for merge-sized batches, not
+                # initial bulk loads.
+                n = staged.sparkSession.sparkContext.defaultParallelism
+                staged = staged.repartition(max(n, 1), F.col("__part"))
             order_keys = (
                 [F.col(c) for c in sort_by]
                 if sort_by
@@ -776,6 +792,7 @@ class CommitLogStore:
         batch_id: int | None = None,
         partition_by: str | None = None,
         schema_mode: str = "strict",
+        optimize_write: bool = False,
     ) -> int:
         """Transactional keyed upsert (O-D3 on the commit log): read
         the latest snapshot, merge, publish as a new version with the
@@ -817,6 +834,7 @@ class CommitLogStore:
                 expect_version=None,
                 partition_by=partition_by,
                 keys=keys,
+                optimize_write=optimize_write,
             )
         m = self.manifest(latest)
         pb = partition_by if partition_by is not None else m.get("partition_by")
@@ -847,6 +865,7 @@ class CommitLogStore:
             partition_by=pb,
             keys=keys,
             carry_partitions=carry,
+            optimize_write=optimize_write,
         )
 
     def merge_cdc(
@@ -859,6 +878,7 @@ class CommitLogStore:
         batch_id: int | None = None,
         partition_by: str | None = None,
         schema_mode: str = "strict",
+        optimize_write: bool = False,
     ) -> int:
         """CDC apply (upserts + tombstone deletes) as one transactional
         commit; same replay ledger and parent pinning as :meth:`merge`,
@@ -926,6 +946,7 @@ class CommitLogStore:
             partition_by=pb,
             keys=keys,
             carry_partitions=carry,
+            optimize_write=optimize_write,
         )
 
     def overwrite_partitions(
@@ -1179,6 +1200,9 @@ class CommitLogStore:
             from urllib.parse import unquote
 
             staged = updated.withColumn("__part", F.col(pb).cast("string"))
+            # sparse-update contract → optimized write: one appended
+            # file per touched partition, not one per scan task
+            staged = staged.repartition(F.col("__part"))
             staged.write.mode("error").partitionBy("__part").parquet(ddir)
             for sub in sorted(os.listdir(ddir)):
                 if not sub.startswith("__part="):
@@ -1194,7 +1218,7 @@ class CommitLogStore:
                     if f.endswith(".parquet")
                 )
         else:
-            updated.write.mode("error").parquet(ddir)
+            updated.coalesce(1).write.mode("error").parquet(ddir)
             new_parts[""] = sorted(
                 os.path.join("data", token, f)
                 for f in os.listdir(ddir)
