@@ -873,3 +873,53 @@ def test_update_where_merge_on_read(spark, tmp_path):
     s2.update_where(spark, [("k", "==", 2)], {"v": "U2"})
     got = {(r.d, r.k, r.v) for r in s2.read(spark).collect()}
     assert ("d0", 2, "U2") not in got and ("d1", 2, "U2") in got
+
+
+def test_stacked_updates_and_delete_of_updated_row(spark, tmp_path):
+    """Mutation stacking: update an already-updated row (DV lands on
+    the APPENDED file), then delete it — every read face and both CDF
+    faces stay exact through the whole chain."""
+    from pyspark.sql import functions as F
+
+    from calorista_spark.sources.commitlog import _changes_between_py
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [("d0", k, 10 * k) for k in range(4)], "d string, k long, amt long"
+    )
+    store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    v2 = store.update_where(spark, [("k", "==", 1)], {"amt": 111})
+    v3 = store.update_where(spark, [("k", "==", 1)], {"amt": 222})
+    m3 = store.manifest(v3)
+    # the second update masked a position in the v2-APPENDED file
+    appended_v2 = sorted(
+        set(store.manifest(v2)["files"]) - set(store.manifest(1)["files"])
+    )
+    assert any(f in m3["dv"] for f in appended_v2)
+    got = {(r.k, r.amt) for r in store.read(spark).collect()}
+    assert got == {(0, 0), (1, 222), (2, 20), (3, 30)}
+    cdf = sorted(
+        (r.k, r.amt, r._change_type)
+        for r in store.read_changes(spark, v2, v3).collect()
+    )
+    assert cdf == [(1, 111, "update_preimage"), (1, 222, "update_postimage")]
+    v4 = store.delete_where(spark, [("k", "==", 1)])
+    assert {(r.k, r.amt) for r in store.read(spark).collect()} == {
+        (0, 0),
+        (2, 20),
+        (3, 30),
+    }
+    cdf = sorted(
+        (r.k, r.amt, r._change_type)
+        for r in store.read_changes(spark, v3, v4).collect()
+    )
+    assert cdf == [(1, 222, "delete")]
+    # the driver-side streaming mirror agrees over the full chain
+    spark_face = sorted(
+        (r.k, r.amt, r._change_type, r._commit_version)
+        for r in store.read_changes(spark, 0, v4).collect()
+    )
+    py_face = sorted(
+        (t[1], t[2], t[3], t[4]) for t in _changes_between_py(store, 0, v4, None)
+    )
+    assert spark_face == py_face
