@@ -55,6 +55,17 @@ every table format (Delta, Iceberg, Hudi) converges on:
   delete — the GDPR erasure case — costs O(deleted rows), not
   O(touched files), exactly Delta's DV / Iceberg v2 position-delete
   design; :meth:`compact` purges DVs back into clean files.
+  :meth:`update_where` composes the same mask with an append of the
+  updated rows, completing the merge-on-read DML trio (INSERT /
+  DELETE / UPDATE, plus keyed MERGE).
+- **Data skipping, OPTIMIZE, Z-order, schema evolution, time travel
+  (r10).** Footer-lifted per-file stats drive :meth:`files_for` /
+  :meth:`read_where` manifest-level pruning; :meth:`compact`
+  bin-packs small files with linear or Z-order (``layout="zorder"``)
+  clustering so the stats become tight in every clustered dimension;
+  ``schema_mode="merge"`` evolves the schema additively;
+  ``read(as_of=ts)`` / :meth:`history` give TIMESTAMP AS OF and the
+  audit trail.
 
 Scale notes: the manifest lists files, so a snapshot read plans from
 the manifest (no directory listing); history depth costs one tiny
