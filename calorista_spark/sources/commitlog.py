@@ -1014,6 +1014,53 @@ class CommitLogStore:
             carry_partitions=carry,
         )
 
+    def _live_positions(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        residual,
+        dv: dict[str, str],
+    ) -> list:
+        """(path, position) rows of the LIVE rows in ``files`` matching
+        ``residual`` — existing DV positions are anti-joined out, so an
+        already-deleted row can neither be re-deleted (a pointless
+        no-op commit) nor re-updated. Bounded: one tuple per matching
+        live row."""
+        from pyspark.sql import functions as F
+
+        root = os.path.abspath(self.path)
+        scan = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in files])
+            .filter(residual)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        masked = []
+        for f in files:
+            if f in dv:
+                apath = os.path.join(root, f)
+                with open(os.path.join(self.path, dv[f]), "rb") as fh:
+                    masked.extend(
+                        (apath, int(p)) for p in _decode_dv(fh.read())
+                    )
+        if masked:
+            dvdf = spark.createDataFrame(
+                masked, "__dv_path string, __dv_pos long"
+            )
+            scan = scan.join(
+                F.broadcast(dvdf),
+                (F.col("__path") == F.col("__dv_path"))
+                & (F.col("__pos") == F.col("__dv_pos")),
+                "left_anti",
+            )
+        return scan.collect()
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -1059,27 +1106,16 @@ class CommitLogStore:
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
         root = os.path.abspath(self.path)
-        hits = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, f) for f in cand])
-            .filter(residual)
-            .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__path"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-            .collect()  # bounded: one tuple per DELETED row
-        )
+        prev_dv = dict(m.get("dv", {}))
+        hits = self._live_positions(spark, cand, schema, residual, prev_dv)
         if not hits:
-            return latest
+            return latest  # nothing LIVE matched: no commit
         by_file: dict[str, list[int]] = {}
         for r in hits:
             # r["__path"], not r.__path: attribute access would trigger
             # Python's class-private name mangling inside this method
             rel = os.path.relpath(r["__path"], root)
             by_file.setdefault(rel, []).append(r["__pos"])
-        prev_dv = dict(m.get("dv", {}))
         token = uuid.uuid4().hex
         ddir = os.path.join(self.data_dir, token)
         os.makedirs(ddir)
@@ -1174,21 +1210,9 @@ class CommitLogStore:
         matching = self._read_files(spark, cand, schema, dv=dv_prev).filter(
             residual
         )
-        # positions come from a metadata-bearing scan of the SAME files
-        pos_scan = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, f) for f in cand])
-            .filter(residual)
-            .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__path"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-            .collect()  # bounded: one tuple per UPDATED row
-        )
+        pos_scan = self._live_positions(spark, cand, schema, residual, dv_prev)
         if not pos_scan:
-            return latest
+            return latest  # nothing LIVE matched: no commit
         by_file: dict[str, set[int]] = {}
         for r in pos_scan:
             rel = os.path.relpath(r["__path"], root)

@@ -923,3 +923,20 @@ def test_stacked_updates_and_delete_of_updated_row(spark, tmp_path):
         (t[1], t[2], t[3], t[4]) for t in _changes_between_py(store, 0, v4, None)
     )
     assert spark_face == py_face
+
+
+def test_redundant_mutations_write_no_commit(spark, tmp_path):
+    """Deleting an already-deleted row (or updating one) matches no
+    LIVE row and must publish NO commit — the liveness anti-join on
+    the position scan, not just a harmless re-mask."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(
+        spark.createDataFrame([("d0", k, k) for k in range(4)],
+                              "d string, k long, amt long"),
+        expect_version=None, partition_by="d", keys=["d", "k"],
+    )
+    v2 = store.delete_where(spark, [("k", "==", 1)])
+    assert v2 == 2
+    assert store.delete_where(spark, [("k", "==", 1)]) == v2
+    assert store.update_where(spark, [("k", "==", 1)], {"amt": 99}) == v2
+    assert store.versions() == [1, 2]
