@@ -1,0 +1,111 @@
+"""Model-checked commit-log store: hypothesis drives random operation
+sequences (merge / CDC / DV delete / merge-on-read update / compact)
+against a plain-dict reference model, checking after EVERY operation
+that the snapshot read equals the model — and at the end that folding
+the whole change-data-feed from version 0 rebuilds the model exactly.
+
+This is the strongest cross-feature guarantee in the file: any
+interaction bug between deletion vectors, appended update files,
+partition carry-by-reference, and compaction purges shows up either as
+a wrong snapshot or as a CDF fold divergence, under histories no
+hand-written test enumerates."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from calorista_spark.sources.commitlog import CommitLogStore
+
+_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_KEYS = st.integers(min_value=0, max_value=7)
+_AMTS = st.integers(min_value=0, max_value=100)
+
+_op = st.one_of(
+    st.tuples(st.just("merge"), st.dictionaries(_KEYS, _AMTS, max_size=4)),
+    st.tuples(
+        st.just("cdc"),
+        st.dictionaries(
+            _KEYS, st.tuples(_AMTS, st.sampled_from(["upsert", "delete"])),
+            max_size=4,
+        ),
+    ),
+    st.tuples(st.just("delete"), _KEYS),
+    st.tuples(st.just("update"), _KEYS, _AMTS),
+    st.tuples(st.just("compact")),
+)
+
+
+def _part(k: int) -> str:
+    return f"d{k % 3}"  # partition functionally dependent on the key
+
+
+def _rows(spark, d: dict):
+    data = [(_part(k), k, v) for k, v in sorted(d.items())]
+    return spark.createDataFrame(
+        data or [("d0", 0, 0)], "d string, k long, amt long"
+    ).limit(len(data))
+
+
+@given(ops=st.lists(_op, max_size=5))
+@_settings
+def test_store_matches_reference_model(spark, tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("model") / "s")
+    store = CommitLogStore(path)
+    model: dict[int, int] = {k: 10 * k for k in range(6)}
+    store.merge(
+        spark, _rows(spark, model), ["d", "k"], partition_by="d"
+    )
+    for op in ops:
+        if op[0] == "merge":
+            batch = op[1]
+            store.merge(spark, _rows(spark, batch), ["d", "k"])
+            model.update(batch)
+        elif op[0] == "cdc":
+            batch = op[1]
+            data = [
+                (_part(k), k, (None if o == "delete" else a), o)
+                for k, (a, o) in sorted(batch.items())
+            ]
+            cdc = spark.createDataFrame(
+                data or [("d0", 0, 0, "upsert")],
+                "d string, k long, amt long, op string",
+            ).limit(len(data))
+            store.merge_cdc(spark, cdc, ["d", "k"])
+            for k, (a, o) in batch.items():
+                if o == "delete":
+                    model.pop(k, None)
+                else:
+                    model[k] = a
+        elif op[0] == "delete":
+            store.delete_where(spark, [("k", "==", op[1])])
+            model.pop(op[1], None)
+        elif op[0] == "update":
+            k, a = op[1], op[2]
+            store.update_where(spark, [("k", "==", k)], {"amt": a})
+            if k in model:
+                model[k] = a
+        elif op[0] == "compact":
+            store.compact(spark)
+        got = {(r.k, r.amt) for r in store.read(spark).collect()}
+        assert got == set(model.items()), (op, got, model)
+
+    # the CDF from version 0 must FOLD back into the final model:
+    # every insert/update_postimage sets the key, every delete removes
+    # it; compact commits contribute zero rows by contract
+    folded: dict[int, int] = {}
+    feed = sorted(
+        (r._commit_version, r._change_type, r.k, r.amt)
+        for r in store.read_changes(spark, 0).collect()
+    )
+    for _v, ct, k, amt in feed:
+        if ct == "delete":
+            folded.pop(k, None)
+        elif ct in ("insert", "update_postimage"):
+            folded[k] = amt
+    assert folded == model, (feed, model)
