@@ -289,7 +289,19 @@ def store_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     store, v1, v2 = _build_store(spark, sf_dir, "skipscan")
-    v3 = store.compact(spark, cluster_by=["user_id"])
+    # OPTIMIZE with a forced small bin target so each date splits into
+    # several files laid along a Morton curve over (user_id, n_events)
+    m2 = store.manifest(v2)
+    part_bytes = [
+        sum(m2["stats"][f]["bytes"] for f in fl if f in m2["stats"])
+        for fl in m2.get("partitions", {}).values()
+    ]
+    v3 = store.compact(
+        spark,
+        target_file_bytes=max(1, max(part_bytes, default=1) // 4),
+        cluster_by=["user_id", "n_events"],
+        layout="zorder",
+    )
     if v3 != v2 and store.read_changes(spark, v2, v3).count() != 0:
         raise RuntimeError("compact changed reader-visible data")
     lo, hi = _dt.date(2024, 1, 8), _dt.date(2024, 1, 12)
@@ -306,6 +318,17 @@ def store_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"stats pruning opened {len(opened)} files, "
             f"expected exactly the {len(expected)} in-range ones"
+        )
+    # z-order check: a single-user point lookup opens a MINORITY of
+    # files even though user_id is neither the partition column nor a
+    # leading sort key. Enforced only when the store actually split
+    # (data-sized inputs; a LIMIT-0 audit table skips the ratio check).
+    nf = len(m["files"])
+    u_opened = len(store.files_for([("user_id", "==", 7)]))
+    if nf >= 60 and u_opened * 2 >= nf:
+        raise RuntimeError(
+            f"z-order pruning opened {u_opened}/{nf} files for a "
+            "single-user lookup — expected a minority"
         )
     return (
         store.read_where(spark, preds)

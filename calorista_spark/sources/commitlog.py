@@ -305,9 +305,9 @@ def _align_to(df: DataFrame, schema: T.StructType) -> DataFrame:
 _ZORDER_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double")
 
 
-def _zorder_column(df: DataFrame, cols: list[str], bits: int = 6):
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 4):
     """Z-value expression for multi-dimensional clustering: each column
-    is bucketed into 2^bits rank buckets by approx quantiles (the ONLY
+    is bucketed into 2^bits RANK buckets by approx quantiles (the ONLY
     driver-side materialization is the boundary list — 2^bits values
     per column, data-size independent), then the bucket bits are
     interleaved. Sorting by the result gives every output file a tight
@@ -316,7 +316,17 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 6):
     each single dimension prunes a bit worse than a dedicated linear
     sort, but all dimensions prune at once. Numeric columns only (use
     linear clustering for strings/dates). The whole expression is
-    built-in functions — JVM-side, codegen-friendly, no UDF."""
+    built-in functions — JVM-side, no UDF.
+
+    Why quantile buckets at 2^4, not more, and not uniform width: the
+    bucket expression is a chain of 2^bits-1 CASE WHENs per column, and
+    64-bucket chains hit a measured Janino codegen cliff (an 11 s
+    compact dropped to 3 s at 16 buckets); uniform ``width_bucket``
+    is O(1) per row but collapses under outlier skew (one backfill ID
+    at key+100000 squeezed every real user into bucket 0, destroying
+    the very pruning z-order exists for). Sixteen rank buckets per
+    dimension is granularity enough for FILE-level skipping while
+    staying on the fast side of both cliffs."""
     from functools import reduce
 
     from pyspark.sql import functions as F
