@@ -1524,10 +1524,19 @@ class CommitLogStore:
                 .unionByName(pre_rows)
                 .unionByName(post_rows)
             )
+        # histories spanning an additive schema evolution produce
+        # frames with different column sets; the feed surfaces the END
+        # version's schema, pre-evolution change rows reading null for
+        # appended columns (schema-on-read, same as snapshot reads)
+        out_schema = T.StructType.fromJson(
+            json.loads(self.manifest(to_v)["schema"])
+        )
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out.select(
+            *out_schema.fieldNames(), "_change_type", "_commit_version"
+        )
 
     # -- maintenance ---------------------------------------------------------
 
@@ -1789,19 +1798,34 @@ def _changes_between_py(
     from_version: int,
     to_version: int,
     keys: list[str] | None,
+    out_cols: list[str] | None = None,
 ) -> list[tuple]:
     """Driver-side mirror of :meth:`CommitLogStore.read_changes` —
     same classification, computed with pyarrow + plain dict compare
     (value equality, not hash parity, so the two faces cannot drift).
-    Returns tuples in manifest-schema column order + (change_type,
-    version), deterministically sorted by key within each version."""
+    Returns tuples in ``out_cols`` order (default: the END version's
+    schema — pre-evolution change rows read null for appended columns)
+    + (change_type, version), deterministically sorted by key within
+    each version. A version whose schema has columns BEYOND
+    ``out_cols`` raises: a fixed-schema consumer (a running stream)
+    cannot represent it and must restart."""
     import pyarrow.parquet as pq
 
+    if out_cols is None:
+        out_cols = T.StructType.fromJson(
+            json.loads(store.manifest(to_version)["schema"])
+        ).fieldNames()
     out: list[tuple] = []
     for v in range(from_version + 1, to_version + 1):
         m = store.manifest(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         cols = schema.fieldNames()
+        if set(cols) - set(out_cols):
+            raise ValueError(
+                f"v{v} schema has columns beyond the reader's "
+                f"({sorted(set(cols) - set(out_cols))}); restart the "
+                "stream to pick up the evolved schema"
+            )
         parent = m.get("parent")
 
         def load(files: list[str], dvm: dict | None = None) -> list[dict]:
@@ -1829,7 +1853,9 @@ def _changes_between_py(
             if ks0:
                 rows.sort(key=lambda r: tuple(str(r[k]) for k in ks0))
             for r in rows:
-                out.append(tuple(r[c] for c in cols) + ("insert", v))
+                out.append(
+                    tuple(r.get(c) for c in out_cols) + ("insert", v)
+                )
             continue
         mp = store.manifest(parent)
         ks = keys if keys is not None else m.get("keys")
@@ -1860,15 +1886,21 @@ def _changes_between_py(
         for k in sorted(set(pre) | set(post), key=lambda t: tuple(map(str, t))):
             p, q = pre.get(k), post.get(k)
             if q is None:
-                out.append(tuple(p[c] for c in cols) + ("delete", v))
+                out.append(
+                    tuple(p.get(c) for c in out_cols) + ("delete", v)
+                )
             elif p is None:
-                out.append(tuple(q[c] for c in cols) + ("insert", v))
+                out.append(
+                    tuple(q.get(c) for c in out_cols) + ("insert", v)
+                )
             elif any(p[c] != q[c] for c in cols):
                 out.append(
-                    tuple(p[c] for c in cols) + ("update_preimage", v)
+                    tuple(p.get(c) for c in out_cols)
+                    + ("update_preimage", v)
                 )
                 out.append(
-                    tuple(q[c] for c in cols) + ("update_postimage", v)
+                    tuple(q.get(c) for c in out_cols)
+                    + ("update_postimage", v)
                 )
     return out
 
@@ -1882,11 +1914,16 @@ def make_commitlog_changes_datasource():
     )
 
     class CommitLogChangesStreamReader(SimpleDataSourceStreamReader):
-        def __init__(self, options: dict):
+        def __init__(self, options: dict, out_cols: list[str] | None = None):
             self.path = options["path"]
             ks = [k for k in options.get("keys", "").split(",") if k]
             self.keys = ks or None
             self.start_version = int(options.get("starting_version", 0))
+            # the stream's schema is FIXED at start: emit every batch
+            # in it (pre-evolution rows null-fill; a version evolved
+            # beyond it raises a restart error instead of silently
+            # misaligning tuples)
+            self.out_cols = out_cols
 
         def initialOffset(self) -> dict:
             return {"version": self.start_version}
@@ -1896,7 +1933,7 @@ def make_commitlog_changes_datasource():
             latest = store.latest_version() or 0
             end_v = max(latest, start["version"])
             rows = _changes_between_py(
-                store, start["version"], end_v, self.keys
+                store, start["version"], end_v, self.keys, self.out_cols
             )
             return iter(rows), {"version": end_v}
 
@@ -1904,7 +1941,11 @@ def make_commitlog_changes_datasource():
             store = CommitLogStore(self.path)
             return iter(
                 _changes_between_py(
-                    store, start["version"], end["version"], self.keys
+                    store,
+                    start["version"],
+                    end["version"],
+                    self.keys,
+                    self.out_cols,
                 )
             )
 
@@ -1932,7 +1973,12 @@ def make_commitlog_changes_datasource():
             )
 
         def simpleStreamReader(self, schema):
-            return CommitLogChangesStreamReader(self.options)
+            out_cols = [
+                f.name
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+            return CommitLogChangesStreamReader(self.options, out_cols)
 
     return CommitLogChangesDataSource
 

@@ -940,3 +940,45 @@ def test_redundant_mutations_write_no_commit(spark, tmp_path):
     assert store.delete_where(spark, [("k", "==", 1)]) == v2
     assert store.update_where(spark, [("k", "==", 1)], {"amt": 99}) == v2
     assert store.versions() == [1, 2]
+
+
+def test_cdf_spans_schema_evolution(spark, tmp_path):
+    """A single read_changes call spanning an additive evolution commit
+    emits the END version's schema, pre-evolution change rows reading
+    null for the appended column — both faces; a fixed-schema consumer
+    asked to read BEYOND its schema gets a restart error, not
+    misaligned tuples."""
+    from calorista_spark.sources.commitlog import _changes_between_py
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(
+        _pdf(spark, [("d0", 0, "a"), ("d1", 1, "b")]),
+        expect_version=None,
+        partition_by="d",
+        keys=["d", "k"],
+    )
+    store.merge(spark, _pdf(spark, [("d0", 0, "A2")]), ["d", "k"])  # v2
+    evolved = spark.createDataFrame(
+        [("d1", 1, "B3", 9.5)], "d string, k long, v string, score double"
+    )
+    v3 = store.merge(spark, evolved, ["d", "k"], schema_mode="merge")
+    cdf = store.read_changes(spark, 0, v3)
+    assert cdf.columns == ["d", "k", "v", "score", "_change_type", "_commit_version"]
+    rows = {
+        (r.d, r.k, r.v, r.score, r._change_type, r._commit_version)
+        for r in cdf.collect()
+    }
+    assert rows == {
+        ("d0", 0, "a", None, "insert", 1),
+        ("d1", 1, "b", None, "insert", 1),
+        ("d0", 0, "a", None, "update_preimage", 2),
+        ("d0", 0, "A2", None, "update_postimage", 2),
+        ("d1", 1, "b", None, "update_preimage", 3),
+        ("d1", 1, "B3", 9.5, "update_postimage", 3),
+    }
+    # py mirror agrees, same arity everywhere
+    py = {tuple(t) for t in _changes_between_py(store, 0, v3, None)}
+    assert py == rows
+    # fixed pre-evolution schema asked to read past the evolution: typed error
+    with pytest.raises(ValueError, match="restart"):
+        _changes_between_py(store, 0, v3, None, out_cols=["d", "k", "v"])
