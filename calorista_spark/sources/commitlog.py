@@ -327,8 +327,6 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 4):
     the very pruning z-order exists for). Sixteen rank buckets per
     dimension is granularity enough for FILE-level skipping while
     staying on the fast side of both cliffs."""
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     for c in cols:
@@ -349,16 +347,10 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 4):
         return F.when(F.col(c).isNull(), F.lit(0)).otherwise(e).cast("long")
 
     buckets = [bucket(c, bs) for c, bs in zip(cols, all_bounds)]
-    parts = []
-    for bit in range(bits):
-        for ci, be in enumerate(buckets):
-            parts.append(
-                F.shiftleft(
-                    F.shiftright(be, bit).bitwiseAND(F.lit(1)),
-                    bit * len(cols) + ci,
-                )
-            )
-    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("__zval")
+    # interleave via the shared Morton-key builder (operators/layout)
+    from calorista_spark.operators.layout import zorder_key
+
+    return zorder_key(buckets, bits=bits).alias("__zval")
 
 
 def _fsync_file(path: str) -> None:
