@@ -888,8 +888,16 @@ def test_stacked_updates_and_delete_of_updated_row(spark, tmp_path):
         [("d0", k, 10 * k) for k in range(4)], "d string, k long, amt long"
     )
     store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
-    v2 = store.update_where(spark, [("k", "==", 1)], {"amt": 111})
-    v3 = store.update_where(spark, [("k", "==", 1)], {"amt": 222})
+    # cow_threshold=None pins the pure-DV path: the second update masks
+    # 100% of the 1-row appended file, which the default threshold
+    # would (correctly) rewrite copy-on-write instead — this test is
+    # specifically about a DV landing on an APPENDED file
+    v2 = store.update_where(
+        spark, [("k", "==", 1)], {"amt": 111}, cow_threshold=None
+    )
+    v3 = store.update_where(
+        spark, [("k", "==", 1)], {"amt": 222}, cow_threshold=None
+    )
     m3 = store.manifest(v3)
     # the second update masked a position in the v2-APPENDED file
     appended_v2 = sorted(
@@ -982,3 +990,260 @@ def test_cdf_spans_schema_evolution(spark, tmp_path):
     # fixed pre-evolution schema asked to read past the evolution: typed error
     with pytest.raises(ValueError, match="restart"):
         _changes_between_py(store, 0, v3, None, out_cols=["d", "k", "v"])
+
+
+# -- r11: executor-side DV build, copy-on-write DML, ADVICE fixes -----------
+
+
+def test_cow_threshold_decides_per_file(spark, tmp_path):
+    """r11 copy-on-write fallback (VERDICT r10 #2): ONE delete whose
+    predicate matches 100% of one partition's file and 10% of
+    another's must rewrite the first (file leaves the manifest, no DV,
+    the emptied partition drops from the map) and DV-mask the second
+    (file stays, DV entry) — the threshold decision is per file.
+    Reads and the change feed are identical to the pure-DV run of the
+    same predicate."""
+    rows = [("dA", k, 0) for k in range(10)] + [
+        ("dB", k, (0 if k == 0 else 100 + k)) for k in range(10)
+    ]
+    base = spark.createDataFrame(rows, "d string, k long, amt long")
+    results = {}
+    for name, thr in (("cow", 0.5), ("dv", None)):
+        store = CommitLogStore(str(tmp_path / name))
+        store.commit(
+            base.coalesce(1), expect_version=None, partition_by="d",
+            keys=["d", "k"],
+        )
+        m1 = store.manifest(1)
+        v2 = store.delete_where(spark, [("amt", "<", 8)], cow_threshold=thr)
+        m2 = store.manifest(v2)
+        f_a, f_b = m1["partitions"]["dA"], m1["partitions"]["dB"]
+        if thr is None:  # pure DV: every file survives, two DVs
+            assert m2["files"] == m1["files"]
+            assert all(f in m2["dv"] for f in f_a + f_b)
+        else:  # per-file: dA rewritten away (10/10 > 0.5), dB masked
+            assert all(f not in m2["files"] for f in f_a)
+            assert all(f in m2["files"] for f in f_b)
+            assert all(f not in m2.get("dv", {}) for f in f_a)
+            assert all(f in m2["dv"] for f in f_b)
+            assert "dA" not in m2["partitions"]  # emptied partition
+        results[name] = {
+            "rows": sorted(
+                (r.d, r.k, r.amt) for r in store.read(spark).collect()
+            ),
+            "cdf": sorted(
+                (r.d, r.k, r._change_type)
+                for r in store.read_changes(spark, 1, v2).collect()
+            ),
+        }
+    assert results["cow"] == results["dv"]
+    assert results["cow"]["rows"] == sorted(
+        ("dB", k, 100 + k) for k in range(1, 10)
+    )
+    assert results["cow"]["cdf"] == sorted(
+        [("dA", k, "delete") for k in range(10)] + [("dB", 0, "delete")]
+    )
+
+
+def test_cow_update_rewrites_in_place(spark, tmp_path):
+    """r11: an UPDATE matching every row of a file rewrites it in
+    place (no DV, no appended file for it), while a sparse file on the
+    same predicate takes DV+append; values and CDF match the pure-DV
+    run bit for bit."""
+    rows = [("dA", k, 0) for k in range(4)] + [("dB", k, k) for k in range(10)]
+    base = spark.createDataFrame(rows, "d string, k long, amt long")
+    results = {}
+    for name, thr in (("u_cow", 0.5), ("u_dv", None)):
+        store = CommitLogStore(str(tmp_path / name))
+        store.commit(
+            base.coalesce(1), expect_version=None, partition_by="d",
+            keys=["d", "k"],
+        )
+        m1 = store.manifest(1)
+        v2 = store.update_where(
+            spark, [("amt", "<", 2)], {"amt": F.col("amt") + 100},
+            cow_threshold=thr,
+        )
+        m2 = store.manifest(v2)
+        f_a, f_b = m1["partitions"]["dA"], m1["partitions"]["dB"]
+        if thr is None:
+            assert set(m1["files"]) <= set(m2["files"])
+            assert all(f in m2["dv"] for f in f_a + f_b)
+        else:  # dA 4/4 matched → COW; dB 2/10 → DV + append
+            assert all(f not in m2["files"] for f in f_a)
+            assert all(f not in m2.get("dv", {}) for f in f_a)
+            assert all(f in m2["files"] and f in m2["dv"] for f in f_b)
+        results[name] = {
+            "rows": sorted(
+                (r.d, r.k, r.amt) for r in store.read(spark).collect()
+            ),
+            "cdf": sorted(
+                (r.d, r.k, r.amt, r._change_type)
+                for r in store.read_changes(spark, 1, v2).collect()
+            ),
+        }
+    assert results["u_cow"] == results["u_dv"]
+    assert results["u_cow"]["rows"] == sorted(
+        [("dA", k, 100) for k in range(4)]
+        + [("dB", k, (k + 100 if k < 2 else k)) for k in range(10)]
+    )
+
+
+def test_dv_paths_with_uri_special_partition_values(spark, tmp_path):
+    """ADVICE r10: a partition value with a space / plus / unicode
+    must round-trip through _metadata.file_path's percent-encoding —
+    delete_where must find the rows (not raise 'untracked file') and
+    the DV anti-join must keep masking them on read."""
+    base = spark.createDataFrame(
+        [(d, k, k) for d in ("a b", "c+d", "é%20x") for k in range(4)],
+        "d string, k long, amt long",
+    )
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(
+        base.coalesce(1), expect_version=None, partition_by="d",
+        keys=["d", "k"],
+    )
+    v2 = store.delete_where(spark, [("k", "==", 1)], cow_threshold=None)
+    assert v2 == 2 and store.manifest(v2)["dv"]
+    got = {(r.d, r.k) for r in store.read(spark).collect()}
+    assert got == {
+        (d, k) for d in ("a b", "c+d", "é%20x") for k in (0, 2, 3)
+    }
+    # update through the same encoded paths, then CDF over the chain
+    store.update_where(
+        spark, [("k", "==", 2)], {"amt": 99}, cow_threshold=None
+    )
+    got = {(r.d, r.k, r.amt) for r in store.read(spark).collect()}
+    assert ("a b", 2, 99) in got and ("c+d", 2, 99) in got
+    assert ("é%20x", 1, 1) not in {(d, k, a) for d, k, a in got}
+
+
+def test_empty_predicates_raise_typed_error(spark, tmp_path):
+    """ADVICE r10: read_where/delete_where/update_where with an empty
+    predicate list raise a clear ValueError, not a bare reduce()
+    TypeError."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(_df(spark, [(1, "a")]), expect_version=None)
+    with pytest.raises(ValueError, match="non-empty"):
+        store.read_where(spark, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        store.delete_where(spark, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        store.update_where(spark, [], {"v": "x"})
+
+
+def test_nan_rows_do_not_drift_between_cdf_faces(spark, tmp_path):
+    """ADVICE r10: a NaN float re-sent IDENTICAL through a merge must
+    be suppressed by BOTH change-feed faces (Spark row-hash and the
+    driver-side dict compare), and a real NaN→value change must
+    surface in both."""
+    import math as _math
+
+    from calorista_spark.sources.commitlog import _changes_between_py
+
+    nan = float("nan")
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(
+        spark.createDataFrame(
+            [(1, nan), (2, 2.0), (3, nan)], "k long, x double"
+        ),
+        expect_version=None,
+        keys=["k"],
+    )
+    # re-send row 1 identical (NaN unchanged), change row 3 NaN→7.5
+    v2 = store.merge(
+        spark,
+        spark.createDataFrame([(1, nan), (3, 7.5)], "k long, x double"),
+        ["k"],
+    )
+    def norm(x):
+        return "nan" if x is not None and _math.isnan(x) else str(x)
+
+    spark_face = sorted(
+        (r.k, norm(r.x), r._change_type)
+        for r in store.read_changes(spark, 1, v2).collect()
+    )
+    py_face = sorted(
+        (t[0], norm(t[1]), t[2])
+        for t in _changes_between_py(store, 1, v2, None)
+    )
+    assert spark_face == py_face
+    assert spark_face == [
+        (3, "7.5", "update_postimage"),
+        (3, "nan", "update_preimage"),
+    ]
+
+
+def test_naive_timestamp_pruning_matches_lit_semantics(spark, tmp_path):
+    """ADVICE r10: INT64 timestamp footer stats are UTC-adjusted while
+    F.lit converts a naive datetime predicate via the DRIVER's local
+    timezone (TimestampType.toInternal / time.mktime — NOT the session
+    timezone); files_for must apply the same conversion or it prunes
+    files whose rows actually match. Simulated on a non-UTC driver by
+    flipping TZ+tzset for the duration."""
+    import datetime as _dt
+    import os as _os
+    import time as _time
+
+    prev_out = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    prev_tz = _os.environ.get("TZ")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        store = CommitLogStore(str(tmp_path / "s"))
+        # one row at 03:00 UTC
+        store.commit(
+            spark.sql(
+                "SELECT 1 AS k, TIMESTAMP'2024-01-05 03:00:00 UTC' AS ts"
+            ),
+            expect_version=None,
+        )
+        # non-UTC driver: naive 12:00 Tokyo == the row's 03:00 UTC
+        _os.environ["TZ"] = "Asia/Tokyo"
+        _time.tzset()
+        pred = [
+            (
+                "ts",
+                "between",
+                (
+                    _dt.datetime(2024, 1, 5, 11, 0, 0),
+                    _dt.datetime(2024, 1, 5, 13, 0, 0),
+                ),
+            )
+        ]
+        # the residual filter (F.lit semantics) finds the row …
+        expected = store.read(spark).filter(
+            F.col("ts").between(
+                F.lit(_dt.datetime(2024, 1, 5, 11, 0, 0)),
+                F.lit(_dt.datetime(2024, 1, 5, 13, 0, 0)),
+            )
+        ).count()
+        assert expected == 1
+        # … so pruning must keep the file and read_where must agree
+        # (the r10 code compared naive "12:00" against UTC "03:00"
+        # stats and pruned the file — a silently wrong result)
+        assert len(store.files_for(pred)) == 1
+        assert store.read_where(spark, pred).count() == 1
+        # a predicate missing the row (in driver-local time) may prune
+        # but must never return rows
+        far = [("ts", ">", _dt.datetime(2024, 1, 6, 12, 0, 0))]
+        assert store.read_where(spark, far).count() == 0
+        # aware predicates prune exactly regardless of driver tz
+        aware = [
+            (
+                "ts",
+                "==",
+                _dt.datetime(
+                    2024, 1, 5, 3, 0, 0, tzinfo=_dt.timezone.utc
+                ),
+            )
+        ]
+        assert len(store.files_for(aware)) == 1
+    finally:
+        if prev_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = prev_tz
+        _time.tzset()
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
