@@ -79,15 +79,23 @@ every table format (Delta, Iceberg, Hudi) converges on:
   tradeoff (VERDICT r10 #2). Path identity everywhere uses an exact
   percent-decode of ``_metadata.file_path`` (URI) so partition values
   with spaces/unicode cannot silently break DV joins, and footer-stat
-  pruning of naive timestamp predicates converts through the SESSION
-  timezone (both ADVICE r10 fixes).
+  pruning of naive timestamp predicates mirrors ``F.lit``'s
+  driver-local-timezone conversion (both ADVICE r10 fixes).
+- **Commuting-writer rebase (r11).** MERGE that loses the version
+  race no longer just raises: when the interleaved commits touched
+  DISJOINT partitions (files + DVs of every partition this merge read
+  are identical in both heads) the already-staged data REBASES onto
+  the new head — a new manifest, zero recompute, zero data IO;
+  overlapping writers recompute from the new snapshot. Bounded by
+  ``max_retries``, same logical-conflict model as Delta's commit
+  protocol.
 
 Scale notes: the manifest lists files, so a snapshot read plans from
 the manifest (no directory listing); history depth costs one tiny
 JSON per commit. Unpartitioned MERGE still rewrites the full snapshot
 (the sanctioned fallback shape); pass ``partition_by`` to get
-touched-partition rewrites. Concurrency control is single-winner
-optimistic — the same model Delta uses, minus conflict-free retries.
+touched-partition rewrites. Concurrency control is optimistic with
+commutation-aware retries — the same model Delta uses.
 """
 
 from __future__ import annotations
@@ -703,14 +711,45 @@ class CommitLogStore:
         :meth:`merge`) injects untouched partitions' existing files
         into the new manifest by reference. ``keys`` records the merge
         key so :meth:`read_changes` can classify rows later.
-        """
-        from urllib.parse import unquote
 
+        r11: internally split into :meth:`_stage_snapshot_data` (write
+        the immutable data files) + :meth:`_commit_staged` (compose a
+        manifest against a parent and publish) so a MERGE that loses
+        the version race can REBASE the already-written data onto the
+        new head instead of rewriting it (see :meth:`merge`).
+        """
         latest = self.latest_version()
         if expect_version is not ... and expect_version != latest:
             raise CommitConflictError(
                 f"expected parent v{expect_version}, found v{latest}"
             )
+        staged = self._stage_snapshot_data(
+            df, partition_by, sort_by, sort_expr, optimize_write
+        )
+        return self._commit_staged(
+            staged,
+            op=op,
+            parent=latest,
+            batch_id=batch_id,
+            partition_by=partition_by,
+            keys=keys,
+            carry_partitions=carry_partitions,
+            clustering=clustering,
+        )
+
+    def _stage_snapshot_data(
+        self,
+        df: DataFrame,
+        partition_by: str | None,
+        sort_by: list[str] | None,
+        sort_expr,
+        optimize_write: bool,
+    ) -> dict:
+        """Write ``df``'s data files under a fresh ``data/<token>/``
+        dir — the immutable half of a commit, reusable across publish
+        attempts. Returns {token, partitions, files, stats, schema}."""
+        from urllib.parse import unquote
+
         token = uuid.uuid4().hex
         ddir = os.path.join(self.data_dir, token)
         partitions: dict[str, list[str]] = {}
@@ -782,11 +821,40 @@ class CommitLogStore:
         for f in new_files:  # durability of the immutable data files
             _fsync_file(os.path.join(self.path, f))
         # footer-lifted stats for every NEW file (no extra scan);
-        # carried files reuse their parent-manifest entry below
-        stats = {
-            f: _parquet_file_stats(os.path.join(self.path, f))
-            for f in new_files
+        # carried files reuse their parent-manifest entry at publish
+        return {
+            "token": token,
+            "partitions": partitions,
+            "files": new_files,
+            "stats": {
+                f: _parquet_file_stats(os.path.join(self.path, f))
+                for f in new_files
+            },
+            "schema": df.schema.json(),
         }
+
+    def _commit_staged(
+        self,
+        staged: dict,
+        *,
+        op: str,
+        parent: int | None,
+        batch_id: int | None = None,
+        partition_by: str | None = None,
+        keys: list[str] | None = None,
+        carry_partitions: dict[str, list[str]] | None = None,
+        clustering: dict | None = None,
+    ) -> int:
+        """Compose a manifest for already-staged data files against
+        ``parent`` and publish it atomically; stats/DV/clustering of
+        carried partitions come from the PARENT manifest, so the same
+        staged data can be re-published against a newer head (merge
+        rebase) without touching the files."""
+        latest = parent
+        token = staged["token"]
+        partitions = {v: list(fl) for v, fl in staged["partitions"].items()}
+        new_files = list(staged["files"])
+        stats = dict(staged["stats"])
         prev_manifest = self.manifest(latest) if latest is not None else {}
         prev_stats = prev_manifest.get("stats", {})
         prev_clustering = prev_manifest.get("clustering", {})
@@ -831,7 +899,7 @@ class CommitLogStore:
             "parent": latest,
             "op": op,
             "files": files,
-            "schema": df.schema.json(),
+            "schema": staged["schema"],
             "batch_id": batch_id,
             "last_batch_id": (
                 batch_id
@@ -887,12 +955,13 @@ class CommitLogStore:
         incoming: DataFrame,
         partition_by: str,
         manifest: dict,
-    ) -> tuple[DataFrame, dict[str, list[str]]]:
+    ) -> tuple[DataFrame, dict[str, list[str]], set[str]]:
         """Partition pruning for MERGE: returns (target restricted to
         the partitions the batch touches, untouched partitions' file
-        map to carry by reference). The touched-value collect is
-        bounded by |touched partitions| — the same driver-side size as
-        Delta's partition-predicate derivation."""
+        map to carry by reference, the touched value set). The
+        touched-value collect is bounded by |touched partitions| — the
+        same driver-side size as Delta's partition-predicate
+        derivation."""
         from pyspark.sql import functions as F
 
         if partition_by not in incoming.columns:
@@ -922,7 +991,102 @@ class CommitLogStore:
         target = self._read_files(
             spark, touched_files, schema, dv=manifest.get("dv")
         )
-        return target, carry
+        return target, carry, touched
+
+    def _merge_commutes(
+        self,
+        old_parent: int | None,
+        new_parent: int,
+        pb: str | None,
+        touched: set[str] | None,
+        keys: list[str] | None,
+    ) -> bool:
+        """True when the commits between ``old_parent`` and
+        ``new_parent`` provably did not touch anything this merge READ:
+        same schema / partition column / merge keys, and every touched
+        partition's files AND their deletion vectors are identical in
+        both manifests. Then the merge's staged output is valid against
+        the new head too — the operations commute and the loser of the
+        version race may rebase instead of recomputing (the same
+        logical-conflict check Delta's commit protocol runs)."""
+        if old_parent is None or pb is None or touched is None:
+            return False
+        mold, mnew = self.manifest(old_parent), self.manifest(new_parent)
+        if (
+            mnew.get("partition_by") != pb
+            or "partitions" not in mold
+            or "partitions" not in mnew
+            or mnew["schema"] != mold["schema"]
+            or mold.get("keys") != mnew.get("keys")
+        ):
+            return False
+        dv_old, dv_new = mold.get("dv", {}), mnew.get("dv", {})
+        for v in touched:
+            fo = mold["partitions"].get(v, [])
+            if fo != mnew["partitions"].get(v, []):
+                return False
+            if any(dv_old.get(f) != dv_new.get(f) for f in fo):
+                return False
+        return True
+
+    def _merge_commit_with_retries(
+        self,
+        spark: SparkSession,
+        prepare,
+        op: str,
+        keys: list[str],
+        batch_id: int | None,
+        optimize_write: bool,
+        max_retries: int,
+    ) -> int:
+        """Shared MERGE commit driver (r11 — VERDICT r10 #5): stage
+        the merged data once, then publish; on losing the version race,
+        REBASE onto the new head when the interleaved commits touched
+        disjoint partitions (zero recompute, zero rewrite — the staged
+        files are carried as-is with the carry list re-derived from the
+        new head), otherwise recompute the merge from the new snapshot.
+        Both paths bounded by ``max_retries`` total."""
+        latest = self.latest_version()
+        merged, carry, pb, touched = prepare(latest)
+        staged = self._stage_snapshot_data(
+            merged, pb, None, None, optimize_write
+        )
+        retries = 0
+        while True:
+            try:
+                return self._commit_staged(
+                    staged,
+                    op=op,
+                    parent=latest,
+                    batch_id=batch_id,
+                    partition_by=pb,
+                    keys=keys,
+                    carry_partitions=carry,
+                )
+            except CommitConflictError:
+                if retries >= max_retries:
+                    raise
+                retries += 1
+                new_latest = self.latest_version()
+                if batch_id is not None:
+                    high = self.last_batch_id()
+                    if high is not None and batch_id <= high:
+                        # another instance already applied this batch
+                        return new_latest
+                if self._merge_commutes(latest, new_latest, pb, touched, keys):
+                    m2 = self.manifest(new_latest)
+                    carry = {
+                        v: fl
+                        for v, fl in m2["partitions"].items()
+                        if v not in touched
+                    }
+                    latest = new_latest
+                    continue  # rebase: same staged data, new carry list
+                latest = new_latest
+                merged, carry, pb, touched = prepare(latest)
+                staged = self._stage_snapshot_data(
+                    merged, pb, None, None, optimize_write
+                )
 
     def merge(
         self,
@@ -933,6 +1097,7 @@ class CommitLogStore:
         partition_by: str | None = None,
         schema_mode: str = "strict",
         optimize_write: bool = False,
+        max_retries: int = 2,
     ) -> int:
         """Transactional keyed upsert (O-D3 on the commit log): read
         the latest snapshot, merge, publish as a new version with the
@@ -960,52 +1125,52 @@ class CommitLogStore:
         physical schema) read back as null for them; a same-name
         type conflict raises. Manifest schema becomes the union, so
         every read — snapshot, pruned, CDF — plans the evolved shape.
+
+        r11 concurrency (VERDICT r10 #5): losing the version race no
+        longer surfaces a :class:`CommitConflictError` immediately —
+        when the interleaved commits touched DISJOINT partitions the
+        merge REBASES its already-written data onto the new head (the
+        operations commute: zero recompute, zero IO beyond a new
+        manifest), otherwise it recomputes from the new snapshot; both
+        bounded by ``max_retries`` before the error propagates.
         """
-        latest = self.latest_version()
         if batch_id is not None:
             high = self.last_batch_id()
             if high is not None and batch_id <= high:
-                return latest  # checkpoint replay — already applied
-        if latest is None:
-            return self.commit(
-                incoming,
-                op="merge",
-                batch_id=batch_id,
-                expect_version=None,
-                partition_by=partition_by,
-                keys=keys,
-                optimize_write=optimize_write,
+                return self.latest_version()  # checkpoint replay
+
+        def prepare(latest):
+            if latest is None:
+                return incoming, None, partition_by, None
+            m = self.manifest(latest)
+            pb = (
+                partition_by
+                if partition_by is not None
+                else m.get("partition_by")
             )
-        m = self.manifest(latest)
-        pb = partition_by if partition_by is not None else m.get("partition_by")
-        if pb is None or "partitions" not in m:
-            # unpartitioned store (or migration commit onto one): full
-            # snapshot merge; passing partition_by here lays the NEW
-            # snapshot out partitioned, so the next merge prunes
-            target = self.read(spark, latest)
-            carry = None
-        else:
-            target, carry = self._scope_to_touched_partitions(
-                spark, incoming, pb, m
-            )
-        if schema_mode == "merge":
-            union = _union_schema(target.schema, incoming.schema)
-            merged = merge_upsert(
-                _align_to(target, union), _align_to(incoming, union), keys
-            )
-        else:
-            merged = merge_upsert(
-                target, incoming.select(*target.columns), keys
-            )
-        return self.commit(
-            merged,
-            op="merge",
-            batch_id=batch_id,
-            expect_version=latest,
-            partition_by=pb,
-            keys=keys,
-            carry_partitions=carry,
-            optimize_write=optimize_write,
+            if pb is None or "partitions" not in m:
+                # unpartitioned store (or migration commit onto one):
+                # full snapshot merge; passing partition_by lays the
+                # NEW snapshot out partitioned, so the next merge prunes
+                target, carry, touched = self.read(spark, latest), None, None
+            else:
+                target, carry, touched = self._scope_to_touched_partitions(
+                    spark, incoming, pb, m
+                )
+            if schema_mode == "merge":
+                union = _union_schema(target.schema, incoming.schema)
+                merged = merge_upsert(
+                    _align_to(target, union), _align_to(incoming, union), keys
+                )
+            else:
+                merged = merge_upsert(
+                    target, incoming.select(*target.columns), keys
+                )
+            return merged, carry, pb, touched
+
+        return self._merge_commit_with_retries(
+            spark, prepare, "merge", keys, batch_id, optimize_write,
+            max_retries,
         )
 
     def merge_cdc(
@@ -1019,74 +1184,74 @@ class CommitLogStore:
         partition_by: str | None = None,
         schema_mode: str = "strict",
         optimize_write: bool = False,
+        max_retries: int = 2,
     ) -> int:
         """CDC apply (upserts + tombstone deletes) as one transactional
-        commit; same replay ledger and parent pinning as :meth:`merge`,
-        and (r10) the same touched-partition scoping — a CDC row's
+        commit; same replay ledger, parent pinning, and (r11)
+        rebase-or-recompute conflict retries as :meth:`merge`, and
+        (r10) the same touched-partition scoping — a CDC row's
         partition value is in the batch whether it upserts or deletes,
         so pruning is exact under the partition∈key contract.
         ``schema_mode="merge"`` evolves the table additively, exactly
         as in :meth:`merge`."""
-        latest = self.latest_version()
         if batch_id is not None:
             high = self.last_batch_id()
             if high is not None and batch_id <= high:
-                return latest
-        data_cols = [
-            c for c in incoming.columns if c != op_col and c != seq_col
-        ]
-        carry = None
-        if latest is None:
-            target = incoming.select(*data_cols).limit(0)
-            pb = partition_by
-        else:
-            m = self.manifest(latest)
-            pb = (
-                partition_by
-                if partition_by is not None
-                else m.get("partition_by")
-            )
-            if pb is None or "partitions" not in m:
-                target = self.read(spark, latest)
+                return self.latest_version()
+
+        def prepare(latest):
+            data_cols = [
+                c for c in incoming.columns if c != op_col and c != seq_col
+            ]
+            carry, touched = None, None
+            batch = incoming
+            if latest is None:
+                target = batch.select(*data_cols).limit(0)
+                pb = partition_by
             else:
-                target, carry = self._scope_to_touched_partitions(
-                    spark, incoming, pb, m
+                m = self.manifest(latest)
+                pb = (
+                    partition_by
+                    if partition_by is not None
+                    else m.get("partition_by")
                 )
-        if schema_mode == "merge":
-            union = _union_schema(
-                target.schema, incoming.select(*data_cols).schema
-            )
-            target = _align_to(target, union)
-            incoming = _align_to(
-                incoming,
-                T.StructType(
-                    list(union.fields)
-                    + [
-                        f
-                        for f in incoming.schema.fields
-                        if f.name == op_col or f.name == seq_col
-                    ]
+                if pb is None or "partitions" not in m:
+                    target = self.read(spark, latest)
+                else:
+                    target, carry, touched = (
+                        self._scope_to_touched_partitions(spark, batch, pb, m)
+                    )
+            if schema_mode == "merge":
+                union = _union_schema(
+                    target.schema, batch.select(*data_cols).schema
+                )
+                target = _align_to(target, union)
+                batch = _align_to(
+                    batch,
+                    T.StructType(
+                        list(union.fields)
+                        + [
+                            f
+                            for f in batch.schema.fields
+                            if f.name == op_col or f.name == seq_col
+                        ]
+                    ),
+                )
+                data_cols = union.fieldNames()
+            merged = merge_upsert_cdc(
+                target,
+                batch.select(
+                    *data_cols, op_col, *([seq_col] if seq_col else [])
                 ),
+                keys,
+                op_col=op_col,
+                seq_col=seq_col,
             )
-            data_cols = union.fieldNames()
-        merged = merge_upsert_cdc(
-            target,
-            incoming.select(
-                *data_cols, op_col, *([seq_col] if seq_col else [])
-            ),
-            keys,
-            op_col=op_col,
-            seq_col=seq_col,
-        )
-        return self.commit(
-            merged,
-            op="merge_cdc",
-            batch_id=batch_id,
-            expect_version=latest,
-            partition_by=pb,
-            keys=keys,
-            carry_partitions=carry,
-            optimize_write=optimize_write,
+            return merged, carry, pb, touched
+
+        return self._merge_commit_with_retries(
+            spark, prepare, "merge_cdc", keys, batch_id, optimize_write,
+            max_retries,
         )
 
     def overwrite_partitions(

@@ -1247,3 +1247,145 @@ def test_naive_timestamp_pruning_matches_lit_semantics(spark, tmp_path):
             _os.environ["TZ"] = prev_tz
         _time.tzset()
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
+
+
+# -- r11: commuting-writer rebase (VERDICT r10 #5) ---------------------------
+
+
+def _race(storeA, storeB, spark, batchB, keysB, n=1):
+    """Arm storeA so its next ``n`` publish attempts are each preceded
+    by a competing storeB merge — a deterministic version race."""
+    orig = storeA._publish
+    state = {"left": n}
+
+    def racy(manifest, token):
+        if state["left"] > 0:
+            state["left"] -= 1
+            storeB.merge(spark, batchB, keysB)
+        return orig(manifest, token)
+
+    storeA._publish = racy
+    return state
+
+
+def test_disjoint_partition_merges_commute_via_rebase(spark, tmp_path):
+    """Two writers merging DISJOINT partition sets both commit: the
+    loser detects commutation and rebases its already-staged data onto
+    the winner's head — no recompute (stage ran once), no error, the
+    winner's partition carried by reference, both changes visible."""
+    path = str(tmp_path / "s")
+    storeA, storeB = CommitLogStore(path), CommitLogStore(path)
+    base = _pdf(
+        spark, [(f"d{i}", k, f"{i}:{k}") for i in range(4) for k in range(3)]
+    )
+    storeA.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    batchA = _pdf(spark, [("d1", 0, "A-UPD"), ("d1", 99, "A-NEW")])
+    batchB = _pdf(spark, [("d2", 0, "B-UPD")])
+    stage_calls = {"n": 0}
+    orig_stage = storeA._stage_snapshot_data
+
+    def counting_stage(*a, **k):
+        stage_calls["n"] += 1
+        return orig_stage(*a, **k)
+
+    storeA._stage_snapshot_data = counting_stage
+    _race(storeA, storeB, spark, batchB, ["d", "k"])
+    vA = storeA.merge(spark, batchA, ["d", "k"])
+    assert vA == 3 and storeA.latest_version() == 3
+    assert stage_calls["n"] == 1  # rebase, not recompute
+    m2, m3 = storeA.manifest(2), storeA.manifest(3)
+    assert m3["parent"] == 2
+    # the winner's d2 rewrite is carried BY REFERENCE into the rebase
+    assert m3["partitions"]["d2"] == m2["partitions"]["d2"]
+    # and untouched d0/d3 still carry the v1 files
+    m1 = storeA.manifest(1)
+    for d in ("d0", "d3"):
+        assert m3["partitions"][d] == m1["partitions"][d]
+    got = {(r.d, r.k, r.v) for r in storeA.read(spark).collect()}
+    assert ("d1", 0, "A-UPD") in got and ("d1", 99, "A-NEW") in got
+    assert ("d2", 0, "B-UPD") in got
+    assert ("d3", 2, "3:2") in got
+    # CDF across the chain shows both writers' changes, nothing else
+    changed = {
+        (r.d, r.k, r._change_type)
+        for r in storeA.read_changes(spark, 1, 3).collect()
+    }
+    assert changed == {
+        ("d2", 0, "update_preimage"), ("d2", 0, "update_postimage"),
+        ("d1", 0, "update_preimage"), ("d1", 0, "update_postimage"),
+        ("d1", 99, "insert"),
+    }
+
+
+def test_same_partition_conflict_recomputes_once(spark, tmp_path):
+    """Overlapping writers do NOT commute: the loser recomputes its
+    merge from the winner's snapshot (stage ran twice = exactly one
+    retry) so the final state is B-then-A — and with retries exhausted
+    the typed conflict error still propagates."""
+    path = str(tmp_path / "s")
+    storeA, storeB = CommitLogStore(path), CommitLogStore(path)
+    base = _pdf(spark, [("d1", k, f"base:{k}") for k in range(3)])
+    storeA.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    batchA = _pdf(spark, [("d1", 0, "A"), ("d1", 77, "A-NEW")])
+    batchB = _pdf(spark, [("d1", 0, "B"), ("d1", 88, "B-NEW")])
+    stage_calls = {"n": 0}
+    orig_stage = storeA._stage_snapshot_data
+
+    def counting_stage(*a, **k):
+        stage_calls["n"] += 1
+        return orig_stage(*a, **k)
+
+    storeA._stage_snapshot_data = counting_stage
+    _race(storeA, storeB, spark, batchB, ["d", "k"])
+    vA = storeA.merge(spark, batchA, ["d", "k"])
+    assert vA == 3
+    assert stage_calls["n"] == 2  # recompute: exactly one retry
+    got = {(r.d, r.k, r.v) for r in storeA.read(spark).collect()}
+    # A recomputed ON TOP of B: shared key 0 reads A, both inserts live
+    assert got == {
+        ("d1", 0, "A"), ("d1", 1, "base:1"), ("d1", 2, "base:2"),
+        ("d1", 77, "A-NEW"), ("d1", 88, "B-NEW"),
+    }
+    # retries exhausted → the conflict surfaces as the typed error
+    storeC = CommitLogStore(path)
+    _race(storeC, storeB, spark, _pdf(spark, [("d1", 5, "B2")]), ["d", "k"])
+    with pytest.raises(CommitConflictError):
+        storeC.merge(
+            spark, _pdf(spark, [("d1", 6, "C")]), ["d", "k"], max_retries=0
+        )
+
+
+def test_two_threads_merge_disjoint_partitions(spark, tmp_path):
+    """A REAL two-thread race on one store: both writers merge
+    disjoint partitions concurrently; whatever the interleaving, both
+    commits land (one may rebase) and the final snapshot holds both."""
+    import threading
+
+    path = str(tmp_path / "s")
+    store = CommitLogStore(path)
+    base = _pdf(
+        spark, [(f"d{i}", k, f"{i}:{k}") for i in range(2) for k in range(3)]
+    )
+    store.commit(base, expect_version=None, partition_by="d", keys=["d", "k"])
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(dval):
+        try:
+            s = CommitLogStore(path)
+            batch = _pdf(spark, [(dval, 0, f"{dval}-UPD")])
+            barrier.wait(timeout=60)
+            s.merge(spark, batch, ["d", "k"], max_retries=4)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(d,)) for d in ("d0", "d1")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert store.latest_version() == 3
+    got = {(r.d, r.k, r.v) for r in store.read(spark).collect()}
+    assert ("d0", 0, "d0-UPD") in got and ("d1", 0, "d1-UPD") in got
+    assert ("d0", 1, "0:1") in got and ("d1", 2, "1:2") in got

@@ -38,6 +38,14 @@ _op = st.one_of(
     st.tuples(st.just("delete"), _KEYS),
     st.tuples(st.just("update"), _KEYS, _AMTS),
     st.tuples(st.just("compact")),
+    # r11: a RACED merge — a competing writer's merge is injected
+    # between this merge's stage and publish, forcing the
+    # rebase-or-recompute retry path; the model applies B then A
+    st.tuples(
+        st.just("race"),
+        st.dictionaries(_KEYS, _AMTS, max_size=3),
+        st.dictionaries(_KEYS, _AMTS, max_size=3),
+    ),
 )
 
 
@@ -92,6 +100,22 @@ def test_store_matches_reference_model(spark, tmp_path_factory, ops):
                 model[k] = a
         elif op[0] == "compact":
             store.compact(spark)
+        elif op[0] == "race":
+            batch_a, batch_b = op[1], op[2]
+            loser = CommitLogStore(path)
+            orig = loser._publish
+            state = {"armed": True}
+
+            def racy(manifest, token, _orig=orig, _b=batch_b, _s=state):
+                if _s["armed"]:
+                    _s["armed"] = False
+                    store.merge(spark, _rows(spark, _b), ["d", "k"])
+                return _orig(manifest, token)
+
+            loser._publish = racy
+            loser.merge(spark, _rows(spark, batch_a), ["d", "k"])
+            model.update(batch_b)  # winner applies first …
+            model.update(batch_a)  # … loser rebases/recomputes on top
         got = {(r.k, r.amt) for r in store.read(spark).collect()}
         assert got == set(model.items()), (op, got, model)
 
