@@ -224,6 +224,8 @@ def learn_bpe_merges_driver(
     num_merges: int,
     text_col: str = "text",
     max_words: int | None = None,
+    min_count: int | None = None,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Real-vocab-capable BPE training: ONE Spark pass builds the
     word-frequency table (the only data-scaled stage), which is then
@@ -245,6 +247,13 @@ def learn_bpe_merges_driver(
     (count desc, word asc) — the standard frequency-truncation used
     when an open 100 TB corpus would otherwise produce an unbounded
     tail of hapax words (a TakeOrdered top-N, never a global sort).
+    ``min_count`` is the complementary frequency FLOOR (drop words
+    rarer than the cutoff — by Zipf, ``min_count=2`` alone typically
+    halves an open web vocabulary); the two compose, floor first.
+    Pass a dict as ``stats`` to receive the truncation record
+    ``{words_total, words_kept, words_dropped}`` (costs one extra
+    vocab-sized count job, so it's opt-in) — a capped train should
+    never silently read as a full one.
 
     Determinism: identical to the Spark loop — best pair by
     (pair_count desc, left asc, right asc), non-overlapping
@@ -257,9 +266,18 @@ def learn_bpe_merges_driver(
     import heapq
 
     wf = word_freq_symbols(docs, text_col).select("word", "cnt")
+    n_total = wf.count() if stats is not None else None
+    if min_count is not None:
+        wf = wf.filter(F.col("cnt") >= min_count)
     if max_words is not None:
         wf = wf.orderBy(F.col("cnt").desc(), "word").limit(max_words)
     collected = wf.collect()
+    if stats is not None:
+        stats.update(
+            words_total=n_total,
+            words_kept=len(collected),
+            words_dropped=n_total - len(collected),
+        )
     words: list[tuple[tuple[str, ...], int]] = []
     for r in collected:
         chars = list(r["word"])

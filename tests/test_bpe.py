@@ -283,3 +283,31 @@ def test_string_pipeline_matches_fold_chain(spark):
         ).collect()
     }
     assert pipe == fold
+
+
+def test_driver_trainer_min_count_floor_and_stats(spark):
+    """r11 (VERDICT r10 #7): min_count drops hapax-tail words BEFORE
+    the driver collect (the web-scale OOM guard), composes with
+    max_words, and the opt-in stats dict records the truncation so a
+    capped train can't read as a full one."""
+    from calorista_spark.operators.bpe import learn_bpe_merges_driver
+
+    docs = spark.createDataFrame(
+        [("aaa aaa aaa bbb bbb ccc",)], "text string"
+    )
+    st: dict = {}
+    merges, vocab = learn_bpe_merges_driver(
+        docs, 4, min_count=2, stats=st
+    )
+    kept = {r.word for r in vocab.select("word").collect()}
+    assert kept == {"aaa", "bbb"}  # ccc (cnt 1) dropped by the floor
+    assert st == {"words_total": 3, "words_kept": 2, "words_dropped": 1}
+    # floor + cap compose: floor first, then top-N of the survivors
+    st2: dict = {}
+    _, vocab2 = learn_bpe_merges_driver(
+        docs, 4, min_count=2, max_words=1, stats=st2
+    )
+    assert {r.word for r in vocab2.select("word").collect()} == {"aaa"}
+    assert st2["words_kept"] == 1 and st2["words_dropped"] == 2
+    # merges learned under the floor still only see surviving words
+    assert all(cnt >= 2 for _, _, cnt in merges)

@@ -417,3 +417,78 @@ def test_default_token_error_scoping():
         400, "parameter 'token' is not recognized"
     )
     assert not default_token_error(500, "token store on fire")
+
+
+def test_default_transport_against_local_http_server():
+    """r11 (VERDICT r10 #8): the DEFAULT transport — previously only
+    ever replaced by fakes — drives a real socket against a stdlib
+    http.server: signed params arrive on the query string, 200 bodies
+    return, non-2xx returns (status, body) without raising so the
+    retry/refresh machinery above sees the same shape as with
+    ``requests``, and a token-error → refresh → retry round-trip works
+    over the wire."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from calorista_spark.sources.oauth import (
+        SignedApiClient,
+        _requests_transport,
+    )
+
+    seen: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            seen.append(q)
+            if q.get("method") == "boom":
+                body = json.dumps(
+                    {"error": {"code": 13, "message": "invalid token"}}
+                ).encode()
+                # first call fails with a token error; after the
+                # client refreshes (token becomes 'tok2') it succeeds
+                if q.get("oauth_token") != "tok2":
+                    self.send_response(401)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+            payload = json.dumps({"ok": True, "method": q.get("method")}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet test output
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/rest/server.api"
+        client = SignedApiClient(
+            "ck", "cs", "tok", "ts", base_url=base
+        )  # transport defaulted — the wiring under test
+        assert client.transport is _requests_transport
+        body = json.loads(client.get("profile.get"))
+        assert body == {"ok": True, "method": "profile.get"}
+        # the signed params actually crossed the socket
+        assert seen[0]["method"] == "profile.get"
+        assert seen[0]["oauth_consumer_key"] == "ck"
+        assert "oauth_signature" in seen[0]
+        # token-error over the wire → refresh → retried OK
+        client.refresh_tokens = lambda: ("tok2", "ts2")
+        assert json.loads(client.get("boom"))["ok"] is True
+        assert client.token == "tok2"
+        # a non-2xx without refresh surfaces as the typed error
+        client2 = SignedApiClient(
+            "ck", "cs", "tok", "ts", base_url=base, max_retries=1
+        )
+        with pytest.raises(RuntimeError, match="401"):
+            client2.get("boom")
+    finally:
+        srv.shutdown()
+        srv.server_close()
