@@ -480,6 +480,40 @@ class CallbackVerifierReceiver:
             self._httpd = None
 
 
+def interactive_authorize(
+    flow: ThreeLeggedFlow,
+    open_url: Callable[[str], object] | None = None,
+    receiver: CallbackVerifierReceiver | None = None,
+    timeout: float = 300.0,
+) -> dict[str, str]:
+    """One-call interactive 3-legged authorization (r11 — the driver-
+    edge orchestration the reference runs in
+    ``credential_engine.py:106-129`` + ``auth.py:158-182``): start the
+    loopback receiver, obtain a request token bound to its callback
+    URL, hand the authorization URL to ``open_url`` (default: the
+    system browser via ``webbrowser.open`` — inject anything else for
+    headless use), block until the provider redirects the user back,
+    and exchange the captured verifier for the access token. Returns
+    the access-token mapping (``oauth_token``/``oauth_token_secret``).
+
+    Setup-time, workstation-side only: a cluster driver should receive
+    the finished credentials, not run a browser flow."""
+    receiver = receiver or CallbackVerifierReceiver()
+    callback_url = receiver.start()
+    try:
+        rt = flow.request_token(callback_url=callback_url)
+        auth_url = flow.authorization_url(rt["oauth_token"], callback_url)
+        if open_url is None:  # pragma: no cover — workstation default
+            import webbrowser
+
+            open_url = webbrowser.open
+        open_url(auth_url)
+        receiver.wait(timeout=timeout)
+        return flow.complete_from_callback(rt, receiver.captured)
+    finally:
+        receiver.stop()
+
+
 def days_since_epoch(date_iso: str) -> int:
     """The reference's date encoding for day queries
     (``api.py:127-145``): YYYY-MM-DD → integer days since 1970-01-01."""

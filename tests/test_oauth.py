@@ -492,3 +492,94 @@ def test_default_transport_against_local_http_server():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_interactive_authorize_full_wire_roundtrip():
+    """r11: the whole interactive 3-legged flow over REAL sockets and
+    the REAL default transport — a stdlib fake provider serves the
+    request-token and access-token legs and 302-redirects the
+    'browser' (urllib, following redirects) to the loopback receiver;
+    interactive_authorize wires receiver + legs + verifier exchange
+    into the finished access token. This is the reference's
+    credential_engine orchestration with zero fakes in the path."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlencode, urlparse
+
+    from calorista_spark.sources.oauth import (
+        ThreeLeggedFlow,
+        interactive_authorize,
+    )
+
+    provider_seen: dict[str, dict] = {}
+
+    class Provider(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/oauth/request_token":
+                provider_seen["request"] = q
+                assert q["oauth_callback"].startswith("http://127.0.0.1:")
+                self._ok("oauth_token=rtok&oauth_token_secret=rsec")
+            elif u.path == "/oauth/authorize":
+                # the user consents; the provider redirects the
+                # browser to the registered callback with a verifier
+                provider_seen["authorize"] = q
+                cb = q["oauth_callback"]
+                self.send_response(302)
+                self.send_header(
+                    "Location",
+                    cb
+                    + "?"
+                    + urlencode(
+                        {"oauth_token": q["oauth_token"],
+                         "oauth_verifier": "ver123"}
+                    ),
+                )
+                self.end_headers()
+            elif u.path == "/oauth/access_token":
+                provider_seen["access"] = q
+                assert q["oauth_token"] == "rtok"
+                assert q["oauth_verifier"] == "ver123"
+                self._ok("oauth_token=atok&oauth_token_secret=asec")
+            else:
+                self._ok(_json.dumps({"err": "unknown"}), 404)
+
+        def _ok(self, body, status=200):
+            payload = body.encode()
+            self.send_response(status)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Provider)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/oauth"
+        flow = ThreeLeggedFlow(
+            "ck",
+            "cs",
+            request_token_url=f"{base}/request_token",
+            access_token_url=f"{base}/access_token",
+            authorize_url=f"{base}/authorize",
+        )  # transport defaulted — real urllib over the wire
+        tokens = interactive_authorize(
+            flow,
+            open_url=lambda url: urllib.request.urlopen(url, timeout=10),
+            timeout=30,
+        )
+        assert tokens == {
+            "oauth_token": "atok",
+            "oauth_token_secret": "asec",
+        }
+        # every leg was signed over the wire
+        for leg in ("request", "access"):
+            assert "oauth_signature" in provider_seen[leg], leg
+    finally:
+        srv.shutdown()
+        srv.server_close()
