@@ -2167,16 +2167,27 @@ class CommitLogStore:
         pick a window longer than any plausible data-write-to-link gap.
         ``retention_seconds=0`` restores immediate GC for quiesced
         single-writer maintenance.
+
+        r11: GC is FILE-granular inside still-referenced data dirs
+        too. A copy-on-write DELETE/UPDATE (or a DV re-merge) replaces
+        individual files of an older commit while its siblings stay
+        live, so once history expires, the dir stays referenced but
+        the replaced file is garbage; token-level GC would leak it
+        forever — the difference between "deleted" and physically
+        ERASED for a GDPR sweep (erasure = COW delete → history expiry
+        → vacuum). Live-token file GC never applies to a dir younger
+        than the retention window (an in-flight writer's own dir), and
+        a file referenced by ANY retained manifest is never touched.
         """
         vs = self.versions()
         keep = vs if keep_versions is None else vs[-keep_versions:]
-        referenced: set[str] = set()
+        referenced_tokens: set[str] = set()
+        referenced_files: set[str] = set()
         for v in keep:
             mm = self.manifest(v)
-            for f in mm["files"]:
-                referenced.add(f.split(os.sep)[1])
-            for dvp in mm.get("dv", {}).values():
-                referenced.add(dvp.split(os.sep)[1])
+            for f in list(mm["files"]) + list(mm.get("dv", {}).values()):
+                referenced_tokens.add(f.split(os.sep)[1])
+                referenced_files.add(f)
         deleted = []
         for v in vs:
             if v not in keep:
@@ -2186,17 +2197,39 @@ class CommitLogStore:
         import time as _time
 
         now = _time.time()
+
+        def young(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) < retention_seconds
+            except OSError:
+                return True  # raced with a concurrent vacuum: skip
+
         for token in os.listdir(self.data_dir):
-            if token not in referenced:
-                p = os.path.join(self.data_dir, token)
-                try:
-                    age = now - os.path.getmtime(p)
-                except OSError:
-                    continue  # deleted by a concurrent vacuum
-                if age < retention_seconds:
+            tdir = os.path.join(self.data_dir, token)
+            if token not in referenced_tokens:
+                if young(tdir):
                     continue  # possibly an in-flight writer's dir
-                shutil.rmtree(p)
-                deleted.append(p)
+                shutil.rmtree(tdir)
+                deleted.append(tdir)
+                continue
+            if young(tdir):
+                continue  # a racing commit may still be staging here
+            # referenced dir: reap the individual files no retained
+            # manifest lists (COW-replaced data / superseded DVs)
+            for dirpath, _dirs, files in os.walk(tdir, topdown=False):
+                for fn in files:
+                    # skip write-layer metadata (_SUCCESS, hidden .crc
+                    # checksums) — only data/DV payload files are GC'd
+                    if fn == "_SUCCESS" or fn.startswith((".", "_")):
+                        continue
+                    ap = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(ap, self.path)
+                    if rel in referenced_files:
+                        continue
+                    os.unlink(ap)
+                    deleted.append(ap)
+                if dirpath != tdir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
         return deleted
 
 

@@ -1389,3 +1389,53 @@ def test_two_threads_merge_disjoint_partitions(spark, tmp_path):
     got = {(r.d, r.k, r.v) for r in store.read(spark).collect()}
     assert ("d0", 0, "d0-UPD") in got and ("d1", 0, "d1-UPD") in got
     assert ("d0", 1, "0:1") in got and ("d1", 2, "1:2") in got
+
+
+def test_vacuum_reaps_cow_replaced_files_inside_live_tokens(spark, tmp_path):
+    """r11: a copy-on-write delete replaces individual files of an
+    older commit whose SIBLINGS stay live, so the token dir stays
+    referenced forever — vacuum must reap the replaced files
+    file-granularly once history expires (physical GDPR erasure:
+    COW delete → expire history → vacuum), while never touching a
+    file any retained manifest lists, and leaving young dirs alone."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    rows = [("dA", k, 0) for k in range(10)] + [("dB", k, 100 + k) for k in range(10)]
+    store.commit(
+        spark.createDataFrame(rows, "d string, k long, amt long").coalesce(1),
+        expect_version=None, partition_by="d", keys=["d", "k"],
+    )
+    m1 = store.manifest(1)
+    # COW rewrites dA's file (10/10 match); dB's file is untouched and
+    # carried — the v1 token dir stays referenced through dB
+    v2 = store.delete_where(spark, [("amt", "<", 50)], cow_threshold=0.5)
+    m2 = store.manifest(v2)
+    dead = [f for f in m1["files"] if f not in m2["files"]]
+    live = [f for f in m1["files"] if f in m2["files"]]
+    assert dead and live and dead[0].split(os.sep)[1] == live[0].split(os.sep)[1]
+    # while v1 is retained, nothing is reaped (file still referenced)
+    store.vacuum(retention_seconds=0)
+    assert os.path.exists(os.path.join(store.path, dead[0]))
+    # expire v1: the replaced file goes, its live sibling stays, reads exact
+    deleted = store.vacuum(keep_versions=1, retention_seconds=0)
+    assert os.path.join(store.path, dead[0]) in deleted
+    assert not os.path.exists(os.path.join(store.path, dead[0]))
+    assert os.path.exists(os.path.join(store.path, live[0]))
+    got = {(r.d, r.k, r.amt) for r in store.read(spark).collect()}
+    assert got == {("dB", k, 100 + k) for k in range(10)}
+    # superseded DV sidecars are reaped the same way: DV-delete twice,
+    # expire, and the first (replaced) DV file disappears
+    s2 = CommitLogStore(str(tmp_path / "s2"))
+    s2.commit(
+        spark.createDataFrame(rows, "d string, k long, amt long").coalesce(1),
+        expect_version=None, partition_by="d", keys=["d", "k"],
+    )
+    s2.delete_where(spark, [("k", "==", 1)], cow_threshold=None)
+    dv1 = set(s2.manifest(2)["dv"].values())
+    s2.delete_where(spark, [("k", "==", 2)], cow_threshold=None)
+    dv2 = set(s2.manifest(3)["dv"].values())
+    s2.vacuum(keep_versions=1, retention_seconds=0)
+    for dvp in dv1 - dv2:
+        assert not os.path.exists(os.path.join(s2.path, dvp))
+    for dvp in dv2:
+        assert os.path.exists(os.path.join(s2.path, dvp))
+    assert s2.read(spark).count() == 16  # 20 - (k==1)x2 - (k==2)x2
