@@ -1427,13 +1427,11 @@ class CommitLogStore:
         return (
             spark.read.schema(schema)
             .parquet(*[os.path.join(self.path, f) for f in files])
+            .filter(residual)
             .select(
                 _decoded_path_col().alias("__path"),
                 F.col("_metadata.row_index").alias("__pos"),
-                "*",
             )
-            .filter(residual)
-            .select("__path", "__pos")
         )
 
     def _write_dml_files(
