@@ -493,9 +493,17 @@ def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         m1, m2 = store.manifest(v1), store.manifest(v2)
         if m2["files"] != m1["files"]:
             raise RuntimeError("delete_where rewrote data files")
-        feed = store.read_changes(spark, v1, v2)
-        n_del = feed.filter(F.col("_change_type") == "delete").count()
-        if feed.count() != n_del:
+        # one pass over the feed (type histogram) + one over the v1
+        # snapshot — not four separate count jobs (r11 bench hygiene)
+        hist = {
+            r["_change_type"]: r["n"]
+            for r in store.read_changes(spark, v1, v2)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_del = hist.get("delete", 0)
+        if set(hist) - {"delete"}:
             raise RuntimeError("delete CDF carries non-delete rows")
         expected = store.read(spark, v1).filter(F.col("user_id") == 7).count()
         if n_del != expected:
@@ -560,15 +568,22 @@ def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         m1, m2 = store.manifest(v1), store.manifest(v2)
         if not set(m1["files"]) <= set(m2["files"]):
             raise RuntimeError("update_where rewrote parent data files")
-        feed = store.read_changes(spark, v1, v2)
-        pre = feed.filter(F.col("_change_type") == "update_preimage").count()
-        post = feed.filter(
-            F.col("_change_type") == "update_postimage"
-        ).count()
+        hist = {
+            r["_change_type"]: r["n"]
+            for r in store.read_changes(spark, v1, v2)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        pre = hist.get("update_preimage", 0)
+        post = hist.get("update_postimage", 0)
         touched = (
             store.read(spark, version=v1).filter(F.col("user_id") == 7).count()
         )
-        if not (pre == post == touched) or feed.count() != pre + post:
+        if not (pre == post == touched) or set(hist) - {
+            "update_preimage",
+            "update_postimage",
+        }:
             raise RuntimeError(
                 f"update CDF wrong: pre={pre} post={post} touched={touched}"
             )
@@ -636,9 +651,15 @@ def store_cow_broad_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("broad delete grew DVs instead of rewriting")
         if not set(m1["files"]) - set(m2["files"]):
             raise RuntimeError("broad delete rewrote no files")
-        feed = store.read_changes(spark, v1, v2)
-        n_del = feed.filter(F.col("_change_type") == "delete").count()
-        if feed.count() != n_del:
+        hist = {
+            r["_change_type"]: r["n"]
+            for r in store.read_changes(spark, v1, v2)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_del = hist.get("delete", 0)
+        if set(hist) - {"delete"}:
             raise RuntimeError("delete CDF carries non-delete rows")
         expected = (
             store.read(spark, v1)
