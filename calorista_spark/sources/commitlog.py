@@ -1435,14 +1435,24 @@ class CommitLogStore:
         )
 
     def _write_dml_files(
-        self, df: DataFrame, m: dict, token: str, subdir: str
+        self,
+        df: DataFrame,
+        m: dict,
+        token: str,
+        subdir: str,
+        coalesce_partitions: bool = True,
     ) -> tuple[dict[str, list[str]], list[str], dict[str, dict]]:
         """Write DML result rows under ``data/<token>/<subdir>`` —
-        hive-laid-out per partition value when the store is partitioned
-        (one file per touched partition: the sparse-DML contract;
-        :meth:`compact` bin-packs later if a broad rewrite made them
-        large). Returns (partition value → new files, all new files,
-        footer stats per new file); zero-row outputs are dropped."""
+        hive-laid-out per partition value when the store is partitioned.
+        ``coalesce_partitions=True`` (the sparse-DML append shape)
+        hash-shuffles rows to their partition value first so each
+        touched partition gets ONE appended file; pass ``False`` for
+        copy-on-write rewrites — a broad rewrite must not pay a full
+        shuffle of the surviving data, and writing from the scan tasks
+        directly keeps ~one output file per rewritten input file
+        (:meth:`compact` bin-packs later if needed). Returns (partition
+        value → new files, all new files, footer stats per new file);
+        zero-row outputs are dropped."""
         from urllib.parse import unquote
 
         from pyspark.sql import functions as F
@@ -1452,7 +1462,8 @@ class CommitLogStore:
         new_parts: dict[str, list[str]] = {}
         if pb is not None and "partitions" in m:
             staged = df.withColumn("__part", F.col(pb).cast("string"))
-            staged = staged.repartition(F.col("__part"))
+            if coalesce_partitions:
+                staged = staged.repartition(F.col("__part"))
             staged.write.mode("error").partitionBy("__part").parquet(ddir)
             for sub in sorted(os.listdir(ddir)):
                 if not sub.startswith("__part="):
@@ -1470,7 +1481,9 @@ class CommitLogStore:
                 if fl:
                     new_parts[val] = fl
         else:
-            df.coalesce(1).write.mode("error").parquet(ddir)
+            if coalesce_partitions:
+                df = df.coalesce(1)
+            df.write.mode("error").parquet(ddir)
             fl = sorted(
                 os.path.join("data", token, subdir, f)
                 for f in os.listdir(ddir)
@@ -1575,7 +1588,7 @@ class CommitLogStore:
                 spark, cow_files, schema, dv=prev_dv
             ).filter(keep)
             new_parts, new_files, new_stats = self._write_dml_files(
-                surv, m, token, "rw"
+                surv, m, token, "rw", coalesce_partitions=False
             )
             for f in cow_files:
                 new_dv.pop(f, None)
@@ -1747,7 +1760,7 @@ class CommitLogStore:
                 ]
             )
             parts_rw, files_rw, stats_rw = self._write_dml_files(
-                rewritten, m, token, "rw"
+                rewritten, m, token, "rw", coalesce_partitions=False
             )
             for val, fl in parts_rw.items():
                 new_parts[val] = sorted(new_parts.get(val, []) + fl)
