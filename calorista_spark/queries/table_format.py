@@ -332,17 +332,19 @@ def store_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(m2["stats"][f]["bytes"] for f in fl if f in m2["stats"])
             for fl in m2.get("partitions", {}).values()
         ]
-        store.compact(
+        v3 = store.compact(
             spark,
             target_file_bytes=max(1, max(part_bytes, default=1) // 4),
             cluster_by=["user_id", "n_events"],
             layout="zorder",
         )
+        # invisible-compaction proof: runs ONCE at store build (the
+        # first call in the process — still a driver-red guard); the
+        # cached repeat calls time the pruned READ, not this re-proof
+        if v3 != v2 and store.read_changes(spark, v2, v3).count() != 0:
+            raise RuntimeError("compact changed reader-visible data")
 
     store = _mutated_store(spark, sf_dir, "skipscan", mutate)
-    v2, v3 = 2, store.latest_version()
-    if v3 != v2 and store.read_changes(spark, v2, v3).count() != 0:
-        raise RuntimeError("compact changed reader-visible data")
     lo, hi = _dt.date(2024, 1, 8), _dt.date(2024, 1, 12)
     preds = [("event_date", "between", (lo, hi))]
     opened = sorted(store.files_for(preds))
@@ -483,21 +485,17 @@ def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mutate(store):
         # cow_threshold=None pins the pure-DV path this query proves;
         # the copy-on-write fallback has its own query below
-        store.delete_where(
+        v2 = store.delete_where(
             spark, [("user_id", "==", 7)], cow_threshold=None
         )
-
-    store = _mutated_store(spark, sf_dir, "dv", mutate)
-    v1, v2 = 1, store.latest_version()
-    if v2 != v1:
-        m1, m2 = store.manifest(v1), store.manifest(v2)
-        if m2["files"] != m1["files"]:
-            raise RuntimeError("delete_where rewrote data files")
-        # one pass over the feed (type histogram) + one over the v1
-        # snapshot — not four separate count jobs (r11 bench hygiene)
+        # CDF proof runs ONCE at store build (first call per process,
+        # still driver-red on violation): one histogram pass over the
+        # feed + one count over the v1 snapshot
+        if v2 == 1:
+            return
         hist = {
             r["_change_type"]: r["n"]
-            for r in store.read_changes(spark, v1, v2)
+            for r in store.read_changes(spark, 1, v2)
             .groupBy("_change_type")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -505,11 +503,18 @@ def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_del = hist.get("delete", 0)
         if set(hist) - {"delete"}:
             raise RuntimeError("delete CDF carries non-delete rows")
-        expected = store.read(spark, v1).filter(F.col("user_id") == 7).count()
+        expected = store.read(spark, 1).filter(F.col("user_id") == 7).count()
         if n_del != expected:
             raise RuntimeError(
                 f"CDF shows {n_del} deletes, expected {expected}"
             )
+
+    store = _mutated_store(spark, sf_dir, "dv", mutate)
+    v1, v2 = 1, store.latest_version()
+    if v2 != v1:
+        m1, m2 = store.manifest(v1), store.manifest(v2)
+        if m2["files"] != m1["files"]:
+            raise RuntimeError("delete_where rewrote data files")
     return (
         store.read(spark)
         .groupBy("event_type")
@@ -555,22 +560,18 @@ def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE expression proves the masked-old/appended-new composition
     reads back as a plain updated table."""
     def mutate(store):
-        store.update_where(
+        v2 = store.update_where(
             spark,
             [("user_id", "==", 7)],
             {"n_events": F.col("n_events") * 10},
             cow_threshold=None,  # pin the DV+append path this query proves
         )
-
-    store = _mutated_store(spark, sf_dir, "upd", mutate)
-    v1, v2 = 1, store.latest_version()
-    if v2 != v1:
-        m1, m2 = store.manifest(v1), store.manifest(v2)
-        if not set(m1["files"]) <= set(m2["files"]):
-            raise RuntimeError("update_where rewrote parent data files")
+        if v2 == 1:
+            return
+        # CDF proof runs ONCE at store build (driver-red on violation)
         hist = {
             r["_change_type"]: r["n"]
-            for r in store.read_changes(spark, v1, v2)
+            for r in store.read_changes(spark, 1, v2)
             .groupBy("_change_type")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -578,7 +579,7 @@ def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre = hist.get("update_preimage", 0)
         post = hist.get("update_postimage", 0)
         touched = (
-            store.read(spark, version=v1).filter(F.col("user_id") == 7).count()
+            store.read(spark, version=1).filter(F.col("user_id") == 7).count()
         )
         if not (pre == post == touched) or set(hist) - {
             "update_preimage",
@@ -587,6 +588,13 @@ def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"update CDF wrong: pre={pre} post={post} touched={touched}"
             )
+
+    store = _mutated_store(spark, sf_dir, "upd", mutate)
+    v1, v2 = 1, store.latest_version()
+    if v2 != v1:
+        m1, m2 = store.manifest(v1), store.manifest(v2)
+        if not set(m1["files"]) <= set(m2["files"]):
+            raise RuntimeError("update_where rewrote parent data files")
     return (
         store.read(spark)
         .groupBy("event_type")
@@ -639,9 +647,31 @@ def store_cow_broad_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     case)."""
 
     def mutate(store):
-        store.delete_where(
+        v2 = store.delete_where(
             spark, [("event_type", "==", "view")], cow_threshold=0.0
         )
+        if v2 == 1:
+            return
+        # CDF proof runs ONCE at store build (driver-red on violation)
+        hist = {
+            r["_change_type"]: r["n"]
+            for r in store.read_changes(spark, 1, v2)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_del = hist.get("delete", 0)
+        if set(hist) - {"delete"}:
+            raise RuntimeError("delete CDF carries non-delete rows")
+        expected = (
+            store.read(spark, 1)
+            .filter(F.col("event_type") == "view")
+            .count()
+        )
+        if n_del != expected:
+            raise RuntimeError(
+                f"CDF shows {n_del} deletes, expected {expected}"
+            )
 
     store = _mutated_store(spark, sf_dir, "cowdel", mutate)
     v1, v2 = 1, store.latest_version()
@@ -651,25 +681,6 @@ def store_cow_broad_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("broad delete grew DVs instead of rewriting")
         if not set(m1["files"]) - set(m2["files"]):
             raise RuntimeError("broad delete rewrote no files")
-        hist = {
-            r["_change_type"]: r["n"]
-            for r in store.read_changes(spark, v1, v2)
-            .groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_del = hist.get("delete", 0)
-        if set(hist) - {"delete"}:
-            raise RuntimeError("delete CDF carries non-delete rows")
-        expected = (
-            store.read(spark, v1)
-            .filter(F.col("event_type") == "view")
-            .count()
-        )
-        if n_del != expected:
-            raise RuntimeError(
-                f"CDF shows {n_del} deletes, expected {expected}"
-            )
     return (
         store.read(spark)
         .groupBy("event_date")
