@@ -691,3 +691,103 @@ def store_cow_broad_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rewritten", F.lit(True))
         .orderBy("event_date")
     )
+
+
+_CONCURRENT_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_date,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_date IN (DATE '{_TOUCHED[0]}',
+                                         DATE '{_TOUCHED[1]}')
+                          AND event_type <> 'view'
+                     THEN n * 2 ELSE n END) AS BIGINT) AS total_events,
+       TRUE AS rebased
+FROM base
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
+@query("store_concurrent_merge", _CONCURRENT_ORACLE)
+def store_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commuting-writer proof (r11 — VERDICT r10 #5): two writers race
+    one store with MERGEs touching DISJOINT single-date partitions
+    (each doubles its date's non-'view' counts); writer B is injected
+    between writer A's data stage and manifest publish, so A always
+    loses the version race. A must detect commutation and REBASE —
+    guards raise (→ driver red) unless:
+
+    - both commits landed (versions 2 and 3) with NO conflict error
+      and NO recompute (A's staging ran exactly once);
+    - A's published manifest carries B's partition files BY REFERENCE
+      (identical paths) and every untouched partition still lists the
+      v1 files.
+
+    Value parity of the final per-date aggregate against the oracle —
+    which applies BOTH writers' updates — proves the rebase lost
+    neither writer's changes."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    def one_date_batch(base: DataFrame, day: str) -> DataFrame:
+        return (
+            base.filter(F.col("event_date") == F.lit(day).cast("date"))
+            .filter(F.col("event_type") != "view")
+            .withColumn("n_events", F.col("n_events") * 2)
+        )
+
+    def mutate(store):
+        store_b = CommitLogStore(store.path)
+        base = store.read(spark, 1)
+        batch_a = one_date_batch(base, _TOUCHED[0])
+        batch_b = one_date_batch(base, _TOUCHED[1])
+        stage_calls = {"n": 0}
+        orig_stage = store._stage_snapshot_data
+
+        def counting_stage(*a, **k):
+            stage_calls["n"] += 1
+            return orig_stage(*a, **k)
+
+        store._stage_snapshot_data = counting_stage
+        orig_publish = store._publish
+        armed = {"left": 1}
+
+        def racy_publish(manifest, token):
+            if armed["left"] > 0:
+                armed["left"] -= 1
+                store_b.merge(spark, batch_b, _KEYS, optimize_write=True)
+            return orig_publish(manifest, token)
+
+        store._publish = racy_publish
+        v_a = store.merge(spark, batch_a, _KEYS, optimize_write=True)
+        if v_a != 3:
+            raise RuntimeError(f"expected the rebase to publish v3, got {v_a}")
+        if stage_calls["n"] != 1:
+            raise RuntimeError(
+                f"disjoint-partition race recomputed ({stage_calls['n']} "
+                "stagings) instead of rebasing"
+            )
+        m1, m2, m3 = store.manifest(1), store.manifest(2), store.manifest(3)
+        # .get(): a stress dataset may not contain the touched dates
+        if m3["partitions"].get(_TOUCHED[1]) != m2["partitions"].get(
+            _TOUCHED[1]
+        ):
+            raise RuntimeError("rebase dropped the winner's partition files")
+        for d, fl in m1["partitions"].items():
+            if d not in _TOUCHED and m3["partitions"].get(d) != fl:
+                raise RuntimeError(f"rebase disturbed untouched partition {d}")
+
+    store = _mutated_store(spark, sf_dir, "racemerge", mutate)
+    return (
+        store.read(spark)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .withColumn("rebased", F.lit(True))
+        .orderBy("event_date")
+    )

@@ -1012,11 +1012,20 @@ class CommitLogStore:
         if old_parent is None or pb is None or touched is None:
             return False
         mold, mnew = self.manifest(old_parent), self.manifest(new_parent)
+
+        def shape(schema_json: str):
+            # names + types, nullability ignored: a merge commit often
+            # relaxes nullable flags (count() output vs upsert union)
+            # without changing what any reader plans — that must not
+            # veto an otherwise-commuting rebase
+            st = T.StructType.fromJson(json.loads(schema_json))
+            return tuple((f.name, f.dataType.simpleString()) for f in st)
+
         if (
             mnew.get("partition_by") != pb
             or "partitions" not in mold
             or "partitions" not in mnew
-            or mnew["schema"] != mold["schema"]
+            or shape(mnew["schema"]) != shape(mold["schema"])
             or mold.get("keys") != mnew.get("keys")
         ):
             return False
