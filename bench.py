@@ -70,50 +70,52 @@ def main() -> None:
 
     PROBE_EVERY = 40  # ... plus ≥ (n_queries/40 + 1) interleaved ones
 
-    # One query crashing must never abort the run: record the error,
-    # keep timing the rest, and emit the summary line LAST so a
-    # tail-truncated capture still contains the total.
-    timings: dict[str, float] = {}
+    # r11 (VERDICT r10 #3): every query runs N_PASSES times — one cold
+    # pass (headline `value`, comparable to BENCH_r01..r10) plus warm
+    # passes — and the summary carries per-query MEDIANS, so
+    # cross-round regression calls no longer ride single samples
+    # inside a noisy calibration band. One query crashing must never
+    # abort the run: record the error, keep timing the rest, and emit
+    # the summary line LAST so a tail-truncated capture still contains
+    # the total.
+    N_PASSES = 3
+    samples_by_query: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for i, name in enumerate(sorted(QUERIES)):
-        if i > 0 and i % PROBE_EVERY == 0:
-            calibration_samples.append(round(_probe_once(), 4))
-        t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
+    probe_tick = 0
+    for pass_no in range(N_PASSES):
+        for name in sorted(QUERIES):
+            if name in errors:
+                continue
+            probe_tick += 1
+            if probe_tick % PROBE_EVERY == 0:
+                calibration_samples.append(round(_probe_once(), 4))
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
+                release_caches(spark)
+                continue
+            samples_by_query.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
+            # cache-hygiene epilogue (r7): the persisting ops (two-pass
+            # ranks, doc_ccnet_buckets, iterative localCheckpoints) are
+            # reclaimed after each materialization, so a full-registry
+            # run carries no net cache growth (cached_rdds_end == 0).
             release_caches(spark)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # cache-hygiene epilogue (r7): the persisting ops (two-pass
-        # ranks, doc_ccnet_buckets, iterative localCheckpoints) are
-        # reclaimed after each materialization, so a full-registry run
-        # carries no net cache growth — asserted via cached_rdds_end.
-        release_caches(spark)
 
     calibration_samples.append(round(_probe_once(), 4))
+    # cold pass = sample[0] of each query: comparable to prior rounds
+    timings = {n: s[0] for n, s in samples_by_query.items()}
     total = round(sum(timings.values()), 4)
-
-    # Warm re-run of the 5 slowest (r7 VERDICT item #5): cold numbers
-    # fold first-touch whole-stage-codegen compile (~2-4 s) into the
-    # tail queries; the warm column shows how much of each tail time
-    # is plan cost vs compile, so cross-round regression calls don't
-    # need re-deriving it.
-    warm: dict[str, float] = {}
-    for name in sorted(timings, key=timings.get, reverse=True)[:5]:
-        t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            warm[name] = round(time.perf_counter() - t0, 4)
-        except Exception:  # noqa: BLE001 — warm pass is advisory
-            pass
-        release_caches(spark)
+    medians = {
+        n: sorted(s)[len(s) // 2] for n, s in samples_by_query.items()
+    }
+    total_median = round(sum(medians.values()), 4)
 
     # Calibration normalization (r7 VERDICT item #5): the probe above
     # measures pure engine+machine cost; CALIBRATION_REF is the probe's
@@ -141,8 +143,10 @@ def main() -> None:
     # metric/value fields go last, surviving front-truncation.
     summary = {
         "queries": timings,
+        "per_query_median_sec": medians,
         **({"errors": errors} if errors else {}),
-        "warm_rerun_sec": warm,
+        "n_passes": N_PASSES,
+        "value_median_sec": total_median,
         "metric": "total wall-clock for the SURVEY §2 query set",
         "unit": "sec",
         "calibration_sec": calibration,
