@@ -79,10 +79,19 @@ def main() -> None:
     # the summary line LAST so a tail-truncated capture still contains
     # the total.
     N_PASSES = 3
+    # soft wall-clock budget: if a pass boundary finds the bench past
+    # it (slow machine / bigger sf), later passes are skipped and the
+    # medians simply ride fewer samples — the summary always ships
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
+    bench_t0 = time.perf_counter()
     samples_by_query: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     probe_tick = 0
+    passes_run = 0
     for pass_no in range(N_PASSES):
+        if pass_no > 0 and time.perf_counter() - bench_t0 > budget_sec:
+            break
+        passes_run += 1
         for name in sorted(QUERIES):
             if name in errors:
                 continue
@@ -145,7 +154,7 @@ def main() -> None:
         "queries": timings,
         "per_query_median_sec": medians,
         **({"errors": errors} if errors else {}),
-        "n_passes": N_PASSES,
+        "n_passes": passes_run,
         "value_median_sec": total_median,
         "metric": "total wall-clock for the SURVEY §2 query set",
         "unit": "sec",
