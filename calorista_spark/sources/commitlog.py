@@ -166,6 +166,15 @@ def _stat_value(v):
     return None
 
 
+def _holds_datetime(value) -> bool:
+    """True when a predicate value (scalar, between-pair, or in-list)
+    contains a datetime.datetime (date subclasses excluded — only
+    timestamp-kind stats had the pre-r11 ambiguity)."""
+    if isinstance(value, (tuple, list)):
+        return any(isinstance(v, datetime.datetime) for v in value)
+    return isinstance(value, datetime.datetime)
+
+
 def _pruning_predicates(predicates: list[tuple], schema: T.StructType):
     """Predicates normalized for STATS comparison only (the residual
     filter always uses the originals, so read semantics are untouched):
@@ -640,8 +649,20 @@ class CommitLogStore:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
         m = self.manifest(v)
         stats = m.get("stats", {})
+        usable = predicates
+        if m.get("stats_format", 1) < 2:
+            # pre-r11 manifests stored tz-naive timestamps under kind
+            # 't' WITHOUT UTC normalization — incomparable with the
+            # r11+ predicate conversion, so datetime predicates never
+            # prune against them (ADVICE r11); date predicates ('d')
+            # were always well-defined and keep pruning
+            usable = [
+                (c, op, val)
+                for c, op, val in predicates
+                if not _holds_datetime(val)
+            ]
         preds = _pruning_predicates(
-            predicates, T.StructType.fromJson(json.loads(m["schema"]))
+            usable, T.StructType.fromJson(json.loads(m["schema"]))
         )
         return [f for f in m["files"] if _file_matches(stats.get(f), preds)]
 
@@ -931,6 +952,12 @@ class CommitLogStore:
 
         new_version = manifest["version"]
         manifest["committed_at"] = _time.time()
+        # stats_format 2 = r11+ timestamp kinds ('t' strictly UTC, 'tn'
+        # naive). Manifests WITHOUT the marker may hold pre-r11 naive
+        # values under kind 't'; files_for treats their datetime
+        # predicates as unprunable (ADVICE r11) instead of mispruning
+        # on a non-UTC driver.
+        manifest.setdefault("stats_format", 2)
         tmp = os.path.join(self.commits_dir, f".tmp-{token}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -2246,10 +2273,17 @@ class CommitLogStore:
                     rel = os.path.relpath(ap, self.path)
                     if rel in referenced_files:
                         continue
-                    os.unlink(ap)
+                    try:  # raced with a concurrent vacuum: skip
+                        os.unlink(ap)
+                    except OSError:
+                        continue
                     deleted.append(ap)
-                if dirpath != tdir and not os.listdir(dirpath):
-                    os.rmdir(dirpath)
+                if dirpath != tdir:
+                    try:
+                        if not os.listdir(dirpath):
+                            os.rmdir(dirpath)
+                    except OSError:
+                        continue
         return deleted
 
 

@@ -1669,10 +1669,21 @@ def main() -> None:
         root = tempfile.mkdtemp(prefix="smoke_zorder_")
         try:
             # two decorrelated bijections of the id space → uniform
-            # (x, y) with no linear relation between the dimensions
+            # (x, y) with no linear relation between the dimensions.
+            # id*m % N is a bijection iff gcd(m, N) == 1 (ADVICE r11:
+            # 40503 = 3·23·587, so any N divisible by 3 silently broke
+            # it) — bump each multiplier until coprime with N.
+            import math as _math
+
+            def coprime(m: int) -> int:
+                while _math.gcd(m, N) != 1:
+                    m += 1
+                return m
+
+            mx, my = coprime(2654435761), coprime(40503)
             base = spark.range(N).select(
-                ((F.col("id") * 2654435761) % N).alias("x"),
-                ((F.col("id") * 40503) % N).alias("y"),
+                ((F.col("id") * mx) % N).alias("x"),
+                ((F.col("id") * my) % N).alias("y"),
                 F.col("id").alias("payload"),
             ).repartition(32)
             counts: dict[str, dict] = {}

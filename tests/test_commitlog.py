@@ -1249,6 +1249,48 @@ def test_naive_timestamp_pruning_matches_lit_semantics(spark, tmp_path):
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
 
 
+def test_pre_r11_manifests_never_prune_on_timestamps(spark, tmp_path):
+    """ADVICE r11: manifests persisted by pre-r11 code stored naive
+    timestamp stats under kind 't' WITHOUT UTC normalization, so the
+    r11 predicate conversion could still misprune them on a non-UTC
+    driver. New manifests carry ``stats_format: 2``; a manifest
+    LACKING the marker must treat datetime predicates as unprunable
+    (all files kept) while date predicates keep pruning."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    prev_out = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    store = CommitLogStore(str(tmp_path / "s"))
+    try:
+        df = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP'2024-01-05 03:00:00 UTC' AS ts, "
+            "DATE'2024-01-05' AS d"
+        )
+        v = store.commit(df, expect_version=None)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
+    mpath = _os.path.join(store.commits_dir, f"v{v:08d}.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    assert m["stats_format"] == 2
+    # marked manifest: a far-off datetime predicate prunes the file
+    far_ts = [("ts", ">", _dt.datetime(2030, 1, 1, tzinfo=_dt.timezone.utc))]
+    assert store.files_for(far_ts) == []
+    # strip the marker (simulated pre-r11 store): datetime predicates
+    # stop pruning, date predicates still do
+    del m["stats_format"]
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    assert len(store.files_for(far_ts)) == 1
+    assert store.files_for([("d", ">", _dt.date(2030, 1, 1))]) == []
+    # and reads stay exact either way (residual uses the originals)
+    assert store.read_where(spark, far_ts).count() == 0
+
+
 # -- r11: commuting-writer rebase (VERDICT r10 #5) ---------------------------
 
 
