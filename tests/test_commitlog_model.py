@@ -38,6 +38,12 @@ _op = st.one_of(
     st.tuples(st.just("delete"), _KEYS),
     st.tuples(st.just("update"), _KEYS, _AMTS),
     st.tuples(st.just("compact")),
+    # r12: a key-clustered compact with a tiny bin target fans each
+    # partition into per-key-range files, so subsequent merges take
+    # the file-granular carry path (VERDICT r11 #2) — any carry bug
+    # (dropped sibling, resurrected DV row, stale stats) then shows
+    # up as a snapshot or CDF divergence
+    st.tuples(st.just("compact_clustered")),
     # r11: a RACED merge — a competing writer's merge is injected
     # between this merge's stage and publish, forcing the
     # rebase-or-recompute retry path; the model applies B then A
@@ -46,6 +52,11 @@ _op = st.one_of(
         st.dictionaries(_KEYS, _AMTS, max_size=3),
         st.dictionaries(_KEYS, _AMTS, max_size=3),
     ),
+    # r12 (VERDICT r11 #3): a RACED compact — a competing merge lands
+    # between compact's stage and publish; the stale compact must
+    # conflict (never resurrect / lose the merge's rows), the model
+    # applies only the merge
+    st.tuples(st.just("race_compact"), st.dictionaries(_KEYS, _AMTS, max_size=3)),
 )
 
 
@@ -100,6 +111,30 @@ def test_store_matches_reference_model(spark, tmp_path_factory, ops):
                 model[k] = a
         elif op[0] == "compact":
             store.compact(spark)
+        elif op[0] == "compact_clustered":
+            store.compact(spark, target_file_bytes=1024, cluster_by=["k"])
+        elif op[0] == "race_compact":
+            from calorista_spark.sources.commitlog import CommitConflictError
+
+            batch_b = op[1]
+            loser = CommitLogStore(path)
+            orig_pub = loser._publish
+            cstate = {"armed": True, "fired": False}
+
+            def cracy(manifest, token, _orig=orig_pub, _b=batch_b, _s=cstate):
+                if _s["armed"]:
+                    _s["armed"] = False
+                    _s["fired"] = True
+                    store.merge(spark, _rows(spark, _b), ["d", "k"])
+                return _orig(manifest, token)
+
+            loser._publish = cracy
+            try:
+                loser.compact(spark, target_file_bytes=1024, cluster_by=["k"])
+            except CommitConflictError:
+                pass
+            if cstate["fired"]:
+                model.update(batch_b)
         elif op[0] == "race":
             batch_a, batch_b = op[1], op[2]
             loser = CommitLogStore(path)
