@@ -791,3 +791,64 @@ def store_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rebased", F.lit(True))
         .orderBy("event_date")
     )
+
+
+_DV_HEAVY_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM base
+WHERE user_id > 4
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("store_dv_heavy_read", _DV_HEAVY_ORACLE)
+def store_dv_heavy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-HEAVY read-path benchmark (r12 — VERDICT r11 #7): users 0-4
+    have activity on essentially every date, so one pure-DV delete
+    (``cow_threshold=None``) plants a deletion vector on ~every data
+    file of the 30-date store. The timed body is then a SNAPSHOT READ
+    through the r12 executor-side DV plan (``_read_files`` /
+    ``_dv_frame``, sources/commitlog.py): the driver ships only
+    (file, sidecar) path pairs, each task decodes its sidecars, and
+    the anti-join is broadcast-hinted only while total sidecar bytes
+    stay small — the plan whose regression surface this query pins
+    round over round.
+
+    Build-time guards (first call per process, driver-red on
+    violation): the delete rewrote NOTHING (pure merge-on-read) and
+    DVs cover at least half the files — the shape that made the old
+    driver-side decode a 100 TB scale-killer."""
+
+    def mutate(store):
+        v2 = store.delete_where(
+            spark, [("user_id", "between", (0, 4))], cow_threshold=None
+        )
+        if v2 == 1:
+            return  # stress dataset without users 0-4: nothing masked
+        m1, m2 = store.manifest(1), store.manifest(v2)
+        if m2["files"] != m1["files"]:
+            raise RuntimeError("dv-heavy fixture rewrote data files")
+        dv = m2.get("dv", {})
+        if 2 * len(dv) < len(m2["files"]):
+            raise RuntimeError(
+                f"DV coverage too sparse: {len(dv)}/{len(m2['files'])} files"
+            )
+
+    store = _mutated_store(spark, sf_dir, "dvheavy", mutate)
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )

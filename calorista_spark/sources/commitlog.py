@@ -90,17 +90,34 @@ every table format (Delta, Iceberg, Hudi) converges on:
   ``max_retries``, same logical-conflict model as Delta's commit
   protocol.
 
+- **Segmented manifests (r12 — VERDICT r11 #4).** The per-file bulk
+  of a commit (file list, footer stats, DV map) lives in
+  CONTENT-ADDRESSED per-partition segment files; the commit JSON keeps
+  scalars plus per-partition segment refs and a merged stat ENVELOPE
+  (Iceberg's manifest-list shape). Untouched partitions dedupe to the
+  parent's segment byte-for-byte, so commits write O(touched
+  partitions) of manifest; pruned reads test envelopes first and parse
+  only matching segments; MERGE scoping, DML composition, CDF diffs
+  and DV purge all load O(affected partitions). Measured at 10^5
+  fabricated file entries: a point read parses 1/2000 segments ~300×
+  faster than full hydration, an incremental commit writes ~10^-5 of
+  the manifest bytes (scale_smoke.py ``manifest_scale``). Format-1
+  (inline) manifests stay fully readable; the next commit migrates.
+
 Scale notes: the manifest lists files, so a snapshot read plans from
 the manifest (no directory listing); history depth costs one tiny
-JSON per commit. Unpartitioned MERGE still rewrites the full snapshot
-(the sanctioned fallback shape); pass ``partition_by`` to get
-touched-partition rewrites. Concurrency control is optimistic with
-commutation-aware retries — the same model Delta uses.
+JSON per commit — and with segmented manifests the commit JSON stays
+small regardless of table size. Unpartitioned MERGE still rewrites
+the full snapshot (the sanctioned fallback shape); pass
+``partition_by`` to get touched-partition rewrites. Concurrency
+control is optimistic with commutation-aware retries — the same model
+Delta uses.
 """
 
 from __future__ import annotations
 
 import datetime
+import hashlib
 import json
 import math
 import os
@@ -526,17 +543,231 @@ def _decode_dv(blob: bytes):
     return np.frombuffer(blob[len(_DV_MAGIC) :], dtype="<u8")
 
 
+# -- segmented manifests (r12 — VERDICT r11 #4) -------------------------------
+#
+# manifest_format 2 splits the per-file bulk of a commit — file list,
+# footer stats, deletion-vector map — out of the commit JSON into
+# CONTENT-ADDRESSED per-partition segment files under
+# ``_commits/seg/<sha1>.json`` (Iceberg's manifest-list shape). The
+# commit JSON keeps only scalars plus, per partition, the segment ref
+# and a MERGED stat envelope (min/max per column across the
+# partition's files). Consequences at 10^5–10^6 files:
+#
+# - A commit that carries a partition by reference reuses the parent's
+#   segment VERBATIM (same content → same hash → same file): publish
+#   I/O and JSON encoding are O(touched partitions), not O(table).
+# - A pruned read (:meth:`CommitLogStore.files_for`) tests the segment
+#   envelope FIRST and loads only segments whose envelope might match:
+#   driver parse cost is O(matching partitions' segments).
+# - Full hydration (:meth:`CommitLogStore.manifest` — the legacy
+#   all-files dict) still exists for maintenance ops (compact, vacuum,
+#   full-snapshot reads) that are inherently O(files).
+#
+# Segments are immutable and shared across versions; :meth:`vacuum`
+# GCs the ones no retained manifest references (age-gated, same
+# in-flight-writer defense as data dirs). Format 1 manifests (inline
+# files/stats/dv) remain fully readable — hydration is the identity.
+
+MANIFEST_FORMAT = 2
+
+# hydration/meta/segment caches per store instance are bounded by
+# these entry counts; entries are immutable once written, so eviction
+# is correctness-neutral (a reload re-parses the same bytes)
+_META_CACHE_MAX = 256
+_FULL_CACHE_MAX = 8
+_SEG_CACHE_MAX = 512
+
+
+def _merge_file_stats(stats_list: list[dict | None]) -> dict:
+    """One segment-level stat envelope from per-file footer stats:
+    rows/bytes summed, per-column min/max widened, null counts summed.
+    Shaped exactly like a per-file entry so :func:`_file_matches`
+    applies unchanged at segment granularity. Conservative: a column
+    missing from ANY file (or any file missing stats entirely) is
+    dropped from the envelope — the segment then never prunes on it."""
+    rows = 0
+    nbytes = 0
+    cols: dict[str, dict] | None = None
+    complete = True
+    for st in stats_list:
+        if not st:
+            complete = False
+            cols = {}
+            continue
+        rows += st.get("rows", 0)
+        nbytes += st.get("bytes", 0)
+        fc = st.get("cols", {})
+        if not complete:
+            continue
+        if cols is None:
+            cols = {
+                c: {"min": v["min"], "max": v["max"], "nulls": v["nulls"]}
+                for c, v in fc.items()
+            }
+            continue
+        for c in list(cols):
+            v = fc.get(c)
+            if v is None:
+                del cols[c]
+                continue
+            cur = cols[c]
+            if _stat_cmp(v["min"], cur["min"]) == -1:
+                cur["min"] = v["min"]
+            if _stat_cmp(v["max"], cur["max"]) == 1:
+                cur["max"] = v["max"]
+            cur["nulls"] = (
+                None
+                if v["nulls"] is None or cur["nulls"] is None
+                else cur["nulls"] + v["nulls"]
+            )
+    return {"rows": rows, "bytes": nbytes, "cols": cols or {}}
+
+
 class CommitLogStore:
     """A parquet table with an atomic commit log (see module doc)."""
 
     def __init__(self, path: str):
         self.path = path
         self.commits_dir = os.path.join(path, "_commits")
+        self.seg_dir = os.path.join(path, "_commits", "seg")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.commits_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # per-instance caches over IMMUTABLE artifacts (a committed
+        # manifest/segment is never modified); callers must treat the
+        # returned dicts as read-only — every composition site builds
+        # fresh dicts rather than mutating a loaded manifest
+        self._meta_cache: dict[int, dict] = {}
+        self._full_cache: dict[int, dict] = {}
+        self._seg_cache: dict[str, dict] = {}
+        # instrumentation: profile of the most recent files_for call
+        # ({"segments_total", "segments_loaded", "files_matched"});
+        # None until a segment-indexed manifest is pruned. Read by the
+        # scale smoke to PROVE pruned reads load only touched segments.
+        self.last_prune_profile: dict | None = None
 
     # -- manifest plumbing -------------------------------------------------
+
+    def _load_segment(self, ref: str) -> dict:
+        seg = self._seg_cache.get(ref)
+        if seg is None:
+            with open(os.path.join(self.path, ref)) as fh:
+                seg = json.load(fh)
+            if len(self._seg_cache) >= _SEG_CACHE_MAX:
+                self._seg_cache.clear()
+            self._seg_cache[ref] = seg
+        return seg
+
+    def _write_segment(self, seg: dict) -> str:
+        """Persist one manifest segment content-addressed; identical
+        content (an untouched partition carried across versions)
+        dedupes to the same file — zero rewrite. Returns the ref
+        (store-relative path). Durable before the commit JSON that
+        references it can link."""
+        blob = json.dumps(seg, sort_keys=True, separators=(",", ":")).encode()
+        sha = hashlib.sha1(blob).hexdigest()
+        rel = os.path.join("_commits", "seg", f"{sha}.json")
+        final = os.path.join(self.path, rel)
+        if not os.path.exists(final):
+            os.makedirs(self.seg_dir, exist_ok=True)
+            tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+                fh.flush()
+                os.fsync(fh.fileno())
+            # replace, not link: racing writers carry IDENTICAL bytes
+            # (content address), so last-write-wins is harmless
+            os.replace(tmp, final)
+            _fsync_file(self.seg_dir)
+        return rel
+
+    def _segment_manifest(self, full: dict) -> dict:
+        """Split a fully-composed manifest dict into the format-2
+        commit JSON: scalars stay inline, per-file bulk moves to
+        content-addressed segments keyed by partition value (one
+        segment keyed ``""`` for unpartitioned stores).
+        ``full["__carry_segments__"]`` (partition value → segment
+        entry from the PARENT meta) injects carried-by-reference
+        partitions without their files ever being materialized."""
+        carry_segments = full.pop("__carry_segments__", {})
+        stats = full.get("stats", {})
+        dv = full.get("dv", {})
+        partitioned = "partitions" in full or bool(carry_segments)
+        groups = (
+            full.get("partitions", {})
+            if partitioned
+            else ({"": full["files"]} if full["files"] else {})
+        )
+        segments: dict[str, dict] = {}
+        for val, fl in groups.items():
+            if val in carry_segments:
+                raise ValueError(
+                    f"partition {val!r} both written and carried by ref"
+                )
+            fl = sorted(fl)
+            seg = {
+                "files": fl,
+                "stats": {f: stats[f] for f in fl if f in stats},
+            }
+            seg_dv = {f: dv[f] for f in fl if f in dv}
+            if seg_dv:
+                seg["dv"] = seg_dv
+            segments[val] = {
+                "ref": self._write_segment(seg),
+                "n_files": len(fl),
+                "n_dv": len(seg_dv),
+                "stats": _merge_file_stats(
+                    [stats.get(f) for f in fl]
+                ),
+            }
+        if partitioned:
+            grouped = {f for fl in groups.values() for f in fl}
+            if grouped != set(full["files"]):
+                raise ValueError(
+                    "manifest files and partition map disagree: "
+                    f"{sorted(grouped ^ set(full['files']))[:5]} ..."
+                )
+        segments.update(carry_segments)
+        meta = {
+            k: v
+            for k, v in full.items()
+            if k not in ("files", "stats", "dv", "partitions")
+        }
+        meta["manifest_format"] = MANIFEST_FORMAT
+        meta["partitioned"] = partitioned
+        meta["segments"] = {v: segments[v] for v in sorted(segments)}
+        return meta
+
+    def _hydrate(self, meta: dict) -> dict:
+        """The legacy all-files manifest dict for a commit JSON of any
+        format. Format 1 is the identity; format 2 loads every segment
+        — O(files), reserved for paths that genuinely plan the whole
+        snapshot (full reads, compact, vacuum, model checks)."""
+        if meta.get("manifest_format", 1) < 2:
+            return meta
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        dv: dict[str, str] = {}
+        parts: dict[str, list[str]] = {}
+        for val, sm in meta.get("segments", {}).items():
+            seg = self._load_segment(sm["ref"])
+            files.extend(seg["files"])
+            stats.update(seg.get("stats", {}))
+            dv.update(seg.get("dv", {}))
+            if meta.get("partitioned"):
+                parts[val] = list(seg["files"])
+        full = {
+            k: v
+            for k, v in meta.items()
+            if k not in ("segments", "manifest_format", "partitioned")
+        }
+        full["files"] = sorted(files)
+        full["stats"] = {f: stats[f] for f in sorted(stats)}
+        if dv:
+            full["dv"] = {f: dv[f] for f in sorted(dv)}
+        if meta.get("partitioned"):
+            full["partitions"] = {v: parts[v] for v in sorted(parts)}
+        return full
 
     def versions(self) -> list[int]:
         out = []
@@ -552,17 +783,80 @@ class CommitLogStore:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def manifest_meta(self, version: int) -> dict:
+        """The commit JSON as written — for format-2 manifests a SMALL
+        document (scalars + per-partition segment refs/envelopes),
+        regardless of table size. Treat as read-only (cached)."""
+        meta = self._meta_cache.get(version)
+        if meta is None:
+            with open(
+                os.path.join(self.commits_dir, f"v{version:08d}.json")
+            ) as fh:
+                meta = json.load(fh)
+            if len(self._meta_cache) >= _META_CACHE_MAX:
+                self._meta_cache.clear()
+            self._meta_cache[version] = meta
+        return meta
+
     def manifest(self, version: int) -> dict:
-        with open(
-            os.path.join(self.commits_dir, f"v{version:08d}.json")
-        ) as fh:
-            return json.load(fh)
+        """The HYDRATED manifest (inline files/stats/dv/partitions,
+        format-1 shape) — O(files) for format-2 manifests; prefer
+        :meth:`manifest_meta` + selective segment loads on hot paths.
+        Treat as read-only (cached)."""
+        full = self._full_cache.get(version)
+        if full is None:
+            full = self._hydrate(self.manifest_meta(version))
+            if len(self._full_cache) >= _FULL_CACHE_MAX:
+                self._full_cache.clear()
+            self._full_cache[version] = full
+        return full
+
+    def _segment_index(self, meta: dict) -> dict[str, dict] | None:
+        """partition value → segment entry for a format-2 meta; None
+        for format-1 manifests (no segment structure to exploit)."""
+        if meta.get("manifest_format", 1) >= 2:
+            return meta.get("segments", {})
+        return None
+
+    def _partition_slice(
+        self, meta: dict, values: set[str]
+    ) -> tuple[dict[str, list[str]], dict[str, dict], dict[str, str]]:
+        """(partitions, stats, dv) restricted to ``values`` — loads
+        ONLY those partitions' segments on a format-2 manifest (the
+        O(touched) commit path); format-1 slices the inline maps."""
+        idx = self._segment_index(meta)
+        if idx is None:
+            parts = {
+                v: fl
+                for v, fl in meta.get("partitions", {}).items()
+                if v in values
+            }
+            in_slice = {f for fl in parts.values() for f in fl}
+            stats = {
+                f: st
+                for f, st in meta.get("stats", {}).items()
+                if f in in_slice
+            }
+            dv = {
+                f: p for f, p in meta.get("dv", {}).items() if f in in_slice
+            }
+            return parts, stats, dv
+        parts, stats, dv = {}, {}, {}
+        for val in values:
+            sm = idx.get(val)
+            if sm is None:
+                continue
+            seg = self._load_segment(sm["ref"])
+            parts[val] = list(seg["files"])
+            stats.update(seg.get("stats", {}))
+            dv.update(seg.get("dv", {}))
+        return parts, stats, dv
 
     def last_batch_id(self) -> int | None:
         v = self.latest_version()
         if v is None:
             return None
-        return self.manifest(v).get("last_batch_id")
+        return self.manifest_meta(v).get("last_batch_id")
 
     def version_as_of(self, ts: float) -> int:
         """The snapshot a reader at wall-clock ``ts`` (unix seconds)
@@ -570,7 +864,7 @@ class CommitLogStore:
         Delta's TIMESTAMP AS OF. Raises if ``ts`` predates the table."""
         best = None
         for v in self.versions():
-            at = self.manifest(v).get("committed_at")
+            at = self.manifest_meta(v).get("committed_at")
             if at is not None and at <= ts:
                 best = v
         if best is None:
@@ -582,10 +876,25 @@ class CommitLogStore:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one row per retained commit, newest first —
         the audit trail (version, op, committed_at, batch_id, file and
-        partition counts, DV presence)."""
+        partition counts, DV presence). Meta-only on format-2
+        manifests: segment envelopes carry the counts, so a long
+        history over a huge table never hydrates file lists."""
         out = []
         for v in reversed(self.versions()):
-            m = self.manifest(v)
+            m = self.manifest_meta(v)
+            idx = self._segment_index(m)
+            if idx is not None:
+                n_files = sum(sm["n_files"] for sm in idx.values())
+                n_parts = (len(idx) or None) if m.get("partitioned") else None
+                n_dv = sum(sm.get("n_dv", 0) for sm in idx.values())
+                rows = sum(sm["stats"].get("rows", 0) for sm in idx.values())
+            else:
+                n_files = len(m["files"])
+                n_parts = len(m.get("partitions", {})) or None
+                n_dv = len(m.get("dv", {})) or 0
+                rows = sum(
+                    st["rows"] for st in m.get("stats", {}).values()
+                )
             out.append(
                 {
                     "version": v,
@@ -593,12 +902,10 @@ class CommitLogStore:
                     "op": m.get("op"),
                     "committed_at": m.get("committed_at"),
                     "batch_id": m.get("batch_id"),
-                    "n_files": len(m["files"]),
-                    "n_partitions": len(m.get("partitions", {})) or None,
-                    "n_dv_files": len(m.get("dv", {})) or 0,
-                    "rows_physical": sum(
-                        st["rows"] for st in m.get("stats", {}).values()
-                    ),
+                    "n_files": n_files,
+                    "n_partitions": n_parts,
+                    "n_dv_files": n_dv,
+                    "rows_physical": rows,
                 }
             )
         return out
@@ -643,14 +950,32 @@ class CommitLogStore:
         objects for temporal columns (kind-mismatched comparisons are
         conservatively never pruned; naive datetimes against a
         TimestampType column are interpreted exactly as ``F.lit``
-        interprets them — the driver's local timezone)."""
+        interprets them — the driver's local timezone).
+
+        r12 (VERDICT r11 #4): on segmented manifests this is TWO-level
+        — the per-partition segment envelope (merged min/max) is
+        tested first and only segments that might match are loaded, so
+        the driver parses O(matching partitions) of file metadata, not
+        the table's. :attr:`last_prune_profile` records the ratio."""
+        return self._files_for_pruned(predicates, version)[0]
+
+    def _files_for_pruned(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> tuple[
+        list[str], dict[str, str], dict[str, dict], dict[str, str] | None
+    ]:
+        """(pruned files, their DV map, their stats, file→partition) —
+        the internal face of :meth:`files_for` that also surfaces the
+        surviving files' metadata WITHOUT hydrating the manifest, so
+        :meth:`read_where` and the DML planners stay O(matching
+        segments) on the driver. The partition map is ``None`` on
+        format-1 manifests (no segment structure)."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
-        m = self.manifest(v)
-        stats = m.get("stats", {})
+        meta = self.manifest_meta(v)
         usable = predicates
-        if m.get("stats_format", 1) < 2:
+        if meta.get("stats_format", 1) < 2:
             # pre-r11 manifests stored tz-naive timestamps under kind
             # 't' WITHOUT UTC normalization — incomparable with the
             # r11+ predicate conversion, so datetime predicates never
@@ -662,9 +987,48 @@ class CommitLogStore:
                 if not _holds_datetime(val)
             ]
         preds = _pruning_predicates(
-            usable, T.StructType.fromJson(json.loads(m["schema"]))
+            usable, T.StructType.fromJson(json.loads(meta["schema"]))
         )
-        return [f for f in m["files"] if _file_matches(stats.get(f), preds)]
+        idx = self._segment_index(meta)
+        if idx is None:
+            m = self.manifest(v)
+            stats = m.get("stats", {})
+            out = [f for f in m["files"] if _file_matches(stats.get(f), preds)]
+            keep = set(out)
+            self.last_prune_profile = None
+            return (
+                out,
+                {f: p for f, p in m.get("dv", {}).items() if f in keep},
+                {f: st for f, st in stats.items() if f in keep},
+                None,
+            )
+        out: list[str] = []
+        dvm: dict[str, str] = {}
+        stm: dict[str, dict] = {}
+        part_of: dict[str, str] = {}
+        loaded = 0
+        for val in sorted(idx):
+            sm = idx[val]
+            if not _file_matches(sm.get("stats"), preds):
+                continue  # segment envelope proves no file can match
+            loaded += 1
+            seg = self._load_segment(sm["ref"])
+            seg_stats = seg.get("stats", {})
+            seg_dv = seg.get("dv", {})
+            for f in seg["files"]:
+                if _file_matches(seg_stats.get(f), preds):
+                    out.append(f)
+                    part_of[f] = val
+                    if f in seg_stats:
+                        stm[f] = seg_stats[f]
+                    if f in seg_dv:
+                        dvm[f] = seg_dv[f]
+        self.last_prune_profile = {
+            "segments_total": len(idx),
+            "segments_loaded": loaded,
+            "files_matched": len(out),
+        }
+        return sorted(out), dvm, stm, part_of
 
     def read_where(
         self,
@@ -687,15 +1051,20 @@ class CommitLogStore:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
-        m = self.manifest(v)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        files = self.files_for(predicates, version=v)
+        meta = self.manifest_meta(v)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        # segment-selective: file list AND the survivors' DV map come
+        # from the matching segments only — a pruned read of a 10^6
+        # file table never parses the full manifest (VERDICT r11 #4)
+        files, dvm, _stats, _parts = self._files_for_pruned(
+            predicates, version=v
+        )
         residual = reduce(
             lambda a, b: a & b,
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
         return self._read_files(
-            spark, files, schema, dv=m.get("dv")
+            spark, files, schema, dv=dvm
         ).filter(residual)
 
     # -- write -------------------------------------------------------------
@@ -878,23 +1247,57 @@ class CommitLogStore:
         key-disjoint siblings of a rewritten file). They merge into
         the partition's file list, keep their parent stats and
         deletion vectors, and VOID the partition's clustering entry
-        (its layout is no longer uniform)."""
+        (its layout is no longer uniform).
+
+        r12 segmented manifests (VERDICT r11 #4): a carry_partitions
+        value of ``None`` carries that partition AS THE PARENT'S
+        SEGMENT REF — its file list is never parsed, so composing a
+        commit against a 10^6-file table costs O(touched partitions)
+        on the driver, not O(table). Explicit file lists remain
+        supported (compact's rewrite bookkeeping, format-1 parents)
+        and load only those partitions' segments."""
         latest = parent
         token = staged["token"]
         partitions = {v: list(fl) for v, fl in staged["partitions"].items()}
         new_files = list(staged["files"])
         stats = dict(staged["stats"])
-        prev_manifest = self.manifest(latest) if latest is not None else {}
-        prev_stats = prev_manifest.get("stats", {})
-        prev_clustering = prev_manifest.get("clustering", {})
-        prev_dv = prev_manifest.get("dv", {})
+        prev_meta = self.manifest_meta(latest) if latest is not None else {}
+        prev_clustering = prev_meta.get("clustering", {})
+        prev_idx = (
+            self._segment_index(prev_meta) if latest is not None else None
+        )
+        carry_refs: dict[str, dict] = {}
+        explicit_carry: dict[str, list[str]] = {}
+        for val, fl in (carry_partitions or {}).items():
+            if fl is not None:
+                explicit_carry[val] = list(fl)
+            elif prev_idx is not None and val in prev_idx:
+                carry_refs[val] = prev_idx[val]
+            else:
+                # format-1 parent (or missing segment): degrade to an
+                # explicit carry of the hydrated partition's files
+                explicit_carry[val] = list(
+                    self.manifest(latest)["partitions"][val]
+                )
+        need_vals = set(explicit_carry) | set(carry_files or {})
+        if need_vals and latest is not None:
+            _, prev_stats, prev_dv = self._partition_slice(
+                prev_meta, need_vals
+            )
+        else:
+            prev_stats, prev_dv = {}, {}
         files = list(new_files)
         dv_map: dict[str, str] = {}
-        if carry_partitions:
+        if carry_refs or explicit_carry:
             if partition_by is None:
                 raise ValueError("carry_partitions requires partition_by")
-            for val, fl in carry_partitions.items():
+            for val in carry_refs:
                 if val in partitions:
+                    raise ValueError(
+                        f"carried partition {val!r} collides with written data"
+                    )
+            for val, fl in explicit_carry.items():
+                if val in partitions or val in carry_refs:
                     raise ValueError(
                         f"carried partition {val!r} collides with written data"
                     )
@@ -967,6 +1370,8 @@ class CommitLogStore:
             }
         if keys is not None:
             manifest["keys"] = list(keys)
+        if carry_refs:
+            manifest["__carry_segments__"] = carry_refs
         return self._publish(manifest, token)
 
     def _publish(self, manifest: dict, token: str) -> int:
@@ -982,9 +1387,14 @@ class CommitLogStore:
         # predicates as unprunable (ADVICE r11) instead of mispruning
         # on a non-UTC driver.
         manifest.setdefault("stats_format", 2)
+        # manifest_format 2 (r12): per-file bulk leaves the commit
+        # JSON for content-addressed per-partition segments — publish
+        # cost O(touched partitions), untouched segments dedupe to the
+        # parent's files byte-for-byte
+        meta = self._segment_manifest(manifest)
         tmp = os.path.join(self.commits_dir, f".tmp-{token}")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(meta, fh)
             fh.flush()
             os.fsync(fh.fileno())
         final = os.path.join(self.commits_dir, f"v{new_version:08d}.json")
@@ -1025,7 +1435,13 @@ class CommitLogStore:
         check PROVES disjointness, and any uncertainty (missing stats,
         null incoming keys — eqNullSafe matches target nulls —
         timestamp keys, whose collect round-trip is DST-ambiguous)
-        conservatively keeps the file in the rewrite set."""
+        conservatively keeps the file in the rewrite set.
+
+        r12 segmented manifests: ``manifest`` may be a format-2 META —
+        only the TOUCHED partitions' segments are loaded (file lists,
+        stats, DVs); untouched partitions come back as ``None`` carry
+        entries, which :meth:`_commit_staged` turns into parent
+        segment refs without ever parsing their file lists."""
         from pyspark.sql import functions as F
 
         if partition_by not in incoming.columns:
@@ -1033,6 +1449,8 @@ class CommitLogStore:
                 f"incoming batch lacks partition column {partition_by!r}"
             )
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        idx = self._segment_index(manifest)
+        by_ref = idx is not None
         data_keys = [
             k
             for k in (keys or [])
@@ -1065,14 +1483,32 @@ class CommitLogStore:
             raise ValueError(
                 f"null partition values in batch column {partition_by!r}"
             )
-        prev_parts: dict[str, list[str]] = manifest["partitions"]
-        carry = {v: fl for v, fl in prev_parts.items() if v not in touched}
-        stats = manifest.get("stats", {})
+        all_vals = set(idx) if by_ref else set(manifest["partitions"])
+        if by_ref:
+            # O(touched): only the touched partitions' segments load;
+            # the rest carry as refs (None), never parsed
+            prev_parts, stats, prev_dv = self._partition_slice(
+                manifest, all_vals & touched
+            )
+            carry: dict[str, list[str] | None] = {
+                v: None for v in all_vals - touched
+            }
+        else:
+            prev_parts = {
+                v: fl
+                for v, fl in manifest["partitions"].items()
+                if v in touched
+            }
+            stats = manifest.get("stats", {})
+            prev_dv = manifest.get("dv", {})
+            carry = {
+                v: fl
+                for v, fl in manifest["partitions"].items()
+                if v not in touched
+            }
         carry_files: dict[str, list[str]] = {}
         read_files: list[str] = []
         for val, fl in prev_parts.items():
-            if val not in touched:
-                continue
             preds = []
             r = ranges[val]
             for k in data_keys:
@@ -1096,7 +1532,7 @@ class CommitLogStore:
         # DV-aware: a touched file's deleted rows must not resurrect
         # through the merge's rewrite of that partition
         target = self._read_files(
-            spark, sorted(read_files), schema, dv=manifest.get("dv")
+            spark, sorted(read_files), schema, dv=prev_dv
         )
         return target, carry, touched, carry_files
 
@@ -1115,10 +1551,16 @@ class CommitLogStore:
         both manifests. Then the merge's staged output is valid against
         the new head too — the operations commute and the loser of the
         version race may rebase instead of recomputing (the same
-        logical-conflict check Delta's commit protocol runs)."""
+        logical-conflict check Delta's commit protocol runs).
+
+        Segment-aware (r12): only the TOUCHED partitions' segments of
+        the two heads are loaded — the check is O(touched), and two
+        heads sharing a partition's segment ref compare equal without
+        either segment being parsed."""
         if old_parent is None or pb is None or touched is None:
             return False
-        mold, mnew = self.manifest(old_parent), self.manifest(new_parent)
+        mold = self.manifest_meta(old_parent)
+        mnew = self.manifest_meta(new_parent)
 
         def shape(schema_json: str):
             # names + types, nullability ignored: a merge commit often
@@ -1130,20 +1572,42 @@ class CommitLogStore:
 
         if (
             mnew.get("partition_by") != pb
-            or "partitions" not in mold
-            or "partitions" not in mnew
+            or not self._meta_partitioned(mold)
+            or not self._meta_partitioned(mnew)
             or shape(mnew["schema"]) != shape(mold["schema"])
             or mold.get("keys") != mnew.get("keys")
         ):
             return False
-        dv_old, dv_new = mold.get("dv", {}), mnew.get("dv", {})
-        for v in touched:
-            fo = mold["partitions"].get(v, [])
-            if fo != mnew["partitions"].get(v, []):
+        io, inw = self._segment_index(mold), self._segment_index(mnew)
+        if io is not None and inw is not None:
+            # fast path: identical segment refs ⇒ identical files+DVs
+            rest = {
+                v
+                for v in touched
+                if io.get(v) is None
+                or (io.get(v) or {}).get("ref")
+                != (inw.get(v) or {}).get("ref")
+            }
+            if not rest:
+                return True
+        else:
+            rest = set(touched)
+        po, _so, dv_old = self._partition_slice(mold, rest)
+        pn, _sn, dv_new = self._partition_slice(mnew, rest)
+        for v in rest:
+            fo = po.get(v, [])
+            if fo != pn.get(v, []):
                 return False
             if any(dv_old.get(f) != dv_new.get(f) for f in fo):
                 return False
         return True
+
+    def _meta_partitioned(self, meta: dict) -> bool:
+        """Whether a commit JSON (either format) describes a
+        partition-mapped snapshot."""
+        if meta.get("manifest_format", 1) >= 2:
+            return bool(meta.get("partitioned"))
+        return "partitions" in meta
 
     def _merge_commit_with_retries(
         self,
@@ -1197,12 +1661,16 @@ class CommitLogStore:
                     # files + DVs identical in both heads, and carried
                     # files live inside touched partitions by
                     # construction.
-                    m2 = self.manifest(new_latest)
-                    carry = {
-                        v: fl
-                        for v, fl in m2["partitions"].items()
-                        if v not in touched
-                    }
+                    m2 = self.manifest_meta(new_latest)
+                    idx2 = self._segment_index(m2)
+                    if idx2 is not None:
+                        carry = {v: None for v in idx2 if v not in touched}
+                    else:
+                        carry = {
+                            v: fl
+                            for v, fl in m2["partitions"].items()
+                            if v not in touched
+                        }
                     latest = new_latest
                     continue
                 latest = new_latest
@@ -1265,14 +1733,14 @@ class CommitLogStore:
         def prepare(latest):
             if latest is None:
                 return incoming, None, partition_by, None, None
-            m = self.manifest(latest)
+            meta = self.manifest_meta(latest)
             pb = (
                 partition_by
                 if partition_by is not None
-                else m.get("partition_by")
+                else meta.get("partition_by")
             )
             carry_files = None
-            if pb is None or "partitions" not in m:
+            if pb is None or not self._meta_partitioned(meta):
                 # unpartitioned store (or migration commit onto one):
                 # full snapshot merge; passing partition_by lays the
                 # NEW snapshot out partitioned, so the next merge prunes
@@ -1280,7 +1748,7 @@ class CommitLogStore:
             else:
                 target, carry, touched, carry_files = (
                     self._scope_to_touched_partitions(
-                        spark, incoming, pb, m, keys=keys
+                        spark, incoming, pb, meta, keys=keys
                     )
                 )
             if schema_mode == "merge":
@@ -1335,13 +1803,13 @@ class CommitLogStore:
                 target = batch.select(*data_cols).limit(0)
                 pb = partition_by
             else:
-                m = self.manifest(latest)
+                meta = self.manifest_meta(latest)
                 pb = (
                     partition_by
                     if partition_by is not None
-                    else m.get("partition_by")
+                    else meta.get("partition_by")
                 )
-                if pb is None or "partitions" not in m:
+                if pb is None or not self._meta_partitioned(meta):
                     target = self.read(spark, latest)
                 else:
                     # the key-range scope sees the FULL batch (delete
@@ -1349,7 +1817,7 @@ class CommitLogStore:
                     # in the rewrite set
                     target, carry, touched, carry_files = (
                         self._scope_to_touched_partitions(
-                            spark, batch, pb, m, keys=keys
+                            spark, batch, pb, meta, keys=keys
                         )
                     )
             if schema_mode == "merge":
@@ -1411,9 +1879,13 @@ class CommitLogStore:
                 expect_version=None,
                 partition_by=partition_by,
             )
-        m = self.manifest(latest)
-        pb = partition_by if partition_by is not None else m.get("partition_by")
-        if pb is None or "partitions" not in m:
+        meta = self.manifest_meta(latest)
+        pb = (
+            partition_by
+            if partition_by is not None
+            else meta.get("partition_by")
+        )
+        if pb is None or not self._meta_partitioned(meta):
             raise ValueError(
                 "overwrite_partitions requires a partitioned store "
                 "(commit with partition_by first)"
@@ -1428,9 +1900,18 @@ class CommitLogStore:
         }
         if None in touched:
             raise ValueError(f"null partition values in column {pb!r}")
-        carry = {
-            v: fl for v, fl in m["partitions"].items() if v not in touched
-        }
+        idx = self._segment_index(meta)
+        if idx is not None:
+            # untouched partitions carry as segment refs — the commit
+            # never parses their file lists (O(touched) driver cost)
+            carry = {v: None for v in idx if v not in touched}
+        else:
+            m = self.manifest(latest)
+            carry = {
+                v: fl
+                for v, fl in m["partitions"].items()
+                if v not in touched
+            }
         return self.commit(
             df,
             op="overwrite_partitions",
@@ -1591,7 +2072,7 @@ class CommitLogStore:
         ddir = os.path.join(self.data_dir, token, subdir)
         pb = m.get("partition_by")
         new_parts: dict[str, list[str]] = {}
-        if pb is not None and "partitions" in m:
+        if pb is not None and self._meta_partitioned(m):
             staged = df.withColumn("__part", F.col(pb).cast("string"))
             if coalesce_partitions:
                 staged = staged.repartition(F.col("__part"))
@@ -1639,6 +2120,140 @@ class CommitLogStore:
             _fsync_file(os.path.join(self.path, f))
         return new_parts, files, stats
 
+    def _publish_dml(
+        self,
+        latest: int,
+        meta: dict,
+        token: str,
+        *,
+        op: str,
+        batch_id: int | None,
+        removed: set[str],
+        new_parts: dict[str, list[str]],
+        new_stats: dict[str, dict],
+        dv_updates: dict[str, str],
+        file_part: dict[str, str] | None,
+    ) -> int:
+        """Compose and publish the manifest of a DELETE/UPDATE/REORG
+        commit. ``removed`` = copy-on-write-replaced files,
+        ``new_parts``/``new_stats`` = appended or rewritten output
+        (keyed ``""`` on unpartitioned stores), ``dv_updates`` = new
+        deletion-vector sidecars for surviving files, ``file_part`` =
+        partition of every file in removed/dv_updates (from
+        :meth:`_files_for_pruned`).
+
+        On segmented manifests the composition is O(affected
+        partitions): only segments holding a removed/DV-updated file
+        or receiving output are loaded and recomposed; every other
+        partition carries as the parent's segment ref — the driver
+        never parses the rest of a 10^6-file table (VERDICT r11 #4).
+        Format-1 manifests fall back to full composition."""
+        prev_last_batch = meta.get("last_batch_id")
+        last_batch = (
+            batch_id
+            if batch_id is not None
+            and (prev_last_batch is None or batch_id > prev_last_batch)
+            else prev_last_batch
+        )
+        new_files = sorted(f for fl in new_parts.values() for f in fl)
+        idx = self._segment_index(meta)
+        if idx is None or file_part is None:
+            m = self.manifest(latest)
+            stats = {
+                f: st
+                for f, st in m.get("stats", {}).items()
+                if f not in removed
+            }
+            stats.update(new_stats)
+            new_dv = {
+                f: p
+                for f, p in m.get("dv", {}).items()
+                if f not in removed
+            }
+            new_dv.update(dv_updates)
+            manifest = {
+                "version": latest + 1,
+                "parent": latest,
+                "op": op,
+                "files": sorted(
+                    [f for f in m["files"] if f not in removed] + new_files
+                ),
+                "schema": m["schema"],
+                "batch_id": batch_id,
+                "last_batch_id": last_batch,
+                "stats": {f: stats[f] for f in sorted(stats)},
+            }
+            if new_dv:
+                manifest["dv"] = {f: new_dv[f] for f in sorted(new_dv)}
+            for k in ("partition_by", "keys"):
+                if k in m:
+                    manifest[k] = m[k]
+            if "partitions" in m:
+                manifest["partitions"] = _reshape_partitions(
+                    m["partitions"], removed, new_parts
+                )
+            if "clustering" in m:
+                kept = _clustering_after_dml(m, removed, new_parts)
+                if kept:
+                    manifest["clustering"] = kept
+            return self._publish(manifest, token)
+        affected = {file_part[f] for f in removed | set(dv_updates)} | set(
+            new_parts
+        )
+        parts_slice, stats_slice, dv_slice = self._partition_slice(
+            meta, affected
+        )
+        partitioned = self._meta_partitioned(meta)
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        dv: dict[str, str] = {}
+        out_parts: dict[str, list[str]] = {}
+        voided: set[str] = set()
+        for val in sorted(affected):
+            old_fl = parts_slice.get(val, [])
+            fl = sorted(
+                [f for f in old_fl if f not in removed]
+                + list(new_parts.get(val, []))
+            )
+            if (removed & set(old_fl)) or new_parts.get(val):
+                voided.add(val)  # file set changed: layout guarantee gone
+            if not fl:
+                continue  # partition emptied out entirely
+            out_parts[val] = fl
+            files.extend(fl)
+            for f in fl:
+                st = new_stats.get(f) or stats_slice.get(f)
+                if st is not None:
+                    stats[f] = st
+                d = dv_updates.get(f) or dv_slice.get(f)
+                if d is not None:
+                    dv[f] = d
+        manifest = {
+            "version": latest + 1,
+            "parent": latest,
+            "op": op,
+            "files": sorted(files),
+            "schema": meta["schema"],
+            "batch_id": batch_id,
+            "last_batch_id": last_batch,
+            "stats": {f: stats[f] for f in sorted(stats)},
+        }
+        if dv:
+            manifest["dv"] = {f: dv[f] for f in sorted(dv)}
+        for k in ("partition_by", "keys"):
+            if k in meta:
+                manifest[k] = meta[k]
+        if partitioned:
+            manifest["partitions"] = out_parts
+        clustering = meta.get("clustering", {})
+        kept = {v: cl for v, cl in clustering.items() if v not in voided}
+        if kept:
+            manifest["clustering"] = kept
+        carry_refs = {v: idx[v] for v in idx if v not in affected}
+        if carry_refs:
+            manifest["__carry_segments__"] = carry_refs
+        return self._publish(manifest, token)
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -1685,83 +2300,56 @@ class CommitLogStore:
             high = self.last_batch_id()
             if high is not None and batch_id <= high:
                 return latest
-        m = self.manifest(latest)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        cand = self.files_for(predicates, version=latest)
+        meta = self.manifest_meta(latest)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        # segment-selective planning: candidates, their DVs, their row
+        # counts and their partitions all come from the matching
+        # segments — never the full manifest
+        cand, cand_dv, cand_stats, file_part = self._files_for_pruned(
+            predicates, version=latest
+        )
         if not cand:
             return latest
         residual = reduce(
             lambda a, b: a & b,
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
-        prev_dv = dict(m.get("dv", {}))
         token = uuid.uuid4().hex
         summaries = self._build_dv_artifacts(
-            spark, cand, schema, residual, prev_dv, token,
-            cow_threshold, m.get("stats", {}),
+            spark, cand, schema, residual, cand_dv, token,
+            cow_threshold, cand_stats,
         )
         touched = [s for s in summaries if s["n_new"] > 0]
         if not touched:
             return latest  # nothing LIVE matched: no commit
         cow_files = sorted(s["rel"] for s in touched if s["cow"])
-        new_dv = dict(prev_dv)
-        for s in touched:
-            if not s["cow"]:
-                new_dv[s["rel"]] = s["dv_rel"]
+        dv_updates = {
+            s["rel"]: s["dv_rel"] for s in touched if not s["cow"]
+        }
         new_parts: dict[str, list[str]] = {}
-        new_files: list[str] = []
         new_stats: dict[str, dict] = {}
         if cow_files:
             # survivors = rows where the predicate is NOT true (a null
             # predicate keeps the row, matching the DV path's filter)
             keep = ~F.coalesce(residual, F.lit(False))
             surv = self._read_files(
-                spark, cow_files, schema, dv=prev_dv
+                spark, cow_files, schema, dv=cand_dv
             ).filter(keep)
-            new_parts, new_files, new_stats = self._write_dml_files(
-                surv, m, token, "rw", coalesce_partitions=False
+            new_parts, _new_files, new_stats = self._write_dml_files(
+                surv, meta, token, "rw", coalesce_partitions=False
             )
-            for f in cow_files:
-                new_dv.pop(f, None)
-        prev_last_batch = self.last_batch_id()
-        removed = set(cow_files)
-        stats = {
-            f: st for f, st in m.get("stats", {}).items() if f not in removed
-        }
-        stats.update(new_stats)
-        manifest = {
-            "version": latest + 1,
-            "parent": latest,
-            "op": "delete",
-            "files": sorted(
-                [f for f in m["files"] if f not in removed] + new_files
-            ),
-            "schema": m["schema"],
-            "batch_id": batch_id,
-            "last_batch_id": (
-                batch_id
-                if batch_id is not None
-                and (prev_last_batch is None or batch_id > prev_last_batch)
-                else prev_last_batch
-            ),
-            "stats": {f: stats[f] for f in sorted(stats)},
-        }
-        if new_dv:
-            manifest["dv"] = {f: new_dv[f] for f in sorted(new_dv)}
-        for k in ("partition_by", "keys"):
-            if k in m:
-                manifest[k] = m[k]
-        if "partitions" in m:
-            manifest["partitions"] = _reshape_partitions(
-                m["partitions"], removed, new_parts
-            )
-        if "clustering" in m:
-            kept = _clustering_after_dml(
-                m, removed, new_parts
-            )
-            if kept:
-                manifest["clustering"] = kept
-        return self._publish(manifest, token)
+        return self._publish_dml(
+            latest,
+            meta,
+            token,
+            op="delete",
+            batch_id=batch_id,
+            removed=set(cow_files),
+            new_parts=new_parts,
+            new_stats=new_stats,
+            dv_updates=dv_updates,
+            file_part=file_part,
+        )
 
     def update_where(
         self,
@@ -1812,36 +2400,34 @@ class CommitLogStore:
             high = self.last_batch_id()
             if high is not None and batch_id <= high:
                 return latest
-        m = self.manifest(latest)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        meta = self.manifest_meta(latest)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
         by_type = {f.name: f.dataType for f in schema.fields}
         for c in assignments:
             if c not in by_type:
                 raise ValueError(f"unknown column {c!r} in assignments")
-        cand = self.files_for(predicates, version=latest)
+        cand, dv_prev, cand_stats, file_part = self._files_for_pruned(
+            predicates, version=latest
+        )
         if not cand:
             return latest
         residual = reduce(
             lambda a, b: a & b,
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
-        dv_prev = dict(m.get("dv", {}))
         token = uuid.uuid4().hex
         summaries = self._build_dv_artifacts(
             spark, cand, schema, residual, dv_prev, token,
-            cow_threshold, m.get("stats", {}),
+            cow_threshold, cand_stats,
         )
         touched = [s for s in summaries if s["n_new"] > 0]
         if not touched:
             return latest  # nothing LIVE matched: no commit
         cow_files = sorted(s["rel"] for s in touched if s["cow"])
         dv_files = sorted(s["rel"] for s in touched if not s["cow"])
-        new_dv = dict(dv_prev)
-        for s in touched:
-            if not s["cow"]:
-                new_dv[s["rel"]] = s["dv_rel"]
-        for f in cow_files:
-            new_dv.pop(f, None)
+        dv_updates = {
+            s["rel"]: s["dv_rel"] for s in touched if not s["cow"]
+        }
 
         def _assigned(f: T.StructField):
             v = assignments[f.name]
@@ -1849,7 +2435,6 @@ class CommitLogStore:
             return e.cast(f.dataType)
 
         new_parts: dict[str, list[str]] = {}
-        new_files: list[str] = []
         new_stats: dict[str, dict] = {}
         if dv_files:
             # sparse path: the masked rows re-append with assignments
@@ -1868,8 +2453,8 @@ class CommitLogStore:
                     for f in schema.fields
                 ]
             )
-            new_parts, new_files, new_stats = self._write_dml_files(
-                updated, m, token, "upd"
+            new_parts, _nf, new_stats = self._write_dml_files(
+                updated, meta, token, "upd"
             )
         if cow_files:
             # copy-on-write path: rewrite the whole file, assignments
@@ -1890,50 +2475,24 @@ class CommitLogStore:
                     for f in schema.fields
                 ]
             )
-            parts_rw, files_rw, stats_rw = self._write_dml_files(
-                rewritten, m, token, "rw", coalesce_partitions=False
+            parts_rw, _files_rw, stats_rw = self._write_dml_files(
+                rewritten, meta, token, "rw", coalesce_partitions=False
             )
             for val, fl in parts_rw.items():
                 new_parts[val] = sorted(new_parts.get(val, []) + fl)
-            new_files = sorted(new_files + files_rw)
             new_stats.update(stats_rw)
-        prev_last_batch = self.last_batch_id()
-        removed = set(cow_files)
-        stats = {
-            f: st for f, st in m.get("stats", {}).items() if f not in removed
-        }
-        stats.update(new_stats)
-        manifest = {
-            "version": latest + 1,
-            "parent": latest,
-            "op": "update",
-            "files": sorted(
-                [f for f in m["files"] if f not in removed] + new_files
-            ),
-            "schema": m["schema"],
-            "batch_id": batch_id,
-            "last_batch_id": (
-                batch_id
-                if batch_id is not None
-                and (prev_last_batch is None or batch_id > prev_last_batch)
-                else prev_last_batch
-            ),
-            "stats": {f: stats[f] for f in sorted(stats)},
-        }
-        if new_dv:
-            manifest["dv"] = {f: new_dv[f] for f in sorted(new_dv)}
-        for k in ("partition_by", "keys"):
-            if k in m:
-                manifest[k] = m[k]
-        if "partitions" in m:
-            manifest["partitions"] = _reshape_partitions(
-                m["partitions"], removed, new_parts
-            )
-        if "clustering" in m:
-            kept = _clustering_after_dml(m, removed, new_parts)
-            if kept:
-                manifest["clustering"] = kept
-        return self._publish(manifest, token)
+        return self._publish_dml(
+            latest,
+            meta,
+            token,
+            op="update",
+            batch_id=batch_id,
+            removed=set(cow_files),
+            new_parts=new_parts,
+            new_stats=new_stats,
+            dv_updates=dv_updates,
+            file_part=file_part,
+        )
 
     # -- change data feed (r10) ----------------------------------------------
 
@@ -2051,6 +2610,40 @@ class CommitLogStore:
             dvdf = F.broadcast(dvdf)
         return dvdf
 
+    def _file_diff(
+        self, parent: int, child: int
+    ) -> tuple[list[str], list[str], dict[str, str], dict[str, str]]:
+        """(pre_files, post_files, parent DV map, child DV map) — the
+        manifest file-diff CDF planning rides on. File identity
+        includes the deletion vector: a file whose DV changed reads as
+        pre (parent's mask) AND post (child's mask). Segment-aware
+        (r12): partitions whose segment REF is identical in both
+        manifests provably contribute nothing and are never parsed, so
+        the diff is O(touched partitions) on a partition-scoped store."""
+        mp_meta = self.manifest_meta(parent)
+        mc_meta = self.manifest_meta(child)
+        ip = self._segment_index(mp_meta)
+        ic = self._segment_index(mc_meta)
+        if ip is None or ic is None:
+            mp, mc = self.manifest(parent), self.manifest(child)
+            pdv, cdv = mp.get("dv", {}), mc.get("dv", {})
+            pid = {(f, pdv.get(f)) for f in mp["files"]}
+            cid = {(f, cdv.get(f)) for f in mc["files"]}
+        else:
+            vals = {
+                v
+                for v in set(ip) | set(ic)
+                if (ip.get(v) or {}).get("ref")
+                != (ic.get(v) or {}).get("ref")
+            }
+            pp, _ps, pdv = self._partition_slice(mp_meta, vals)
+            pc, _cs, cdv = self._partition_slice(mc_meta, vals)
+            pid = {(f, pdv.get(f)) for fl in pp.values() for f in fl}
+            cid = {(f, cdv.get(f)) for fl in pc.values() for f in fl}
+        pre = sorted(f for f, _ in pid - cid)
+        post = sorted(f for f, _ in cid - pid)
+        return pre, post, pdv, cdv
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -2089,7 +2682,7 @@ class CommitLogStore:
             )
         frames: list[DataFrame] = []
         for v in range(from_version + 1, to_v + 1):
-            m = self.manifest(v)
+            m = self.manifest_meta(v)
             schema = T.StructType.fromJson(json.loads(m["schema"]))
             data_cols = schema.fieldNames()
             parent = m.get("parent")
@@ -2097,9 +2690,10 @@ class CommitLogStore:
                 F.lit(v).cast("long").alias("_commit_version"),
             ]
             if parent is None:
+                m0 = self.manifest(v)
                 frames.append(
                     self._read_files(
-                        spark, m["files"], schema, dv=m.get("dv")
+                        spark, m0["files"], schema, dv=m0.get("dv")
                     ).select(
                         *data_cols,
                         F.lit("insert").alias("_change_type"),
@@ -2107,7 +2701,7 @@ class CommitLogStore:
                     )
                 )
                 continue
-            mp = self.manifest(parent)
+            mp = self.manifest_meta(parent)
             pschema = T.StructType.fromJson(json.loads(mp["schema"]))
             pmap = {f.name: f.dataType.simpleString() for f in pschema.fields}
             cmap = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -2130,12 +2724,9 @@ class CommitLogStore:
             # file identity includes its deletion vector: a file whose
             # DV changed reads as pre (parent's mask) AND post (child's
             # mask); the row-hash join then surfaces exactly the newly
-            # masked rows as deletes and suppresses the unchanged rest
-            pdv, cdv = mp.get("dv", {}), m.get("dv", {})
-            pid = {(f, pdv.get(f)) for f in mp["files"]}
-            cid = {(f, cdv.get(f)) for f in m["files"]}
-            pre_files = sorted(f for f, _ in pid - cid)
-            post_files = sorted(f for f, _ in cid - pid)
+            # masked rows as deletes and suppresses the unchanged rest.
+            # Segment-aware: untouched partitions never parse (r12)
+            pre_files, post_files, pdv, cdv = self._file_diff(parent, v)
             pre = with_row_hash(
                 self._read_files(spark, pre_files, schema, dv=pdv)
             )
@@ -2190,7 +2781,7 @@ class CommitLogStore:
         # version's schema, pre-evolution change rows reading null for
         # appended columns (schema-on-read, same as snapshot reads)
         out_schema = T.StructType.fromJson(
-            json.loads(self.manifest(to_v)["schema"])
+            json.loads(self.manifest_meta(to_v)["schema"])
         )
         out = frames[0]
         for f in frames[1:]:
@@ -2406,11 +2997,31 @@ class CommitLogStore:
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
-        m = self.manifest(latest)
-        dv = dict(m.get("dv", {}))
+        meta = self.manifest_meta(latest)
+        idx = self._segment_index(meta)
+        if idx is None:
+            m = self.manifest(latest)
+            dv = dict(m.get("dv", {}))
+            stats = m.get("stats", {})
+            file_part = None
+        else:
+            # segment-selective: only segments that HOLD deletion
+            # vectors (n_dv > 0 in the envelope) are parsed — a purge
+            # sweep over a mostly-clean 10^6-file table reads metadata
+            # proportional to its DV'd partitions
+            dv, stats, file_part = {}, {}, {}
+            for val in sorted(idx):
+                if idx[val].get("n_dv", 0) == 0:
+                    continue
+                seg = self._load_segment(idx[val]["ref"])
+                seg_stats = seg.get("stats", {})
+                for f, p in seg.get("dv", {}).items():
+                    dv[f] = p
+                    file_part[f] = val
+                    if f in seg_stats:
+                        stats[f] = seg_stats[f]
         if not dv:
             return latest
-        stats = m.get("stats", {})
         heavy: list[str] = []
         for f, dvp in sorted(dv.items()):
             n_rows = (stats.get(f) or {}).get("rows")
@@ -2427,44 +3038,24 @@ class CommitLogStore:
                 heavy.append(f)
         if not heavy:
             return latest
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
         token = uuid.uuid4().hex
         live = self._read_files(spark, heavy, schema, dv=dv)
-        new_parts, new_files, new_stats = self._write_dml_files(
-            live, m, token, "purge", coalesce_partitions=False
+        new_parts, _nf, new_stats = self._write_dml_files(
+            live, meta, token, "purge", coalesce_partitions=False
         )
-        removed = set(heavy)
-        new_dv = {f: p for f, p in dv.items() if f not in removed}
-        stats_out = {
-            f: st for f, st in stats.items() if f not in removed
-        }
-        stats_out.update(new_stats)
-        manifest = {
-            "version": latest + 1,
-            "parent": latest,
-            "op": "reorg",
-            "files": sorted(
-                [f for f in m["files"] if f not in removed] + new_files
-            ),
-            "schema": m["schema"],
-            "batch_id": None,
-            "last_batch_id": m.get("last_batch_id"),
-            "stats": {f: stats_out[f] for f in sorted(stats_out)},
-        }
-        if new_dv:
-            manifest["dv"] = {f: new_dv[f] for f in sorted(new_dv)}
-        for k in ("partition_by", "keys"):
-            if k in m:
-                manifest[k] = m[k]
-        if "partitions" in m:
-            manifest["partitions"] = _reshape_partitions(
-                m["partitions"], removed, new_parts
-            )
-        if "clustering" in m:
-            kept = _clustering_after_dml(m, removed, new_parts)
-            if kept:
-                manifest["clustering"] = kept
-        return self._publish(manifest, token)
+        return self._publish_dml(
+            latest,
+            meta,
+            token,
+            op="reorg",
+            batch_id=None,
+            removed=set(heavy),
+            new_parts=new_parts,
+            new_stats=new_stats,
+            dv_updates={},
+            file_part=file_part,
+        )
 
     def vacuum(
         self,
@@ -2501,7 +3092,13 @@ class CommitLogStore:
         keep = vs if keep_versions is None else vs[-keep_versions:]
         referenced_tokens: set[str] = set()
         referenced_files: set[str] = set()
+        referenced_segs: set[str] = set()
         for v in keep:
+            idx = self._segment_index(self.manifest_meta(v))
+            if idx is not None:
+                referenced_segs.update(
+                    os.path.basename(sm["ref"]) for sm in idx.values()
+                )
             mm = self.manifest(v)
             for f in list(mm["files"]) + list(mm.get("dv", {}).values()):
                 referenced_tokens.add(f.split(os.sep)[1])
@@ -2511,6 +3108,10 @@ class CommitLogStore:
             if v not in keep:
                 p = os.path.join(self.commits_dir, f"v{v:08d}.json")
                 os.unlink(p)
+                # expired versions must stop resolving through this
+                # instance's caches too (time travel to them is gone)
+                self._meta_cache.pop(v, None)
+                self._full_cache.pop(v, None)
                 deleted.append(p)
         import time as _time
 
@@ -2555,6 +3156,24 @@ class CommitLogStore:
                             os.rmdir(dirpath)
                     except OSError:
                         continue
+        # manifest segments no retained commit references (expired
+        # history / losers of commit races). Age-gated like data dirs:
+        # an in-flight publish writes its segments BEFORE linking the
+        # commit JSON, so a young unreferenced segment may be about to
+        # become referenced. OSError-tolerant for concurrent vacuums.
+        if os.path.isdir(self.seg_dir):
+            for fn in os.listdir(self.seg_dir):
+                # unreferenced segments AND crash-orphaned .tmp files
+                if fn in referenced_segs:
+                    continue
+                ap = os.path.join(self.seg_dir, fn)
+                if young(ap):
+                    continue
+                try:
+                    os.unlink(ap)
+                except OSError:
+                    continue
+                deleted.append(ap)
         return deleted
 
 
@@ -2653,11 +3272,11 @@ def _changes_between_py(
 
     if out_cols is None:
         out_cols = T.StructType.fromJson(
-            json.loads(store.manifest(to_version)["schema"])
+            json.loads(store.manifest_meta(to_version)["schema"])
         ).fieldNames()
     out: list[tuple] = []
     for v in range(from_version + 1, to_version + 1):
-        m = store.manifest(v)
+        m = store.manifest_meta(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         cols = schema.fieldNames()
         if set(cols) - set(out_cols):
@@ -2689,7 +3308,8 @@ def _changes_between_py(
 
         if parent is None:
             ks0 = keys if keys is not None else m.get("keys")
-            rows = load(m["files"], m.get("dv"))
+            m0 = store.manifest(v)
+            rows = load(m0["files"], m0.get("dv"))
             if ks0:
                 rows.sort(key=lambda r: tuple(str(r[k]) for k in ks0))
             for r in rows:
@@ -2697,17 +3317,13 @@ def _changes_between_py(
                     tuple(r.get(c) for c in out_cols) + ("insert", v)
                 )
             continue
-        mp = store.manifest(parent)
         ks = keys if keys is not None else m.get("keys")
         if ks is None:
             raise ValueError(
                 f"v{v} records no merge keys; pass a keys option"
             )
-        pdv, cdv = mp.get("dv", {}), m.get("dv", {})
-        pid = {(f, pdv.get(f)) for f in mp["files"]}
-        cid = {(f, cdv.get(f)) for f in m["files"]}
-        pre_files = sorted(f for f, _ in pid - cid)
-        post_files = sorted(f for f, _ in cid - pid)
+        # segment-aware diff: untouched partitions never parse (r12)
+        pre_files, post_files, pdv, cdv = store._file_diff(parent, v)
 
         def index(rows: list[dict]) -> dict[tuple, dict]:
             ix: dict[tuple, dict] = {}
@@ -2788,16 +3404,17 @@ def make_commitlog_changes_datasource():
             budget = self.max_files
             end = start_v
             for v in range(start_v + 1, latest + 1):
-                m = store.manifest(v)
-                parent = m.get("parent")
+                meta = store.manifest_meta(v)
+                parent = meta.get("parent")
                 if parent is None:
-                    n = len(m["files"])
+                    idx = store._segment_index(meta)
+                    if idx is not None:
+                        n = sum(sm["n_files"] for sm in idx.values())
+                    else:
+                        n = len(meta["files"])
                 else:
-                    mp = store.manifest(parent)
-                    pdv, cdv = mp.get("dv", {}), m.get("dv", {})
-                    pid = {(f, pdv.get(f)) for f in mp["files"]}
-                    cid = {(f, cdv.get(f)) for f in m["files"]}
-                    n = len(pid - cid) + len(cid - pid)
+                    pre, post, _pdv, _cdv = store._file_diff(parent, v)
+                    n = len(pre) + len(post)
                 if end > start_v and n > budget:
                     break
                 end = v
@@ -2841,7 +3458,7 @@ def make_commitlog_changes_datasource():
                     f"commit-log store at {self.options['path']} is empty"
                 )
             schema = T.StructType.fromJson(
-                json.loads(store.manifest(v)["schema"])
+                json.loads(store.manifest_meta(v)["schema"])
             )
             return T.StructType(
                 list(schema.fields)

@@ -1807,6 +1807,169 @@ def main() -> None:
 
     results["spill_sort_10M"] = timed("spill_sort", spill_check)
 
+    # ---- segmented manifests at 10^5 files (r12 — VERDICT r11 #4) ----
+    # The manifest layer alone, at a file count the parquet testdata
+    # cannot reach: 2 000 partitions × 50 files of FABRICATED footer
+    # stats (files_for/commit never open data files, so the
+    # measurements are exactly the driver-side metadata costs). Proves
+    # (a) a pruned read loads ONE segment of 2 000 and is far cheaper
+    # than full hydration, (b) an incremental commit carrying 1 999
+    # partitions by ref writes O(1 partition) of new manifest bytes.
+    manifest_metrics: dict[str, object] = {}
+
+    def manifest_scale_check():
+        import tempfile as _tf
+
+        from calorista_spark.sources.commitlog import CommitLogStore
+
+        n_parts, files_per = 2000, 50
+        root = os.path.join(
+            _tf.gettempdir(), f"calorista_smoke_manifest_{os.getpid()}"
+        )
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        store = CommitLogStore(root)
+        schema_json = (
+            '{"type":"struct","fields":['
+            '{"name":"k","type":"long","nullable":false,"metadata":{}},'
+            '{"name":"p","type":"string","nullable":false,"metadata":{}}]}'
+        )
+        partitions, stats = {}, {}
+        for i in range(n_parts):
+            fl = []
+            for j in range(files_per):
+                f = f"data/seed/p={i}/part-{j:05d}.parquet"
+                lo = i * 1000 + j * (1000 // files_per)
+                stats[f] = {
+                    "rows": 100,
+                    "bytes": 10000,
+                    "cols": {
+                        "k": {
+                            "min": lo,
+                            "max": lo + (1000 // files_per) - 1,
+                            "nulls": 0,
+                        }
+                    },
+                }
+                fl.append(f)
+            partitions[str(i)] = fl
+        files = sorted(f for fl in partitions.values() for f in fl)
+        t0 = time.perf_counter()
+        store._publish(
+            {
+                "version": 1,
+                "parent": None,
+                "op": "overwrite",
+                "files": files,
+                "stats": stats,
+                "schema": schema_json,
+                "batch_id": None,
+                "last_batch_id": None,
+                "partition_by": "p",
+                "partitions": partitions,
+            },
+            "seed",
+        )
+        t_full_publish = round(time.perf_counter() - t0, 3)
+        meta_bytes = os.path.getsize(
+            os.path.join(store.commits_dir, "v00000001.json")
+        )
+        # pruned read: a point predicate hits ONE partition's segment
+        fresh = CommitLogStore(root)  # cold caches
+        t0 = time.perf_counter()
+        hit = fresh.files_for([("k", "==", 777_123)])
+        t_pruned = round(time.perf_counter() - t0, 4)
+        prof = fresh.last_prune_profile
+        assert prof["segments_total"] == n_parts, prof
+        assert prof["segments_loaded"] == 1, prof
+        assert len(hit) == 1, hit
+        # full hydration for contrast (the documented O(files) path)
+        cold = CommitLogStore(root)
+        t0 = time.perf_counter()
+        full = cold.manifest(1)
+        t_hydrate = round(time.perf_counter() - t0, 3)
+        assert len(full["files"]) == n_parts * files_per
+        assert t_pruned < t_hydrate, (t_pruned, t_hydrate)
+        # incremental commit: rewrite ONE partition, carry 1999 by ref
+        seg_dir_bytes_before = sum(
+            os.path.getsize(os.path.join(store.seg_dir, fn))
+            for fn in os.listdir(store.seg_dir)
+        )
+        idx = store._segment_index(store.manifest_meta(1))
+        new_f = "data/tok2/p=7/part-00000.parquet"
+        t0 = time.perf_counter()
+        store._publish(
+            {
+                "version": 2,
+                "parent": 1,
+                "op": "merge",
+                "files": [new_f],
+                "stats": {
+                    new_f: {
+                        "rows": 5000,
+                        "bytes": 400000,
+                        "cols": {
+                            "k": {"min": 7000, "max": 7999, "nulls": 0}
+                        },
+                    }
+                },
+                "schema": schema_json,
+                "batch_id": None,
+                "last_batch_id": None,
+                "partition_by": "p",
+                "partitions": {"7": [new_f]},
+                "__carry_segments__": {
+                    v: sm for v, sm in idx.items() if v != "7"
+                },
+            },
+            "tok2",
+        )
+        t_incr_publish = round(time.perf_counter() - t0, 4)
+        seg_dir_bytes_after = sum(
+            os.path.getsize(os.path.join(store.seg_dir, fn))
+            for fn in os.listdir(store.seg_dir)
+        )
+        new_seg_bytes = seg_dir_bytes_after - seg_dir_bytes_before
+        # the incremental commit wrote ~one partition's segment, not
+        # another full manifest (content-addressing reuses the rest)
+        assert new_seg_bytes < seg_dir_bytes_before / 100, (
+            new_seg_bytes,
+            seg_dir_bytes_before,
+        )
+        assert t_incr_publish < t_full_publish, (
+            t_incr_publish,
+            t_full_publish,
+        )
+        # and the carried table still prunes exactly
+        fresh2 = CommitLogStore(root)
+        assert fresh2.files_for([("k", "==", 7500)], version=2) == [new_f]
+        assert fresh2.last_prune_profile["segments_loaded"] == 1
+        manifest_metrics.update(
+            {
+                "n_files": n_parts * files_per,
+                "n_partitions": n_parts,
+                "commit_json_bytes": meta_bytes,
+                "full_publish_sec": t_full_publish,
+                "incremental_publish_sec": t_incr_publish,
+                "incremental_new_segment_bytes": new_seg_bytes,
+                "total_segment_bytes": seg_dir_bytes_before,
+                "pruned_files_for_sec": t_pruned,
+                "full_hydration_sec": t_hydrate,
+                "segments_loaded_pruned_read": 1,
+            }
+        )
+        _sh.rmtree(root, ignore_errors=True)
+        return (
+            f"10^5 files: pruned read {t_pruned}s (1/{n_parts} segments) "
+            f"vs hydrate {t_hydrate}s; incremental commit "
+            f"{t_incr_publish}s / {new_seg_bytes}B new manifest"
+        )
+
+    results["manifest_scale_100k_files"] = timed(
+        "manifest_scale", manifest_scale_check
+    )
+
     print(
         json.dumps(
             {
@@ -1815,6 +1978,7 @@ def main() -> None:
                 "spill": spill_metrics,
                 "broad_dml": dml_metrics,
                 "zorder": zorder_metrics,
+                "manifest_scale": manifest_metrics,
             }
         )
     )

@@ -76,7 +76,14 @@ def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
     it: the L6 UDF surface, the multimodal codec family, and — r9, a
     measured decision — the PQ assignment kernel (vector_pq), where
     whole-stage codegen is provably unwinnable and the numpy path is
-    2× the literal projection's throughput."""
+    2× the literal projection's throughput.
+
+    r12: store queries reading through DELETION VECTORS additionally
+    carry one ArrowEvalPython whose INPUT is the (file, sidecar) path
+    frame — O(touched files) rows of metadata, never the data table
+    (the executor-side sidecar decode of commitlog._dv_frame, VERDICT
+    r11 #1). The data-table side of those plans must still be pure
+    JVM, which the BatchEvalPython ban above continues to pin."""
     from calorista_spark.queries import (
         multimodal_codec,
         udf_surface,
@@ -93,15 +100,41 @@ def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
             vector_pq.__name__,
         }
     }
+    # DV-masked store reads: the Arrow eval is over the sidecar PATH
+    # frame (__dv_path/__dv_sidecar), asserted below, not over data
+    dv_sanctioned = {
+        "store_delete_vectors",
+        "store_update_where",
+        "store_dv_heavy_read",
+        "store_cow_broad_delete",
+        "store_change_feed",
+        "store_concurrent_merge",
+        "store_version_diff",
+        "store_schema_evolution",
+        "store_skipping_scan",
+        "store_partition_merge_diff",
+    }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, sf_dir), mode="simple")
         assert "BatchEvalPython" not in plan, (
             f"{name} uses row-at-a-time Python"
         )
-        if name not in arrow_sanctioned:
-            assert "EvalPython" not in plan and "InPandas" not in plan, (
+        if name in arrow_sanctioned:
+            continue
+        if name in dv_sanctioned:
+            # any Arrow eval here must consume ONLY the sidecar frame
+            for ln in plan.splitlines():
+                if "ArrowEvalPython" in ln:
+                    assert "__dv_sidecar" in ln, (
+                        f"{name}: Arrow eval outside the DV path frame"
+                    )
+            assert "InPandas" not in plan, (
                 f"{name} fell off the JVM fast path"
             )
+            continue
+        assert "EvalPython" not in plan and "InPandas" not in plan, (
+            f"{name} fell off the JVM fast path"
+        )
 
 
 def test_q2_broadcasts_all_four_dims(spark, sf_dir):
