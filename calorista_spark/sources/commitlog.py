@@ -2820,6 +2820,76 @@ class CommitLogStore:
                     raise
                 max_retries -= 1
 
+    def _with_compact_buckets(
+        self, df: DataFrame, pb: str, order, todo: dict[str, int]
+    ):
+        """``df`` plus a deterministic ``__cbkt`` bin id: partition
+        value → a contiguous id block of its ``todo`` width, rows
+        placed by their ORDER-key position against that partition's
+        own quantile grid (one aggregation pass over the rewrite set,
+        boundaries broadcast back as a tiny array-typed dim). Hashing
+        ``__cbkt`` to tasks can only MERGE bins, never split one, so
+        each partition lands at most ``todo[val]`` files with disjoint
+        contiguous order ranges — tight skippable stats AND a stable
+        compact-idempotence check (sampled repartitionByRange gave
+        neither). Returns ``None`` for non-numeric order keys (the
+        quantile grid needs an ordered cast to double)."""
+        from pyspark.sql import functions as F
+
+        dt = df.select(order.alias("__o")).schema[0].dataType.simpleString()
+        if dt not in _ZORDER_NUMERIC:
+            return None
+        offsets: dict[str, int] = {}
+        off = 0
+        for v in sorted(todo):
+            offsets[v] = off
+            off += todo[v]
+        od = order.cast("double")
+        # grid capped at 1024: the probs list is a literal in the
+        # aggregate plan, and a partition wanting more bins than the
+        # grid simply gets up-to-1024 proportionally larger files —
+        # still bounded, still contiguous, still idempotent
+        grid = min(max(todo.values()), 1024)
+        bounds_by_part: dict[str, list[float]] = {v: [] for v in todo}
+        if grid > 1:
+            probs = [i / grid for i in range(1, grid)]
+            qrows = (
+                df.groupBy(F.col(pb).cast("string").alias("__p"))
+                .agg(
+                    F.percentile_approx(od, probs, 10000).alias("__qs")
+                )
+                .collect()
+            )
+            for r in qrows:
+                w = todo.get(r["__p"])
+                qs = [q for q in (r["__qs"] or []) if q is not None]
+                if not w or w <= 1 or not qs:
+                    continue
+                # w-1 evenly spaced boundaries from the grid
+                picks = sorted(
+                    {
+                        qs[min(len(qs) - 1, max(0, round(j * grid / min(w, grid)) - 1))]
+                        for j in range(1, min(w, grid))
+                    }
+                )
+                bounds_by_part[r["__p"]] = picks
+        bdf = df.sparkSession.createDataFrame(
+            [(v, offsets[v], bounds_by_part[v]) for v in sorted(todo)],
+            "__p string, __off int, __bounds array<double>",
+        )
+        joined = df.join(
+            F.broadcast(bdf),
+            F.col(pb).cast("string") == F.col("__p"),
+            "left",
+        )
+        bucket = F.coalesce(F.col("__off"), F.lit(0)) + F.coalesce(
+            F.size(F.filter(F.col("__bounds"), lambda b: b <= od)),
+            F.lit(0),
+        )
+        return joined.withColumn("__cbkt", bucket).drop(
+            "__p", "__off", "__bounds"
+        )
+
     def _compact_once(
         self,
         spark: SparkSession,
@@ -2869,27 +2939,25 @@ class CommitLogStore:
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
-        m = self.manifest(latest)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        stats = m.get("stats", {})
-        clustering = m.get("clustering", {})
-
-        def nbytes(f: str) -> int:
-            st = stats.get(f)
-            if st is not None:
-                return st["bytes"]
-            return os.path.getsize(os.path.join(self.path, f))
-
-        def n_out(files: list[str]) -> int:
-            return max(
-                1, math.ceil(sum(nbytes(f) for f in files) / target_file_bytes)
-            )
-
-        dv = m.get("dv", {})
-        pb = m.get("partition_by")
-        if pb is None or "partitions" not in m:
+        meta = self.manifest_meta(latest)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        clustering = meta.get("clustering", {})
+        pb = meta.get("partition_by")
+        idx = self._segment_index(meta)
+        if pb is None or not self._meta_partitioned(meta):
+            m = self.manifest(latest)  # one segment (or format-1)
+            stats = m.get("stats", {})
+            dv = m.get("dv", {})
             fl = m["files"]
-            want = n_out(fl)
+            nb = sum(
+                (
+                    stats[f]["bytes"]
+                    if f in stats
+                    else os.path.getsize(os.path.join(self.path, f))
+                )
+                for f in fl
+            )
+            want = max(1, math.ceil(nb / target_file_bytes))
             if (
                 len(fl) <= want
                 and not any(f in dv for f in fl)  # DV purge forces rewrite
@@ -2911,52 +2979,130 @@ class CommitLogStore:
                 df,
                 op="compact",
                 expect_version=latest,
-                keys=m.get("keys"),
+                keys=meta.get("keys"),
                 clustering={"": cluster_tag} if cluster_by else None,
                 sort_by=cluster_by if layout == "linear" else None,
                 sort_expr=zval,
             )
-        parts: dict[str, list[str]] = m["partitions"]
         todo: dict[str, int] = {}
-        for val, fl in parts.items():
-            if partitions is not None and val not in partitions:
-                continue
-            want = n_out(fl)
-            if (
-                len(fl) <= want
-                and not any(f in dv for f in fl)  # DV purge forces rewrite
-                and (cluster_by is None or clustering.get(val) == cluster_tag)
-            ):
-                continue
-            todo[val] = want
-        if not todo:
-            return latest
+        if idx is not None:
+            # segment-selective (r12): the envelope carries n_files /
+            # total bytes / n_dv, so the scheduled-maintenance sweep
+            # picks its work list META-ONLY and loads only the
+            # partitions it will actually rewrite — O(todo) driver
+            # cost on a 10^6-file table whose partitions mostly
+            # already meet the bin target
+            for val, sm in idx.items():
+                if partitions is not None and val not in partitions:
+                    continue
+                want = max(
+                    1,
+                    math.ceil(
+                        sm["stats"].get("bytes", 0) / target_file_bytes
+                    ),
+                )
+                if (
+                    sm["n_files"] <= want
+                    and sm.get("n_dv", 0) == 0
+                    and (
+                        cluster_by is None
+                        or clustering.get(val) == cluster_tag
+                    )
+                ):
+                    continue
+                todo[val] = want
+            if not todo:
+                return latest
+            parts, _stats_slice, dv = self._partition_slice(meta, set(todo))
+            carry: dict[str, list[str] | None] = {
+                val: None for val in idx if val not in todo
+            }
+        else:
+            m = self.manifest(latest)
+            stats = m.get("stats", {})
+            dv = m.get("dv", {})
+
+            def nbytes(f: str) -> int:
+                st = stats.get(f)
+                if st is not None:
+                    return st["bytes"]
+                return os.path.getsize(os.path.join(self.path, f))
+
+            all_parts: dict[str, list[str]] = m["partitions"]
+            for val, fl in all_parts.items():
+                if partitions is not None and val not in partitions:
+                    continue
+                want = max(
+                    1,
+                    math.ceil(
+                        sum(nbytes(f) for f in fl) / target_file_bytes
+                    ),
+                )
+                if (
+                    len(fl) <= want
+                    and not any(f in dv for f in fl)
+                    and (
+                        cluster_by is None
+                        or clustering.get(val) == cluster_tag
+                    )
+                ):
+                    continue
+                todo[val] = want
+            if not todo:
+                return latest
+            parts = {val: all_parts[val] for val in todo}
+            carry = {
+                val: fl
+                for val, fl in all_parts.items()
+                if val not in todo
+            }
         touched_files = [f for val in todo for f in parts[val]]
-        carry = {val: fl for val, fl in parts.items() if val not in todo}
         df = self._read_files(spark, touched_files, schema, dv=dv)
         total = sum(todo.values())
         zval = None
+        secondary: list[str] = []
         if layout == "zorder":
             zval = _zorder_column(df, cluster_by)
-            df = df.repartitionByRange(total, F.col(pb), zval)
+            order = zval
         else:
-            secondary = cluster_by or m.get("keys") or []
-            if secondary:
-                # range layout on (partition, secondary): splits a
-                # partition across files only when its bin target
-                # demands it, and with cluster_by the per-file value
-                # ranges come out disjoint → tight skippable stats
-                df = df.repartitionByRange(
-                    total, F.col(pb), *[F.col(c) for c in secondary]
+            secondary = cluster_by or meta.get("keys") or []
+            order = F.col(secondary[0]) if secondary else None
+        if order is None:
+            df = df.repartition(total, F.col(pb))
+        else:
+            # deterministic per-partition bins (r12): a single global
+            # repartitionByRange SAMPLES its boundaries, so a small
+            # partition straddling a sampled boundary lands want+k
+            # files and the next scheduled compact rewrites it AGAIN —
+            # OPTIMIZE never converges. Exact per-partition quantile
+            # buckets guarantee n_files ≤ want per partition, so the
+            # idempotence check is stable round over round.
+            bucketed = self._with_compact_buckets(df, pb, order, todo)
+            if bucketed is None:
+                # non-numeric order key: sampled ranges remain the
+                # documented fallback (rare for clustering keys)
+                cols = (
+                    [F.col(pb), zval]
+                    if zval is not None
+                    else [F.col(pb)] + [F.col(c) for c in secondary]
                 )
+                df = df.repartitionByRange(total, *cols)
             else:
-                df = df.repartition(total, F.col(pb))
+                # range-partition on the BIN ID, not hash: range
+                # placement never splits one bin and merges only
+                # ADJACENT bins, so every output file still covers one
+                # contiguous order range (hash placement merged
+                # arbitrary bins and destroyed the stat tightness
+                # clustering exists for)
+                df = bucketed.repartitionByRange(
+                    total, F.col("__cbkt")
+                ).drop("__cbkt")
         return self.commit(
             df,
             op="compact",
             expect_version=latest,
             partition_by=pb,
-            keys=m.get("keys"),
+            keys=meta.get("keys"),
             carry_partitions=carry,
             clustering=(
                 {val: cluster_tag for val in todo} if cluster_by else None

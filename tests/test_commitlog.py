@@ -2112,3 +2112,77 @@ def test_history_meta_matches_hydrated_counts(spark, tmp_path):
             st["rows"] for st in m.get("stats", {}).values()
         )
         assert h["n_partitions"] == (len(m.get("partitions", {})) or None)
+
+
+def test_compact_selects_candidates_meta_only(spark, tmp_path, monkeypatch):
+    """r12: the scheduled-maintenance sweep derives its work list from
+    segment ENVELOPES (n_files/bytes/n_dv) and loads only the
+    partitions it rewrites; everything else carries as the parent's
+    segment ref."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    store.commit(_range_parted(spark), partition_by="p", keys=["id"])
+    # give ONE partition a deletion vector: its envelope's n_dv > 0
+    # puts it — and only it — on the compact work list (DV purge)
+    v = store.delete_where(spark, [("id", "==", 7)], cow_threshold=None)
+    idx = store._segment_index(store.manifest_meta(v))
+    assert idx["0"]["n_dv"] == 1 and idx["1"]["n_dv"] == 0
+    loads: list[str] = []
+    orig = CommitLogStore._load_segment
+
+    def counting(self, ref):
+        loads.append(ref)
+        return orig(self, ref)
+
+    monkeypatch.setattr(CommitLogStore, "_load_segment", counting)
+    v2 = store.compact(spark)
+    monkeypatch.undo()
+    assert v2 == v + 1
+    # only the fragmented partition's segment was parsed
+    assert set(loads) == {idx["0"]["ref"]}, loads
+    s_old = store.manifest_meta(v)["segments"]
+    s_new = store.manifest_meta(v2)["segments"]
+    assert all(s_old[p]["ref"] == s_new[p]["ref"] for p in s_old if p != "0")
+    assert s_new["0"]["n_dv"] == 0  # the rewrite purged the DV
+    got = {r.id for r in store.read(spark).collect()}
+    assert got == set(range(400)) - {7}
+    # idempotence: a second sweep finds nothing to do, writes nothing
+    assert store.compact(spark) == v2
+
+
+def test_compact_converges_under_clustering(spark, tmp_path):
+    """r12: deterministic per-partition quantile bins replace the
+    SAMPLED global range partitioning, so a clustered compact is
+    idempotent even when small partitions once straddled sampled
+    boundaries (the old shape re-rewrote them every scheduled sweep),
+    and no partition exceeds its bin target."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    df = (
+        spark.range(2000)
+        .withColumn("p", (F.col("id") % 8).cast("string"))
+        .withColumn("v", F.col("id"))
+    )
+    store.commit(df, partition_by="p", keys=["id"])
+    store.delete_where(spark, [("id", "between", (0, 100))], cow_threshold=None)
+    v = store.compact(spark, cluster_by=["id"])
+    assert store.compact(spark, cluster_by=["id"]) == v  # converged
+    idx = store._segment_index(store.manifest_meta(v))
+    assert all(sm["n_files"] == 1 for sm in idx.values()), {
+        p: sm["n_files"] for p, sm in idx.items()
+    }
+    assert store.read(spark).count() == 1899
+    # multi-bin: per-partition file count never exceeds the bin target
+    s2 = CommitLogStore(str(tmp_path / "b"))
+    d2 = (
+        spark.range(60000)
+        .withColumn("p", (F.col("id") % 3).cast("string"))
+        .withColumn("v", F.rand(7))
+    )
+    s2.commit(d2, partition_by="p", keys=["id"])
+    s2.delete_where(spark, [("id", "==", 3)], cow_threshold=None)
+    b = s2.compact(spark, target_file_bytes=150_000, cluster_by=["id"])
+    meta = s2.manifest_meta(b)
+    for val, sm in s2._segment_index(meta).items():
+        want = max(1, -(-sm["stats"]["bytes"] // 150_000))
+        assert sm["n_files"] <= want + 1, (val, sm["n_files"], want)
+    assert s2.compact(spark, target_file_bytes=150_000, cluster_by=["id"]) == b
+    assert s2.read(spark).count() == 59999
