@@ -627,6 +627,12 @@ class CommitLogStore:
     """A parquet table with an atomic commit log (see module doc)."""
 
     def __init__(self, path: str):
+        # resolve ONCE, against the Python driver's cwd: Spark's JVM
+        # resolves relative paths against its OWN user.dir (fixed at
+        # session start) and executor tasks against theirs, so a
+        # relative store path would scatter reads/writes across three
+        # different roots. Every downstream join/open then agrees.
+        path = os.path.abspath(path)
         self.path = path
         self.commits_dir = os.path.join(path, "_commits")
         self.seg_dir = os.path.join(path, "_commits", "seg")
@@ -1281,9 +1287,16 @@ class CommitLogStore:
                 )
         need_vals = set(explicit_carry) | set(carry_files or {})
         if need_vals and latest is not None:
-            _, prev_stats, prev_dv = self._partition_slice(
-                prev_meta, need_vals
-            )
+            if prev_idx is None and not self._meta_partitioned(prev_meta):
+                # format-1 unpartitioned parent: no partition map to
+                # slice — the hydrated manifest IS the slice
+                pm = self.manifest(latest)
+                prev_stats = pm.get("stats", {})
+                prev_dv = pm.get("dv", {})
+            else:
+                _, prev_stats, prev_dv = self._partition_slice(
+                    prev_meta, need_vals
+                )
         else:
             prev_stats, prev_dv = {}, {}
         files = list(new_files)
@@ -1314,20 +1327,37 @@ class CommitLogStore:
             files.sort()
         if carry_files:
             if partition_by is None:
-                raise ValueError("carry_files requires partition_by")
-            for val, fl in carry_files.items():
-                if val in (carry_partitions or {}):
+                # unpartitioned file-granular MERGE: carried files are
+                # keyed "" (the unpartitioned segment key) and join the
+                # flat file list with their parent stats and DVs
+                if set(carry_files) != {""}:
                     raise ValueError(
-                        f"partition {val!r} is both fully and partially carried"
+                        "unpartitioned carry_files must be keyed ''"
                     )
-                partitions[val] = sorted(set(partitions.get(val, [])) | set(fl))
-                files.extend(fl)
-                for f in fl:
+                for f in carry_files[""]:
+                    files.append(f)
                     if f in prev_stats:
                         stats[f] = prev_stats[f]
                     if f in prev_dv:
                         dv_map[f] = prev_dv[f]
-            files.sort()
+                files.sort()
+            else:
+                for val, fl in carry_files.items():
+                    if val in (carry_partitions or {}):
+                        raise ValueError(
+                            f"partition {val!r} is both fully and "
+                            "partially carried"
+                        )
+                    partitions[val] = sorted(
+                        set(partitions.get(val, [])) | set(fl)
+                    )
+                    files.extend(fl)
+                    for f in fl:
+                        if f in prev_stats:
+                            stats[f] = prev_stats[f]
+                        if f in prev_dv:
+                            dv_map[f] = prev_dv[f]
+                files.sort()
         # clustering metadata: explicit entries for partitions THIS
         # commit laid out sorted (compact), carried entries for
         # partitions carried by reference; a rewrite without clustering
@@ -1372,6 +1402,16 @@ class CommitLogStore:
             manifest["keys"] = list(keys)
         if carry_refs:
             manifest["__carry_segments__"] = carry_refs
+        if latest is not None and (
+            carry_refs or explicit_carry or carry_files
+        ):
+            # carried per-file stats keep their PARENT's stats_format:
+            # stamping a pre-r11 parent's naive timestamp stats as
+            # format 2 would re-enable datetime pruning against values
+            # that were never UTC-normalized (silent misprune on a
+            # non-UTC driver). Only a commit that carries nothing old
+            # (full rewrite / fresh append chain) upgrades the marker.
+            manifest["stats_format"] = prev_meta.get("stats_format", 1)
         return self._publish(manifest, token)
 
     def _publish(self, manifest: dict, token: str) -> int:
@@ -1470,14 +1510,19 @@ class CommitLogStore:
                     F.max(F.col(k).isNull().cast("int")).alias(f"__nl_{k}"),
                 ]
             )
-        ranges = {
-            r["__p"]: r.asDict()
-            for r in incoming.groupBy(
-                F.col(partition_by).cast("string").alias("__p")
-            )
-            .agg(*aggs)
-            .collect()
-        }
+        grouped = incoming.groupBy(
+            F.col(partition_by).cast("string").alias("__p")
+        )
+        if aggs:
+            rows = grouped.agg(*aggs).collect()
+        else:
+            # no usable non-partition merge key (keys == [partition_by],
+            # or all keys timestamp-typed / absent from the batch):
+            # partition-level scoping only — GroupedData.agg() rejects
+            # an empty aggregate list, and count() keeps the same
+            # one-row-per-touched-partition driver bound
+            rows = grouped.count().collect()
+        ranges = {r["__p"]: r.asDict() for r in rows}
         touched = set(ranges)
         if None in touched:
             raise ValueError(
@@ -1535,6 +1580,81 @@ class CommitLogStore:
             spark, sorted(read_files), schema, dv=prev_dv
         )
         return target, carry, touched, carry_files
+
+    def _scope_unpartitioned_files(
+        self,
+        spark: SparkSession,
+        incoming: DataFrame,
+        meta: dict,
+        version: int,
+        keys: list[str] | None,
+    ) -> tuple[DataFrame, list[str] | None]:
+        """File pruning for MERGE on an UNPARTITIONED store: the same
+        footer-stat disjointness proof :meth:`_scope_to_touched_partitions`
+        runs per touched partition, applied to the whole file set.
+        Returns (target restricted to files the batch's key range can
+        touch, files carried by reference — ``None`` when nothing is
+        provably disjoint).
+
+        r12 (closes the VERDICT r11 #2 corner): without this, an
+        unpartitioned store fell back to a full-snapshot merge — a
+        1-row upsert into a key-clustered 1 TB table rewrote every
+        file. One single-row aggregation over the batch derives each
+        merge key's min/max + null flag; a file is carried only when
+        its stats PROVE no incoming key can live in it, with the same
+        conservative keeps (missing stats, null keys, timestamp keys)
+        as the partitioned path."""
+        from pyspark.sql import functions as F
+
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        ftypes = {f.name: f.dataType for f in schema.fields}
+        data_keys = [
+            k
+            for k in (keys or [])
+            if k in incoming.columns
+            and not isinstance(ftypes.get(k), T.TimestampType)
+        ]
+        idx = self._segment_index(meta)
+        if idx is not None:
+            parts, stats, dv = self._partition_slice(meta, set(idx))
+            files = sorted(f for fl in parts.values() for f in fl)
+        else:
+            m = self.manifest(version)
+            files = sorted(m["files"])
+            stats = m.get("stats", {})
+            dv = m.get("dv", {})
+        preds = []
+        if data_keys:
+            aggs = []
+            for k in data_keys:
+                aggs.extend(
+                    [
+                        F.min(F.col(k)).alias(f"__mn_{k}"),
+                        F.max(F.col(k)).alias(f"__mx_{k}"),
+                        F.max(F.col(k).isNull().cast("int")).alias(
+                            f"__nl_{k}"
+                        ),
+                    ]
+                )
+            r = incoming.agg(*aggs).first().asDict()
+            for k in data_keys:
+                mn, mx = r[f"__mn_{k}"], r[f"__mx_{k}"]
+                if r[f"__nl_{k}"] or mn is None or mx is None:
+                    continue  # null/absent keys: unprunable on k
+                if _stat_value(mn) is None or _stat_value(mx) is None:
+                    continue  # unsupported stat type: unprunable on k
+                preds.append((k, "between", (mn, mx)))
+        if not preds:
+            return self._read_files(spark, files, schema, dv=dv), None
+        read_files: list[str] = []
+        kept: list[str] = []
+        for f in files:
+            if _file_matches(stats.get(f), preds):
+                read_files.append(f)
+            else:
+                kept.append(f)
+        target = self._read_files(spark, read_files, schema, dv=dv)
+        return target, (kept or None)
 
     def _merge_commutes(
         self,
@@ -1741,10 +1861,22 @@ class CommitLogStore:
             )
             carry_files = None
             if pb is None or not self._meta_partitioned(meta):
-                # unpartitioned store (or migration commit onto one):
-                # full snapshot merge; passing partition_by lays the
-                # NEW snapshot out partitioned, so the next merge prunes
-                target, carry, touched = self.read(spark, latest), None, None
+                carry, touched = None, None
+                if pb is None:
+                    # unpartitioned store: file-granular scoping — only
+                    # files whose key stats can intersect the batch are
+                    # read/rewritten, the rest carry by reference
+                    target, kept = self._scope_unpartitioned_files(
+                        spark, incoming, meta, latest, keys
+                    )
+                    if kept:
+                        carry_files = {"": kept}
+                else:
+                    # migration commit (partition_by passed onto an
+                    # unpartitioned store): the NEW snapshot is laid
+                    # out partitioned, so the full table rewrites once
+                    # and every later merge prunes
+                    target = self.read(spark, latest)
             else:
                 target, carry, touched, carry_files = (
                     self._scope_to_touched_partitions(
@@ -1810,7 +1942,17 @@ class CommitLogStore:
                     else meta.get("partition_by")
                 )
                 if pb is None or not self._meta_partitioned(meta):
-                    target = self.read(spark, latest)
+                    if pb is None:
+                        # unpartitioned: file-granular scoping over the
+                        # FULL batch (delete rows included), so a
+                        # tombstone's file is always in the rewrite set
+                        target, kept = self._scope_unpartitioned_files(
+                            spark, batch, meta, latest, keys
+                        )
+                        if kept:
+                            carry_files = {"": kept}
+                    else:
+                        target = self.read(spark, latest)
                 else:
                     # the key-range scope sees the FULL batch (delete
                     # rows included), so a tombstone's file is always
@@ -1957,7 +2099,9 @@ class CommitLogStore:
         import pandas as pd  # noqa: F401 — worker-side dependency
 
         root = os.path.abspath(self.path)
-        store_path = self.path
+        # executor-side callbacks must resolve sidecars against the
+        # ABSOLUTE store root: a task's cwd need not be the driver's
+        store_path = root
         dv_map = {f: prev_dv[f] for f in files if f in prev_dv}
         rows_map = {
             f: (stats.get(f) or {}).get("rows") for f in files
@@ -2196,6 +2340,11 @@ class CommitLogStore:
                 kept = _clustering_after_dml(m, removed, new_parts)
                 if kept:
                     manifest["clustering"] = kept
+            if any(f not in removed for f in m.get("stats", {})):
+                # surviving files keep parent-era stats: propagate the
+                # parent's stats_format so pre-r11 naive timestamp
+                # stats never get re-marked prunable (see _commit_staged)
+                manifest["stats_format"] = meta.get("stats_format", 1)
             return self._publish(manifest, token)
         affected = {file_part[f] for f in removed | set(dv_updates)} | set(
             new_parts
@@ -2209,6 +2358,7 @@ class CommitLogStore:
         dv: dict[str, str] = {}
         out_parts: dict[str, list[str]] = {}
         voided: set[str] = set()
+        carried_old_stats = False
         for val in sorted(affected):
             old_fl = parts_slice.get(val, [])
             fl = sorted(
@@ -2222,7 +2372,11 @@ class CommitLogStore:
             out_parts[val] = fl
             files.extend(fl)
             for f in fl:
-                st = new_stats.get(f) or stats_slice.get(f)
+                st = new_stats.get(f)
+                if st is None:
+                    st = stats_slice.get(f)
+                    if st is not None:
+                        carried_old_stats = True
                 if st is not None:
                     stats[f] = st
                 d = dv_updates.get(f) or dv_slice.get(f)
@@ -2252,6 +2406,8 @@ class CommitLogStore:
         carry_refs = {v: idx[v] for v in idx if v not in affected}
         if carry_refs:
             manifest["__carry_segments__"] = carry_refs
+        if carry_refs or carried_old_stats:
+            manifest["stats_format"] = meta.get("stats_format", 1)
         return self._publish(manifest, token)
 
     def delete_where(
@@ -2532,20 +2688,24 @@ class CommitLogStore:
         if not files:
             return spark.createDataFrame([], schema)
         cols = schema.fieldNames()
+        # absolute root: the DV anti-join matches _metadata.file_path
+        # (always fully qualified) against driver-built paths, and a
+        # relative self.path would make the two sides diverge
+        root = os.path.abspath(self.path)
         dv = {f: p for f, p in (dv or {}).items() if f in set(files)}
         plain = [f for f in files if f not in dv]
         frames: list[DataFrame] = []
         if plain:
             frames.append(
                 spark.read.schema(schema).parquet(
-                    *[os.path.join(self.path, f) for f in plain]
+                    *[os.path.join(root, f) for f in plain]
                 )
             )
         if dv:
             dvdf = self._dv_frame(spark, dv)
             live = (
                 spark.read.schema(schema)
-                .parquet(*[os.path.join(self.path, f) for f in dv])
+                .parquet(*[os.path.join(root, f) for f in dv])
                 .withColumn("__path", _decoded_path_col())
                 .withColumn("__pos", F.col("_metadata.row_index"))
                 .join(
@@ -2573,9 +2733,13 @@ class CommitLogStore:
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
+        # abspath BOTH sides: the sidecar path is opened inside an
+        # executor task whose cwd need not be the driver's, so a
+        # store constructed with a relative path must resolve it
+        # driver-side before shipping
         root = os.path.abspath(self.path)
         pairs = [
-            (os.path.join(root, f), os.path.join(self.path, p))
+            (os.path.join(root, f), os.path.join(root, p))
             for f, p in sorted(dv.items())
         ]
         total_bytes = 0
@@ -3253,7 +3417,10 @@ class CommitLogStore:
         for v in vs:
             if v not in keep:
                 p = os.path.join(self.commits_dir, f"v{v:08d}.json")
-                os.unlink(p)
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass  # raced with a concurrent vacuum: already gone
                 # expired versions must stop resolving through this
                 # instance's caches too (time travel to them is gone)
                 self._meta_cache.pop(v, None)
@@ -3274,7 +3441,9 @@ class CommitLogStore:
             if token not in referenced_tokens:
                 if young(tdir):
                     continue  # possibly an in-flight writer's dir
-                shutil.rmtree(tdir)
+                # ignore_errors: a concurrent vacuum may reap the same
+                # dir mid-walk (same tolerance as the per-file branch)
+                shutil.rmtree(tdir, ignore_errors=True)
                 deleted.append(tdir)
                 continue
             if young(tdir):

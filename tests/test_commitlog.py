@@ -2186,3 +2186,217 @@ def test_compact_converges_under_clustering(spark, tmp_path):
         assert sm["n_files"] <= want + 1, (val, sm["n_files"], want)
     assert s2.compact(spark, target_file_bytes=150_000, cluster_by=["id"]) == b
     assert s2.read(spark).count() == 59999
+
+
+# -- r12 review fixes --------------------------------------------------------
+
+
+def test_merge_with_no_usable_data_key_scopes_by_partition(spark, tmp_path):
+    """MERGE whose keys reduce to the partition column (plus a
+    timestamp key, excluded from file-stat pruning by design) must
+    fall back to partition-level scoping, not crash: GroupedData.agg
+    rejects an empty aggregate list, so the range collection has to
+    go through count() when no non-partition key is prunable."""
+    import datetime as _dt
+
+    store = CommitLogStore(str(tmp_path / "s"))
+    rows = [
+        ("d0", _dt.datetime(2024, 1, 1, 10, 0, 0), 1),
+        ("d0", _dt.datetime(2024, 1, 1, 11, 0, 0), 2),
+        ("d1", _dt.datetime(2024, 1, 2, 10, 0, 0), 3),
+    ]
+    df = spark.createDataFrame(rows, "d string, ts timestamp, amt long")
+    store.commit(df, expect_version=None, partition_by="d", keys=["d", "ts"])
+    m1 = store.manifest(store.latest_version())
+    up = spark.createDataFrame(
+        [("d0", _dt.datetime(2024, 1, 1, 10, 0, 0), 111)],
+        "d string, ts timestamp, amt long",
+    )
+    store.merge(spark, up, ["d", "ts"])  # pre-fix: AssertionError
+    m2 = store.manifest(store.latest_version())
+    got = {(r.d, r.amt) for r in store.read(spark).collect()}
+    assert got == {("d0", 111), ("d0", 2), ("d1", 3)}
+    # untouched partition d1 carried by reference, touched d0 rewritten
+    assert set(m2["partitions"]["d1"]) == set(m1["partitions"]["d1"])
+    assert set(m2["partitions"]["d0"]) != set(m1["partitions"]["d0"])
+
+
+def test_carried_stats_keep_parent_stats_format(spark, tmp_path):
+    """A commit that carries per-file stats from a pre-r11 parent
+    (no stats_format marker) must NOT stamp the child manifest
+    format 2 — that would re-enable datetime pruning against naive,
+    un-normalized timestamp stats on the very next commit after the
+    store is opened by new code (silent misprune on a non-UTC
+    driver). Both DML composition and carry-by-reference merges must
+    propagate the parent's format; only a commit carrying nothing
+    old may upgrade."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    prev_out = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    store = CommitLogStore(str(tmp_path / "s"))
+    try:
+        df = spark.sql(
+            "SELECT * FROM VALUES"
+            " ('d0', TIMESTAMP'2024-01-05 03:00:00 UTC', 1, 10),"
+            " ('d1', TIMESTAMP'2024-01-06 03:00:00 UTC', 2, 20)"
+            " AS t(d, ts, k, amt)"
+        )
+        v = store.commit(
+            df, expect_version=None, partition_by="d", keys=["d", "k"]
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
+    mpath = _os.path.join(store.commits_dir, f"v{v:08d}.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    del m["stats_format"]  # simulate a pre-r11 store
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    store = CommitLogStore(str(tmp_path / "s"))  # fresh open, cold caches
+
+    far_ts = [("ts", ">", _dt.datetime(2030, 1, 1, tzinfo=_dt.timezone.utc))]
+    n_all = len(store.files_for(far_ts))
+    assert n_all >= 2  # unmarked parent: datetime predicates don't prune
+
+    # 1) merge into d0 — d1 carries by ref with its old stats
+    up = spark.createDataFrame(
+        [("d0", _dt.datetime(2024, 1, 5, 3, 0, 0), 1, 111)],
+        "d string, ts timestamp, k long, amt long",
+    )
+    store.merge(spark, up, ["d", "k"])
+    meta = store.manifest_meta(store.latest_version())
+    assert meta.get("stats_format", 1) < 2, meta.get("stats_format")
+    assert len(store.files_for(far_ts)) == len(store.files_for([]))
+
+    # 2) DV delete — surviving files keep parent-era stats
+    store.delete_where(spark, [("k", "==", 2)], cow_threshold=None)
+    meta = store.manifest_meta(store.latest_version())
+    assert meta.get("stats_format", 1) < 2, meta.get("stats_format")
+    assert len(store.files_for(far_ts)) == len(store.files_for([]))
+
+    # 3) a fresh store built from a full read carries nothing old and
+    # upgrades to format 2 (the documented migration path)
+    clean = CommitLogStore(str(tmp_path / "clean"))
+    clean.commit(store.read(spark), expect_version=None)
+    meta = clean.manifest_meta(clean.latest_version())
+    assert meta.get("stats_format") == 2
+
+
+def test_vacuum_tolerates_concurrently_deleted_manifest(spark, tmp_path):
+    """Two concurrent vacuums can race on the same expired manifest;
+    the loser's unlink must be tolerated, matching every other GC
+    branch in vacuum (ADVICE r11 made the file-granular branch
+    tolerant; the expired-manifest branch was missed)."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    for i in range(4):
+        store.commit(_df(spark, [(i, f"v{i}")]), expect_version=i or None)
+    # simulate the racing vacuum deleting an expired manifest first
+    os.unlink(os.path.join(store.commits_dir, "v00000001.json"))
+    store.vacuum(keep_versions=1, retention_seconds=0)
+    assert store.latest_version() == 4
+    # each commit is a full snapshot: only the head survives the GC
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {(3, "v3")}
+
+
+def test_relative_path_store_dv_read(spark, tmp_path, monkeypatch):
+    """A store constructed with a RELATIVE path must still plan
+    DV-masked reads correctly: the anti-join compares the absolute
+    _metadata.file_path against driver-built paths, and executor
+    tasks open sidecars against their own cwd — both sides must be
+    resolved driver-side to the absolute store root."""
+    monkeypatch.chdir(tmp_path)
+    store = CommitLogStore("relstore")
+    store.commit(
+        spark.range(200).selectExpr("id AS k", "id * 2 AS v"),
+        expect_version=None,
+    )
+    store.delete_where(spark, [("k", "between", (0, 49))], cow_threshold=None)
+    assert store.manifest(store.latest_version()).get("dv"), "expected DV path"
+    got = {r.k for r in store.read(spark).collect()}
+    assert got == set(range(50, 200))
+    assert store.read_where(spark, [("k", "<", 60)]).count() == 10
+
+
+def test_unpartitioned_merge_rewrites_only_key_intersecting_files(
+    spark, tmp_path
+):
+    """r12: MERGE on an UNPARTITIONED store prunes its rewrite set by
+    footer key stats, exactly like the partitioned path — a 1-row
+    upsert into a key-clustered table rewrites only the file whose
+    range can hold the key; every disjoint file carries by reference
+    with its stats, and the snapshot stays exact."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    df = spark.range(400).selectExpr("id AS k", "id * 10 AS amt")
+    store.commit(df, expect_version=None, keys=["k"])
+    m0 = store.manifest(store.latest_version())
+    total = sum(st["bytes"] for st in m0["stats"].values())
+    store.compact(spark, target_file_bytes=max(1, total // 4),
+                  cluster_by=["k"])
+    m1 = store.manifest(store.latest_version())
+    n_files = len(m1["files"])
+    assert n_files >= 3, m1["files"]
+    one = spark.createDataFrame([(5, 555)], "k long, amt long")
+    store.merge(spark, one, ["k"])
+    m2 = store.manifest(store.latest_version())
+    assert "partitions" not in m2  # still unpartitioned
+    rewritten = set(m1["files"]) - set(m2["files"])
+    appended = set(m2["files"]) - set(m1["files"])
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(rewritten) == 1, (rewritten, appended)
+    assert len(carried) == n_files - 1
+    assert len(appended) >= 1
+    for f in carried:
+        assert m2["stats"][f] == m1["stats"][f]
+    got = {(r.k, r.amt) for r in store.read(spark).collect()}
+    want = {(k, k * 10) for k in range(400) if k != 5} | {(5, 555)}
+    assert got == want
+    # CDF across the merge shows only the merged key
+    changes = store.read_changes(spark, store.latest_version() - 1).collect()
+    assert {(r.k, r._change_type) for r in changes} == {
+        (5, "update_preimage"),
+        (5, "update_postimage"),
+    }
+    # all-new-keys merge: nothing rewritten, pure append
+    new = spark.createDataFrame([(1000, 1)], "k long, amt long")
+    store.merge(spark, new, ["k"])
+    m3 = store.manifest(store.latest_version())
+    assert set(m2["files"]) - set(m3["files"]) == set()
+    assert store.read(spark).count() == 401
+    # CDC tombstone prunes the same way and the delete lands
+    tomb = spark.createDataFrame(
+        [(5, None, "delete")], "k long, amt long, op string"
+    )
+    store.merge_cdc(spark, tomb, ["k"])
+    m4 = store.manifest(store.latest_version())
+    assert len(set(m3["files"]) - set(m4["files"])) <= 2
+    got4 = {(r.k, r.amt) for r in store.read(spark).collect()}
+    assert got4 == (want | {(1000, 1)}) - {(5, 555)}
+
+
+def test_unpartitioned_merge_carry_respects_deletion_vectors(
+    spark, tmp_path
+):
+    """A carried (key-disjoint) file of an unpartitioned store keeps
+    its deletion vector across the merge — masked rows must not
+    resurrect."""
+    store = CommitLogStore(str(tmp_path / "s"))
+    df = spark.range(100).selectExpr("id AS k", "id AS amt")
+    store.commit(df, expect_version=None, keys=["k"])
+    m0 = store.manifest(store.latest_version())
+    total = sum(st["bytes"] for st in m0["stats"].values())
+    store.compact(spark, target_file_bytes=max(1, total // 4),
+                  cluster_by=["k"])
+    store.delete_where(spark, [("k", "==", 90)], cow_threshold=None)
+    m1 = store.manifest(store.latest_version())
+    assert m1.get("dv"), "expected a deletion vector"
+    one = spark.createDataFrame([(1, 111)], "k long, amt long")
+    store.merge(spark, one, ["k"])
+    m2 = store.manifest(store.latest_version())
+    assert m2.get("dv") == m1.get("dv"), "carried file lost its DV"
+    got = {(r.k, r.amt) for r in store.read(spark).collect()}
+    assert got == {(k, k) for k in range(100) if k not in (1, 90)} | {(1, 111)}

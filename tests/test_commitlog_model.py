@@ -74,11 +74,26 @@ def _rows(spark, d: dict):
 @given(ops=st.lists(_op, max_size=5))
 @_settings
 def test_store_matches_reference_model(spark, tmp_path_factory, ops):
+    _run_model(spark, tmp_path_factory, ops, partition_by="d")
+
+
+@given(ops=st.lists(_op, max_size=5))
+@_settings
+def test_store_matches_reference_model_unpartitioned(
+    spark, tmp_path_factory, ops
+):
+    # r12: the UNPARTITIONED store takes the file-granular merge
+    # scoping path (footer-stat carry with no partition map) — the
+    # same histories must hold against the same dict model
+    _run_model(spark, tmp_path_factory, ops, partition_by=None)
+
+
+def _run_model(spark, tmp_path_factory, ops, partition_by):
     path = str(tmp_path_factory.mktemp("model") / "s")
     store = CommitLogStore(path)
     model: dict[int, int] = {k: 10 * k for k in range(6)}
     store.merge(
-        spark, _rows(spark, model), ["d", "k"], partition_by="d"
+        spark, _rows(spark, model), ["d", "k"], partition_by=partition_by
     )
     for op in ops:
         if op[0] == "merge":
