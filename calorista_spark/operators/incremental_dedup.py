@@ -1,0 +1,297 @@
+"""Incremental near-duplicate admission against a PERSISTED signature
+index (SURVEY §2.11 L2, the streaming/ingest face).
+
+The batch near-dup pipeline (operators/similarity.py) answers "which
+documents in THIS corpus are near-duplicates of each other". A
+production ingestion pipeline needs the incremental question instead:
+"which documents of this NEW batch duplicate anything already
+admitted" — without recomputing signatures for the whole corpus on
+every sync. This module keeps the corpus's MinHash signatures in a
+:class:`~calorista_spark.sources.commitlog.CommitLogStore` table
+``(doc_id, sig array<long>)`` and admits batches against it:
+
+1. signatures: the batch's MinHash signatures are computed once
+   (``minhash_signatures``, the same universal-hash family as the
+   batch pipeline) and stage-checkpointed.
+2. candidates: LSH band keys of the batch are joined against band
+   keys DERIVED from the stored signatures (a pure column projection
+   over the index — no shingling, no text, no re-hash). The batch
+   side is broadcast: at 100 TB the index never shuffles; each index
+   partition streams map-side against the (small) batch's band keys.
+3. verify: a candidate pair is a duplicate when its signatures agree
+   on ``>= threshold`` of the hash positions (the standard unbiased
+   Jaccard estimate — no corpus text needed, so the index stays
+   signature-only and O(num_hashes · 8 bytes) per admitted doc).
+4. admission: a batch doc is ``corpus_dup`` if it verifies against
+   any indexed doc, else ``batch_dup`` if it verifies against a
+   LOWER-id doc of the same batch (the lowest-id-wins rule of
+   ``doc_neardup_dedup_survivors``), else ``admitted``. Admitted
+   signatures MERGE into the index keyed by id; passing ``batch_id``
+   rides the commit log's replay ledger, so re-running a failed sync
+   is exactly-once.
+
+Invariant (tested): no two indexed documents are ever band-candidates
+agreeing on ``>= threshold`` positions — each admission proved the
+new doc disjoint from the index as of its commit, and the index only
+grows.
+
+Reference tie-in: the reference's sync IS an incremental admit — it
+fingerprints each day's entries and skips unchanged ones
+(main.py:146-161); this is that semantic generalized from exact
+fingerprints to near-duplicate signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calorista_spark.operators.checkpoint import stage_checkpoint
+from calorista_spark.operators.similarity import minhash_signatures
+from calorista_spark.sources.commitlog import CommitLogStore
+
+
+class NearDupIndex:
+    """A persisted MinHash signature index for incremental near-dup
+    admission. ``threshold`` is the minimum fraction of agreeing hash
+    positions (estimated Jaccard) for a candidate to count as a
+    duplicate."""
+
+    def __init__(
+        self,
+        path: str,
+        num_hashes: int = 16,
+        rows_per_band: int = 4,
+        shingle_n: int = 3,
+        threshold: float = 0.5,
+    ):
+        if num_hashes % rows_per_band != 0:
+            raise ValueError(
+                f"num_hashes={num_hashes} not divisible by "
+                f"rows_per_band={rows_per_band}"
+            )
+        self.store = CommitLogStore(path)
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+
+    # -- signature / band plumbing ---------------------------------------
+
+    def wide_signatures(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """(id, sig array<long>) — the doc's minhashes in seed order.
+        One row per doc; this is the index's storage format."""
+        sig = minhash_signatures(
+            docs, id_col, text_col, num_hashes=self.num_hashes,
+            n=self.shingle_n,
+        )
+        return sig.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s.getField("minhash"),
+            ).alias("sig")
+        )
+
+    def band_keys(self, sigs: DataFrame, id_col: str) -> DataFrame:
+        """(id, band, band_key) from wide signatures — a pure column
+        projection (map-only, no shuffle), producing keys identical to
+        ``lsh_band_keys`` so the two formulations interoperate."""
+        rpb = self.rows_per_band
+        n_bands = self.num_hashes // rpb
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", i * rpb + 1, rpb),
+                            lambda m: m.cast("string"),
+                        ),
+                        "|",
+                    ).alias("band_key"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return sigs.select(
+            id_col, F.explode(entries).alias("e")
+        ).select(id_col, "e.band", "e.band_key")
+
+    def _agreement(self, a, b):
+        """Fraction of hash positions on which two signatures agree —
+        the unbiased MinHash Jaccard estimate."""
+        eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+        return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(
+            self.num_hashes
+        )
+
+    def index_signatures(self, spark: SparkSession) -> DataFrame:
+        """The admitted corpus's (doc_id, sig) snapshot (empty frame
+        on a fresh index)."""
+        if self.store.latest_version() is None:
+            return spark.createDataFrame(
+                [], "doc_id long, sig array<bigint>"
+            )
+        return self.store.read(spark)
+
+    def bootstrap(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        batch_id: int | None = None,
+    ) -> None:
+        """Index an EXISTING corpus as-is — every signed doc's
+        signature merges in with NO admission checks. Use once over an
+        already-curated corpus (whose internal near-dups, if any, are
+        someone else's decision); subsequent syncs go through
+        :meth:`admit`. Idempotent under ``batch_id`` replay."""
+        if id_col != "doc_id":
+            docs = docs.withColumnRenamed(id_col, "doc_id")
+        sigs = self.wide_signatures(docs, "doc_id", text_col)
+        self.store.merge(spark, sigs, keys=["doc_id"], batch_id=batch_id)
+
+    # -- admission --------------------------------------------------------
+
+    def admit(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Admit a batch against the index; returns the per-doc report
+        ``(id, status)`` with status in {admitted, corpus_dup,
+        batch_dup} and merges admitted signatures into the index
+        (exactly-once under ``batch_id`` replay).
+
+        The report is computed BEFORE the index commit, so a replayed
+        batch (batch_id <= the ledger's high-water mark) still returns
+        the same report while the merge is skipped.
+        """
+        if id_col != "doc_id":
+            docs = docs.withColumnRenamed(id_col, "doc_id")
+        batch_sigs = stage_checkpoint(
+            self.wide_signatures(docs, "doc_id", text_col), eager=True
+        )
+        bb = self.band_keys(batch_sigs, "doc_id")
+        corpus_sigs = self.index_signatures(spark)
+        cb = self.band_keys(corpus_sigs, "doc_id")
+
+        # corpus face: index streams against the BROADCAST batch —
+        # never shuffles, never re-reads text
+        cand_cn = (
+            cb.withColumnRenamed("doc_id", "id_i")
+            .join(
+                F.broadcast(bb.withColumnRenamed("doc_id", "id_b")),
+                ["band", "band_key"],
+            )
+            # self-exclusion: a REPLAYED batch's docs are already in
+            # the index under their own ids — matching themselves
+            # would flip their status to corpus_dup on the second run,
+            # breaking report idempotence under replay
+            .where(F.col("id_i") != F.col("id_b"))
+            .select("id_i", "id_b")
+            .distinct()
+        )
+        agree_cn = (
+            cand_cn.join(
+                corpus_sigs.select(
+                    F.col("doc_id").alias("id_i"),
+                    F.col("sig").alias("sig_i"),
+                ),
+                "id_i",
+            )
+            .join(
+                F.broadcast(
+                    batch_sigs.select(
+                        F.col("doc_id").alias("id_b"),
+                        F.col("sig").alias("sig_b"),
+                    )
+                ),
+                "id_b",
+            )
+            .where(
+                self._agreement(F.col("sig_i"), F.col("sig_b"))
+                >= F.lit(self.threshold)
+            )
+        )
+        corpus_dups = agree_cn.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+
+        # batch face: lowest-id-wins within the batch (the
+        # doc_neardup_dedup_survivors rule)
+        ba = bb.select(
+            F.col("doc_id").alias("id_a"), "band", "band_key"
+        )
+        cand_nn = (
+            ba.join(
+                bb.withColumnRenamed("doc_id", "id_b").hint(
+                    "shuffle_hash"
+                ),
+                ["band", "band_key"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        agree_nn = (
+            cand_nn.join(
+                batch_sigs.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("sig").alias("sig_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                batch_sigs.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("sig").alias("sig_b"),
+                ),
+                "id_b",
+            )
+            .where(
+                self._agreement(F.col("sig_a"), F.col("sig_b"))
+                >= F.lit(self.threshold)
+            )
+        )
+        batch_dups = agree_nn.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+
+        # report base = EVERY batch doc: a doc with < shingle_n words
+        # has no shingles, hence no signature row — by the corpus
+        # convention (empty shingle set ≡ nothing to collide on) it is
+        # admitted but never indexed
+        report = (
+            docs.select("doc_id")
+            .distinct()
+            .join(
+                corpus_dups.withColumn("__c", F.lit(1)), "doc_id", "left"
+            )
+            .join(
+                batch_dups.withColumn("__b", F.lit(1)), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("__c").isNotNull(), F.lit("corpus_dup"))
+                .when(F.col("__b").isNotNull(), F.lit("batch_dup"))
+                .otherwise(F.lit("admitted"))
+                .alias("status"),
+            )
+        )
+        report = stage_checkpoint(report, eager=True)
+
+        admitted_sigs = batch_sigs.join(
+            report.where(F.col("status") == "admitted").select("doc_id"),
+            "doc_id",
+        )
+        self.store.merge(
+            spark, admitted_sigs, keys=["doc_id"], batch_id=batch_id
+        )
+        return report

@@ -16,6 +16,7 @@ from calorista_spark.queries import corpus_sampling  # noqa: F401
 from calorista_spark.queries import corpus_novelty  # noqa: F401
 from calorista_spark.queries import curation_extra  # noqa: F401
 from calorista_spark.queries import curation_pipeline  # noqa: F401
+from calorista_spark.queries import incremental_admission  # noqa: F401
 from calorista_spark.queries import llm  # noqa: F401
 from calorista_spark.queries import lm_scoring  # noqa: F401
 from calorista_spark.queries import multimodal_codec  # noqa: F401
