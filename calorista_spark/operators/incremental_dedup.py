@@ -295,3 +295,70 @@ class NearDupIndex:
             spark, admitted_sigs, keys=["doc_id"], batch_id=batch_id
         )
         return report
+
+
+def start_neardup_admission(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    admitted_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    on_batch=None,
+):
+    """Streaming near-dup admission (ST × L2): ``foreachBatch`` admits
+    each micro-batch against the persisted signature index with
+    ``batch_id`` = the epoch id, so exactly-once across crash/restart
+    is the commit ledger's replay skip — the streaming twin of
+    :func:`~calorista_spark.sources.commitlog.start_commitlog_cdc_merge`.
+
+    ``admitted_path`` (optional) additionally lands the SURVIVING
+    documents (full rows) in a second commit-log store under the same
+    batch_id ledger — the deduplicated corpus table a training
+    pipeline reads. Crash between the two commits is safe: on replay
+    the index merge is skipped by its ledger while the doc merge
+    applies, and the ADMITTED SET is replay-stable (a doc the index
+    already holds can't re-admit thanks to self-exclusion; a dropped
+    doc stays dropped, though its dup label may shift from batch_dup
+    to corpus_dup once its within-batch keeper is indexed)."""
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
+        spark = batch.sparkSession
+        idx = NearDupIndex(
+            index_path,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
+        report = idx.admit(
+            spark, batch, id_col=id_col, text_col=text_col,
+            batch_id=batch_id,
+        )
+        if admitted_path is not None:
+            docs = batch
+            if id_col != "doc_id":
+                docs = docs.withColumnRenamed(id_col, "doc_id")
+            admitted = docs.join(
+                report.where(F.col("status") == "admitted").select(
+                    "doc_id"
+                ),
+                "doc_id",
+            )
+            CommitLogStore(admitted_path).merge(
+                spark, admitted, keys=["doc_id"], batch_id=batch_id
+            )
+
+    writer = stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

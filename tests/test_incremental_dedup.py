@@ -8,6 +8,7 @@ from __future__ import annotations
 import itertools
 
 from calorista_spark.operators.incremental_dedup import NearDupIndex
+from calorista_spark.sources.commitlog import CommitLogStore
 
 _T1 = "the quick brown fox jumps over the lazy dog tonight"
 _T2 = "completely different text about spark execution engines and plans"
@@ -121,3 +122,75 @@ def test_incremental_matches_batch_rule_on_ordered_batches(spark, tmp_path):
     one.admit(spark, _docs(spark, rows), batch_id=1)
     want = {r.doc_id for r in one.index_signatures(spark).collect()}
     assert got == want == {1, 2, 4, 6}
+
+
+def test_streaming_admission_exactly_once(spark, tmp_path):
+    """start_neardup_admission: micro-batches admit in order with
+    batch_id = epoch, a crash between the index commit and the
+    admitted-docs commit replays exactly-once, and the final admitted
+    store equals what sequential admit() calls produce."""
+    import os
+    import time
+
+    import pytest
+
+    root = str(tmp_path)
+    feed = [
+        _docs(spark, [(1, _T1), (2, _T2)]),
+        _docs(spark, [(10, _T1), (11, _T3), (12, _T3)]),
+        _docs(spark, [(20, _T4), (21, _T3)]),
+    ]
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    schema = feed[0].schema
+    for i, f in enumerate(feed):
+        d = os.path.join(src, f"f{i}")
+        f.coalesce(1).write.parquet(d)
+        t = time.time() - 10 + i
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (t, t))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    from calorista_spark.operators.incremental_dedup import (
+        start_neardup_admission,
+    )
+
+    idx_path = os.path.join(root, "idx")
+    adm_path = os.path.join(root, "admitted")
+    ckpt = os.path.join(root, "ckpt")
+    flag = os.path.join(root, "bomb")
+    open(flag, "w").close()
+
+    def bomb(batch_id: int) -> None:
+        if batch_id == 1 and os.path.exists(flag):
+            os.unlink(flag)
+            raise RuntimeError("injected failure on batch 1")
+
+    q = start_neardup_admission(
+        stream(), idx_path, ckpt, admitted_path=adm_path, on_batch=bomb
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    q2 = start_neardup_admission(
+        stream(), idx_path, ckpt, admitted_path=adm_path
+    )
+    q2.awaitTermination()
+
+    adm = CommitLogStore(adm_path)
+    got = {(r.doc_id, r.text) for r in adm.read(spark).collect()}
+    # 10 dups 1, 12 dups 11, 21 dups 11(indexed): all dropped
+    assert got == {(1, _T1), (2, _T2), (11, _T3), (20, _T4)}
+    idx = NearDupIndex(idx_path)
+    assert {r.doc_id for r in idx.index_signatures(spark).collect()} == {
+        1, 2, 11, 20,
+    }
+    # both ledgers applied batches 0..2 exactly once
+    assert adm.last_batch_id() == 2
+    assert idx.store.last_batch_id() == 2
