@@ -843,6 +843,11 @@ def store_dv_heavy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     store = _mutated_store(spark, sf_dir, "dvheavy", mutate)
+    # pin the DISTRIBUTED DV plan regardless of sidecar size: at test
+    # SF the sidecars fit the broadcast cap, which would route the
+    # read through the driver-decode fast path and stop pinning the
+    # executor-side plan this query exists to benchmark
+    store.dv_broadcast_bytes = 0
     return (
         store.read(spark)
         .groupBy("event_type")

@@ -2724,11 +2724,19 @@ class CommitLogStore:
 
     def _dv_frame(self, spark: SparkSession, dv: dict[str, str]) -> DataFrame:
         """The deleted-position frame ``(__dv_path, __dv_pos)`` for a
-        file→sidecar map, decoded on the EXECUTORS: the driver ships
-        only path pairs, one task per ~slice of sidecars opens and
-        decodes its files' bitmaps. Broadcast-hinted only when the
-        total sidecar size (driver-side stat metadata) is small enough
-        that shipping the delete set beats shuffling the data table."""
+        file→sidecar map. ADAPTIVE (r12 bench): when the total sidecar
+        byte size (driver-side ``getsize`` metadata) is under
+        :attr:`dv_broadcast_bytes`, the driver decodes the sidecars
+        itself and broadcasts the position frame — bounded by the byte
+        cap, pure-JVM join, no Python workers (Delta ships small DVs
+        the same way; the 8 MB default decodes in milliseconds while
+        the executor path costs ~2 s of Arrow/worker spin-up on an
+        otherwise sub-second read). Past the cap, executor tasks
+        decode their slice of sidecars: the driver ships only path
+        pairs and the anti-join runs distributed — the delete set is
+        never materialized on the driver (VERDICT r11 #1; the 100 TB
+        path). Set ``dv_broadcast_bytes = 0`` to force the distributed
+        path (store_dv_heavy_read and the DV smoke pin its plan)."""
         import pandas as pd  # noqa: F401 — worker-side dependency
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
@@ -2749,6 +2757,21 @@ class CommitLogStore:
             except OSError:
                 total_bytes += self.dv_broadcast_bytes + 1  # assume big
 
+        if total_bytes <= self.dv_broadcast_bytes:
+            # small-DV fast path: driver decode bounded by the byte
+            # cap, broadcast as a plain JVM frame
+            rows = []
+            for dpath, sidecar in pairs:
+                with open(sidecar, "rb") as fh:
+                    rows.extend(
+                        (dpath, int(x)) for x in _decode_dv(fh.read())
+                    )
+            return F.broadcast(
+                spark.createDataFrame(
+                    rows, "__dv_path string, __dv_pos long"
+                )
+            )
+
         @pandas_udf("array<long>")
         def _positions(sidecars):
             import pandas as _pd
@@ -2760,7 +2783,7 @@ class CommitLogStore:
             return _pd.Series(out)
 
         par = spark.sparkContext.defaultParallelism
-        dvdf = (
+        return (
             spark.createDataFrame(
                 pairs, "__dv_path string, __dv_sidecar string"
             )
@@ -2770,9 +2793,6 @@ class CommitLogStore:
                 F.explode(_positions("__dv_sidecar")).alias("__dv_pos"),
             )
         )
-        if total_bytes <= self.dv_broadcast_bytes:
-            dvdf = F.broadcast(dvdf)
-        return dvdf
 
     def _file_diff(
         self, parent: int, child: int

