@@ -53,10 +53,45 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 # Universal-hash family for MinHash: perm_i(h) = (A[i]*h + B[i]) mod P.
-# Fixed arbitrary constants; P = 1e9+7 keeps A[i]*h inside int64.
+# P = 1e9+7; A[i], B[i] < P keeps A[i]*h + B[i] inside int64
+# ((P-1)^2 + P ≈ 1.0e18 < 2^63).
+#
+# r12 scale fix: the constants were previously LINEAR in the seed
+# (A[i] = 1000003 + 37i) — seeds were affinely related, so one shingle
+# whose base hash was small enough that A[i]*h + B[i] never wrapped
+# mod P stayed the MINIMUM under every seed at once. Two documents
+# sharing any such small-hash shingle (inevitable once the corpus has
+# ~10M distinct shingles reduced into a 1e9 space) then agreed on most
+# of their signature and band keys — false near-duplicates, observed
+# at a measurable ~0.002% rate in a 1M-doc / 100k-batch admission run
+# (scale_smoke incremental_admit). Per-seed md5-derived constants
+# break the cross-seed correlation: each seed's permutation wraps
+# independently, so a small base hash dominates at most a few seeds by
+# chance. Deterministic (hashlib over a fixed tag), mirrored literally
+# into every DuckDB oracle via MINHASH_CONSTS_SQL below.
 MINHASH_P = 1_000_000_007
-MINHASH_A = tuple(1_000_003 + 37 * i for i in range(64))
-MINHASH_B = tuple(7_000_019 + 91 * i for i in range(64))
+
+
+def _minhash_const(tag: str, i: int) -> int:
+    import hashlib as _hl
+
+    return (
+        int(_hl.md5(f"calorista-minhash-{tag}-{i}".encode()).hexdigest()[:15], 16)
+        % MINHASH_P
+    )
+
+
+MINHASH_A = tuple(_minhash_const("A", i) or 1 for i in range(64))
+MINHASH_B = tuple(_minhash_const("B", i) for i in range(64))
+
+
+def minhash_consts_sql(num_hashes: int = 16) -> str:
+    """``(seed, a, b)`` VALUES rows for DuckDB oracles — the literal
+    constant table every oracle joins instead of re-deriving the
+    (now non-linear) per-seed coefficients in SQL."""
+    return ", ".join(
+        f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(num_hashes)
+    )
 
 
 def shingle_base_hash(shingle: Column) -> Column:

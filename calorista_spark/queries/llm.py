@@ -18,6 +18,7 @@ from calorista_spark.operators.similarity import (
     cosine_topk_ivf,
     lsh_band_keys,
     lsh_candidate_pairs,
+    minhash_consts_sql,
     minhash_signatures,
     ngram_jaccard,
     simhash_32,
@@ -236,7 +237,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2: MinHash signatures (value-checked), LSH near-dup pairs, SimHash.
 # ---------------------------------------------------------------------------
 
-# Mirrors similarity.MINHASH_A/B: A[i] = 1000003 + 37i, B[i] = 7000019 + 91i.
+# Mirrors similarity.MINHASH_A/B via the literal constant table
+# (r12: per-seed md5-derived coefficients — see similarity.py).
 _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
@@ -247,11 +249,13 @@ hashed AS (
   FROM sh
 ),
 seeded AS (
-  SELECT doc_id, s.seed, h
-  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
+  SELECT doc_id, CAST(s.seed AS INTEGER) AS seed, s.a, s.b, h
+  FROM hashed CROSS JOIN (
+    SELECT * FROM (VALUES {minhash_consts_sql()}) t(seed, a, b)
+  ) s
 )
 SELECT doc_id, seed,
-       MIN(((1000003 + 37 * seed) * h + (7000019 + 91 * seed)) % 1000000007) AS minhash
+       MIN((CAST(a AS BIGINT) * h + b) % 1000000007) AS minhash
 FROM seeded
 GROUP BY doc_id, seed
 ORDER BY doc_id, seed
@@ -285,12 +289,14 @@ hashed AS (
   FROM sh
 ),
 seeded AS (
-  SELECT doc_id, s.seed, h
-  FROM hashed CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed) s
+  SELECT doc_id, CAST(s.seed AS INTEGER) AS seed, s.a, s.b, h
+  FROM hashed CROSS JOIN (
+    SELECT * FROM (VALUES {minhash_consts_sql()}) t(seed, a, b)
+  ) s
 ),
 sig AS (
   SELECT doc_id, seed,
-         MIN(((1000003 + 37 * seed) * h + (7000019 + 91 * seed)) % 1000000007) AS minhash
+         MIN((CAST(a AS BIGINT) * h + b) % 1000000007) AS minhash
   FROM seeded GROUP BY doc_id, seed
 ),
 bands AS (

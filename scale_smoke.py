@@ -1741,6 +1741,99 @@ def main() -> None:
     from calorista_spark.cache import release_caches
     from calorista_spark.queries import QUERIES
 
+    # ---- incremental near-dup admission at corpus scale (r12) ----
+    # A 1M-doc signature index admits a 100k-doc batch of which ~10%
+    # duplicate indexed docs and ~1% duplicate each other. Proves the
+    # ingest-side dedup operator's shape holds off toy data: the
+    # admission plan joins the index's DERIVED band keys against the
+    # broadcast batch (index side never shuffles its signatures), the
+    # driver holds no signatures, and the report statuses land exactly.
+    admit_metrics: dict[str, object] = {}
+
+    def incremental_admit_check():
+        import shutil
+        import tempfile
+
+        from calorista_spark.operators.incremental_dedup import (
+            NearDupIndex,
+        )
+
+        n_corpus, n_batch = 1_000_000, 100_000
+        root = tempfile.mkdtemp(prefix="smoke_admit_")
+
+        def synth(ids):
+            # ~12-word synthetic text deterministic in id; distinct
+            # ids → distinct shingle sets (id baked into every word)
+            return ids.select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"w{j}_"),
+                            ((F.col("id") * 31 + j) % 997).cast("string"),
+                            F.lit("_"),
+                            F.col("id").cast("string"),
+                        )
+                        for j in range(12)
+                    ],
+                ).alias("text"),
+            )
+
+        try:
+            idx = NearDupIndex(os.path.join(root, "idx"))
+            corpus = synth(spark.range(n_corpus))
+            t0 = time.perf_counter()
+            idx.bootstrap(spark, corpus, batch_id=1)
+            t_boot = round(time.perf_counter() - t0, 2)
+            # batch (all ids disjoint from the corpus and each other):
+            # 10k corpus dups (corpus texts under fresh ids), 1k
+            # internal dup pairs, rest fresh
+            fresh = synth(spark.range(5_000_000, 5_000_000 + n_batch - 12_000))
+            corpus_dups = synth(spark.range(10_000)).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+            )
+            pair_base = synth(spark.range(2_000_000, 2_001_000))
+            pair_dups = pair_base.select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+            batch = (
+                fresh.unionByName(corpus_dups)
+                .unionByName(pair_base)
+                .unionByName(pair_dups)
+            )
+            t0 = time.perf_counter()
+            report = idx.admit(spark, batch, batch_id=2)
+            counts = {
+                r.status: r.n
+                for r in report.groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            t_admit = round(time.perf_counter() - t0, 2)
+            assert counts.get("corpus_dup") == 10_000, counts
+            assert counts.get("batch_dup") == 1000, counts
+            assert counts.get("admitted") == n_batch - 11_000, counts
+            n_indexed = idx.index_signatures(spark).count()
+            assert n_indexed == n_corpus + n_batch - 11_000, n_indexed
+            admit_metrics.update(
+                corpus_docs=n_corpus,
+                batch_docs=n_batch,
+                bootstrap_sec=t_boot,
+                admit_sec=t_admit,
+                statuses=counts,
+            )
+            return (
+                f"1M-doc index: bootstrap {t_boot}s, 100k-doc admit "
+                f"{t_admit}s, statuses exact {counts}"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    results["incremental_admit_1M"] = timed(
+        "incremental_admit", incremental_admit_check
+    )
+
     ref_stats = [tuple(r) for r in QUERIES["stats_by_returnflag"](
         spark, sf_dir
     ).collect()]
@@ -1970,98 +2063,7 @@ def main() -> None:
         "manifest_scale", manifest_scale_check
     )
 
-    # ---- incremental near-dup admission at corpus scale (r12) ----
-    # A 1M-doc signature index admits a 100k-doc batch of which ~10%
-    # duplicate indexed docs and ~1% duplicate each other. Proves the
-    # ingest-side dedup operator's shape holds off toy data: the
-    # admission plan joins the index's DERIVED band keys against the
-    # broadcast batch (index side never shuffles its signatures), the
-    # driver holds no signatures, and the report statuses land exactly.
-    admit_metrics: dict[str, object] = {}
 
-    def incremental_admit_check():
-        import shutil
-        import tempfile
-
-        from calorista_spark.operators.incremental_dedup import (
-            NearDupIndex,
-        )
-
-        n_corpus, n_batch = 1_000_000, 100_000
-        root = tempfile.mkdtemp(prefix="smoke_admit_")
-
-        def synth(ids):
-            # ~12-word synthetic text deterministic in id; distinct
-            # ids → distinct shingle sets (id baked into every word)
-            return ids.select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.concat(
-                            F.lit(f"w{j}_"),
-                            ((F.col("id") * 31 + j) % 997).cast("string"),
-                            F.lit("_"),
-                            F.col("id").cast("string"),
-                        )
-                        for j in range(12)
-                    ],
-                ).alias("text"),
-            )
-
-        try:
-            idx = NearDupIndex(os.path.join(root, "idx"))
-            corpus = synth(spark.range(n_corpus))
-            t0 = time.perf_counter()
-            idx.bootstrap(spark, corpus, batch_id=1)
-            t_boot = round(time.perf_counter() - t0, 2)
-            # batch (all ids disjoint from the corpus and each other):
-            # 10k corpus dups (corpus texts under fresh ids), 1k
-            # internal dup pairs, rest fresh
-            fresh = synth(spark.range(5_000_000, 5_000_000 + n_batch - 12_000))
-            corpus_dups = synth(spark.range(10_000)).select(
-                (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
-            )
-            pair_base = synth(spark.range(2_000_000, 2_001_000))
-            pair_dups = pair_base.select(
-                (F.col("doc_id") + 1000).alias("doc_id"), "text"
-            )
-            batch = (
-                fresh.unionByName(corpus_dups)
-                .unionByName(pair_base)
-                .unionByName(pair_dups)
-            )
-            t0 = time.perf_counter()
-            report = idx.admit(spark, batch, batch_id=2)
-            counts = {
-                r.status: r.n
-                for r in report.groupBy("status")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            t_admit = round(time.perf_counter() - t0, 2)
-            assert counts.get("corpus_dup") == 10_000, counts
-            assert counts.get("batch_dup") == 1000, counts
-            assert counts.get("admitted") == n_batch - 11_000, counts
-            n_indexed = idx.index_signatures(spark).count()
-            assert n_indexed == n_corpus + n_batch - 11_000, n_indexed
-            admit_metrics.update(
-                corpus_docs=n_corpus,
-                batch_docs=n_batch,
-                bootstrap_sec=t_boot,
-                admit_sec=t_admit,
-                statuses=counts,
-            )
-            return (
-                f"1M-doc index: bootstrap {t_boot}s, 100k-doc admit "
-                f"{t_admit}s, statuses exact {counts}"
-            )
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-
-    results["incremental_admit_1M"] = timed(
-        "incremental_admit", incremental_admit_check
-    )
 
     print(
         json.dumps(
