@@ -314,7 +314,8 @@ def profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1e4
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -330,9 +331,16 @@ LIMIT 20
 
 @query("returned_top_customers_q10", _Q10_ORACLE)
 def returned_top_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q10 shape: selective fact filters + 4-way join + top-20. The
-    sort runs on the ROUNDED revenue so cross-engine sub-ulp sum
-    differences can't reorder the cutoff."""
+    """Q10 shape: selective fact filters + 4-way join + top-20.
+
+    Revenue is an EXACT integer basis-point sum (each term FLOOR-
+    quantized to 1e-4 units per row, then SUM(BIGINT)): the r12
+    magnitude audit caught the previous round(sum(double)) flaking on
+    a x.xxxx5 boundary — the parallel sum's addition order varied
+    sub-ulp run to run, landing on either side of the rounding
+    boundary. Per-row products are bit-identical across engines (one
+    IEEE multiply), so the integer sum is order-independent and
+    deterministic (the split_leakage_audit basis-point pattern)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
@@ -346,8 +354,16 @@ def returned_top_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * F.lit(1e4)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e4)
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
