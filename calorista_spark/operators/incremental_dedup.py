@@ -198,14 +198,16 @@ class NearDupIndex:
             .select("id_i", "id_b")
             .distinct()
         )
+        # strategies pinned batch-side-broadcast so the plan (and its
+        # shuffle volume) is identical at every corpus scale: the
+        # candidate set is O(batch × matches) by the band join's
+        # construction, and the index side again streams map-side
         agree_cn = (
-            cand_cn.join(
-                corpus_sigs.select(
-                    F.col("doc_id").alias("id_i"),
-                    F.col("sig").alias("sig_i"),
-                ),
-                "id_i",
+            corpus_sigs.select(
+                F.col("doc_id").alias("id_i"),
+                F.col("sig").alias("sig_i"),
             )
+            .join(F.broadcast(cand_cn), "id_i")
             .join(
                 F.broadcast(
                     batch_sigs.select(
@@ -245,14 +247,14 @@ class NearDupIndex:
                 batch_sigs.select(
                     F.col("doc_id").alias("id_a"),
                     F.col("sig").alias("sig_a"),
-                ),
+                ).hint("shuffle_hash"),
                 "id_a",
             )
             .join(
                 batch_sigs.select(
                     F.col("doc_id").alias("id_b"),
                     F.col("sig").alias("sig_b"),
-                ),
+                ).hint("shuffle_hash"),
                 "id_b",
             )
             .where(
@@ -272,10 +274,14 @@ class NearDupIndex:
             docs.select("doc_id")
             .distinct()
             .join(
-                corpus_dups.withColumn("__c", F.lit(1)), "doc_id", "left"
+                F.broadcast(corpus_dups.withColumn("__c", F.lit(1))),
+                "doc_id",
+                "left",
             )
             .join(
-                batch_dups.withColumn("__b", F.lit(1)), "doc_id", "left"
+                F.broadcast(batch_dups.withColumn("__b", F.lit(1))),
+                "doc_id",
+                "left",
             )
             .select(
                 "doc_id",
@@ -288,7 +294,11 @@ class NearDupIndex:
         report = stage_checkpoint(report, eager=True)
 
         admitted_sigs = batch_sigs.join(
-            report.where(F.col("status") == "admitted").select("doc_id"),
+            F.broadcast(
+                report.where(F.col("status") == "admitted").select(
+                    "doc_id"
+                )
+            ),
             "doc_id",
         )
         self.store.merge(

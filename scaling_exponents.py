@@ -295,8 +295,17 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 dt = time.perf_counter() - t0
-                if vol is None:
-                    vol = meter.delta()  # bytes are run-invariant
+                # keep the LAST (warm) run's volume: fixture/bootstrap
+                # caches are per (query, dataset, process) and the 1x
+                # rank sweep pre-warms ONLY the 1x fixtures, so
+                # first-run volumes compare a cached 1x read against
+                # 2x/4x runs that also paid one-time fixture
+                # construction — a measurement asymmetry that read as
+                # a spurious super-linear record exponent (r12,
+                # doc_incremental_neardup_admission: first-run fit
+                # 1.35, warm-run fit exactly 1.0). The warm run is the
+                # recurring plan volume the gate is about.
+                vol = meter.delta()
                 release_caches(spark)
                 best = dt if best is None else min(best, dt)
             timings[f"{k}x"] = round(best, 3)
