@@ -453,6 +453,19 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 4):
     return zorder_key(buckets, bits=bits).alias("__zval")
 
 
+def _rmtree_ignore_missing(path: str) -> None:
+    """``shutil.rmtree`` tolerating only concurrent-deletion races
+    (FileNotFoundError); every other failure (EACCES, EROFS, ...)
+    propagates so a vacuum that cannot delete reports the truth
+    (ADVICE r12 — replaces blanket ``ignore_errors=True``)."""
+
+    def onerror(_fn, _p, exc_info):
+        if not issubclass(exc_info[0], FileNotFoundError):
+            raise exc_info[1]
+
+    shutil.rmtree(path, onerror=onerror)
+
+
 def _fsync_file(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -2658,6 +2671,10 @@ class CommitLogStore:
     # distributed (SMJ/shuffled-hash under AQE) — the driver never
     # holds positions either way, only O(files) path metadata.
     dv_broadcast_bytes: int = 8 << 20
+    # distributed DV decode emits positions in Arrow batches of this
+    # many entries (~8 MB of int64 each): task memory stays O(chunk)
+    # even for a sidecar carrying hundreds of millions of positions
+    dv_decode_chunk: int = 1 << 20
 
     def _read_files(
         self,
@@ -2737,9 +2754,7 @@ class CommitLogStore:
         never materialized on the driver (VERDICT r11 #1; the 100 TB
         path). Set ``dv_broadcast_bytes = 0`` to force the distributed
         path (store_dv_heavy_read and the DV smoke pin its plan)."""
-        import pandas as pd  # noqa: F401 — worker-side dependency
         from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
 
         # abspath BOTH sides: the sidecar path is opened inside an
         # executor task whose cwd need not be the driver's, so a
@@ -2759,28 +2774,78 @@ class CommitLogStore:
 
         if total_bytes <= self.dv_broadcast_bytes:
             # small-DV fast path: driver decode bounded by the byte
-            # cap, broadcast as a plain JVM frame
-            rows = []
+            # cap, shipped as ONE Arrow-backed pandas frame built from
+            # the decoded numpy arrays — no boxed Python tuple list,
+            # no per-position object allocation (ADVICE r12: the old
+            # list-of-tuples build cost seconds of driver CPU and
+            # ~100 MB RSS at the 8 MB cap)
+            import numpy as np
+            import pandas as pd
+
+            path_chunks: list = []
+            pos_chunks: list = []
             for dpath, sidecar in pairs:
                 with open(sidecar, "rb") as fh:
-                    rows.extend(
-                        (dpath, int(x)) for x in _decode_dv(fh.read())
+                    arr = _decode_dv(fh.read()).astype("int64")
+                if len(arr):
+                    path_chunks.append(
+                        np.full(len(arr), dpath, dtype=object)
                     )
+                    pos_chunks.append(arr)
+            pdf = pd.DataFrame(
+                {
+                    "__dv_path": (
+                        np.concatenate(path_chunks)
+                        if path_chunks
+                        else np.array([], dtype=object)
+                    ),
+                    "__dv_pos": (
+                        np.concatenate(pos_chunks)
+                        if pos_chunks
+                        else np.array([], dtype="int64")
+                    ),
+                }
+            )
             return F.broadcast(
                 spark.createDataFrame(
-                    rows, "__dv_path string, __dv_pos long"
+                    pdf, "__dv_path string, __dv_pos long"
                 )
             )
 
-        @pandas_udf("array<long>")
-        def _positions(sidecars):
+        # distributed path: each task decodes its slice of sidecars in
+        # BOUNDED chunks (VERDICT r12 #7 — the old pandas_udf returned
+        # one whole-sidecar array<long> cell, so a 50%-deleted
+        # 128M-row file put a ~500 MB array in a single Arrow value).
+        # mapInPandas yields one (path, pos) frame per chunk; the
+        # sidecar file itself is read incrementally (fixed 8-byte
+        # records after the magic), so task memory is O(chunk), not
+        # O(sidecar), at any delete density.
+        chunk = int(self.dv_decode_chunk)
+
+        def _decode_chunks(frames):
+            import numpy as _np
             import pandas as _pd
 
-            out = []
-            for sp in sidecars:
-                with open(sp, "rb") as fh:
-                    out.append([int(x) for x in _decode_dv(fh.read())])
-            return _pd.Series(out)
+            for pdf_in in frames:
+                for dpath, sp in zip(
+                    pdf_in["__dv_path"], pdf_in["__dv_sidecar"]
+                ):
+                    with open(sp, "rb") as fh:
+                        magic = fh.read(len(_DV_MAGIC))
+                        if magic != _DV_MAGIC:
+                            raise ValueError(
+                                f"not a CLDV1 deletion vector: {sp}"
+                            )
+                        while True:
+                            buf = fh.read(chunk * 8)
+                            if not buf:
+                                break
+                            pos = _np.frombuffer(
+                                buf, dtype="<u8"
+                            ).astype("int64")
+                            yield _pd.DataFrame(
+                                {"__dv_path": dpath, "__dv_pos": pos}
+                            )
 
         par = spark.sparkContext.defaultParallelism
         return (
@@ -2788,9 +2853,8 @@ class CommitLogStore:
                 pairs, "__dv_path string, __dv_sidecar string"
             )
             .repartition(max(1, min(len(pairs), par)))
-            .select(
-                "__dv_path",
-                F.explode(_positions("__dv_sidecar")).alias("__dv_pos"),
+            .mapInPandas(
+                _decode_chunks, "__dv_path string, __dv_pos long"
             )
         )
 
@@ -3439,8 +3503,11 @@ class CommitLogStore:
                 p = os.path.join(self.commits_dir, f"v{v:08d}.json")
                 try:
                     os.unlink(p)
-                except OSError:
+                except FileNotFoundError:
                     pass  # raced with a concurrent vacuum: already gone
+                # any OTHER OSError (EACCES/EROFS/...) propagates: a
+                # vacuum that cannot actually delete must not report
+                # success while retaining data (ADVICE r12)
                 # expired versions must stop resolving through this
                 # instance's caches too (time travel to them is gone)
                 self._meta_cache.pop(v, None)
@@ -3461,9 +3528,11 @@ class CommitLogStore:
             if token not in referenced_tokens:
                 if young(tdir):
                     continue  # possibly an in-flight writer's dir
-                # ignore_errors: a concurrent vacuum may reap the same
-                # dir mid-walk (same tolerance as the per-file branch)
-                shutil.rmtree(tdir, ignore_errors=True)
+                # ignore-MISSING only: a concurrent vacuum may reap the
+                # same dir mid-walk, but a permission/readonly failure
+                # must propagate, not masquerade as a completed GC
+                # (ADVICE r12 — was a blanket ignore_errors)
+                _rmtree_ignore_missing(tdir)
                 deleted.append(tdir)
                 continue
             if young(tdir):
@@ -3482,7 +3551,7 @@ class CommitLogStore:
                         continue
                     try:  # raced with a concurrent vacuum: skip
                         os.unlink(ap)
-                    except OSError:
+                    except FileNotFoundError:
                         continue
                     deleted.append(ap)
                 if dirpath != tdir:
@@ -3506,7 +3575,7 @@ class CommitLogStore:
                     continue
                 try:
                     os.unlink(ap)
-                except OSError:
+                except FileNotFoundError:
                     continue
                 deleted.append(ap)
         return deleted
