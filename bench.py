@@ -135,6 +135,23 @@ def main() -> None:
         n: sorted(s)[len(s) // 2] for n, s in samples_by_query.items()
     }
     total_median = round(sum(medians.values()), 4)
+    # r13 (VERDICT r12 #3): cold/warm split. The first sample of a
+    # fixture-building query (store_* family) pays a one-time shared
+    # fixture cost that polluted 3-sample medians under contention —
+    # the warm median (first sample EXCLUDED, needs >= 2 passes)
+    # isolates the steady-state read-path cost the plan audit talks
+    # about, and the cold-warm delta is the attributable fixture cost.
+    warm_medians = {
+        n: sorted(s[1:])[len(s[1:]) // 2]
+        for n, s in samples_by_query.items()
+        if len(s) >= 2
+    }
+    total_warm_median = round(sum(warm_medians.values()), 4)
+    fixture_overhead = {
+        n: round(s[0] - warm_medians[n], 4)
+        for n, s in samples_by_query.items()
+        if n in warm_medians and s[0] - warm_medians[n] > 0.5
+    }
 
     # Calibration normalization (r7 VERDICT item #5): the probe above
     # measures pure engine+machine cost; CALIBRATION_REF is the probe's
@@ -163,6 +180,11 @@ def main() -> None:
     summary = {
         "queries": timings,
         "per_query_median_sec": medians,
+        "per_query_warm_median_sec": warm_medians,
+        "value_warm_median_sec": total_warm_median,
+        # first-pass-minus-warm deltas > 0.5 s: one-time fixture/build
+        # cost attribution (reads ~0 for pure scan queries)
+        "fixture_overhead_sec": fixture_overhead,
         **({"errors": errors} if errors else {}),
         **({"warm_errors": warm_errors} if warm_errors else {}),
         "n_passes": passes_run,

@@ -1,0 +1,207 @@
+"""Cross-PROCESS commit-log OCC proof (r13 — VERDICT r12 #5).
+
+The in-process race tests (test_commitlog.py) prove the conflict /
+rebase semantics but share one interpreter, so they cannot prove that
+the link(2)-published manifest is the ONLY coordination point. This
+test runs two REAL OS processes — separate Python interpreters,
+separate JVMs, no shared state but the store directory — through
+three phases, with file-based barriers forcing publish-time
+collisions:
+
+1. commuting MERGE race: both processes merge disjoint partitions and
+   publish at the same instant; the loser must rebase onto the
+   winner's head (versions 2 AND 3 land, both updates survive).
+2. conflicting blind overwrite: both commit against the same parent;
+   exactly one wins, the other gets CommitConflictError, nothing torn.
+3. compact vs delete, unsynchronized: whatever the interleaving, the
+   deleted key never resurrects and the final snapshots agree.
+
+If these hold across processes, the design claim — single-filesystem
+OCC with no in-process locks — is evidence, not assertion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+
+sys.path.insert(0, {repo!r})
+role = sys.argv[1]
+root = sys.argv[2]
+other_role = "b" if role == "a" else "a"
+store_path = os.path.join(root, "store")
+out = {{}}
+
+
+def barrier(name, timeout=180):
+    open(os.path.join(root, f"bar_{{name}}_{{role}}"), "w").close()
+    target = os.path.join(root, f"bar_{{name}}_{{other_role}}")
+    t0 = time.time()
+    while not os.path.exists(target):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(name)
+        time.sleep(0.01)
+
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"xproc-{{role}}")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from calorista_spark.sources.commitlog import (
+    CommitConflictError,
+    CommitLogStore,
+)
+
+store = CommitLogStore(store_path)
+
+# -- init: process a lays down the 2-partition base -----------------------
+if role == "a":
+    base = spark.createDataFrame(
+        [(f"d{{i}}", k, k) for i in range(2) for k in range(40)],
+        "d string, k long, v long",
+    )
+    store.commit(
+        base, expect_version=None, partition_by="d", keys=["d", "k"]
+    )
+barrier("init")
+assert store.latest_version() == 1, store.latest_version()
+
+
+def one_shot_publish_barrier(name):
+    orig = store._publish
+    state = {{"armed": True}}
+
+    def sync(manifest, token):
+        if state["armed"]:
+            state["armed"] = False
+            barrier(name)
+        return orig(manifest, token)
+
+    store._publish = sync
+    return orig
+
+
+# -- phase 1: commuting MERGE race (publish-time collision) ---------------
+mine = "d0" if role == "a" else "d1"
+batch = spark.createDataFrame(
+    [(mine, k, k + 1000) for k in range(5)], "d string, k long, v long"
+)
+orig = one_shot_publish_barrier("pub1")
+v = store.merge(spark, batch, ["d", "k"])
+store._publish = orig
+out["phase1"] = {{"version": v}}
+barrier("p1done")
+assert store.latest_version() == 3, store.latest_version()
+rows = {{(r.d, r.k): r.v for r in store.read(spark).collect()}}
+ok = all(rows[(d, k)] == k + 1000 for d in ("d0", "d1") for k in range(5))
+out["phase1"]["both_updates"] = ok
+out["phase1"]["n_rows"] = len(rows)
+
+# -- phase 2: conflicting blind overwrite (publish-time collision) --------
+ow = spark.createDataFrame(
+    [(f"d{{i}}", k, k * 10) for i in range(2) for k in range(40)],
+    "d string, k long, v long",
+)
+orig = one_shot_publish_barrier("pub2")
+try:
+    v = store.commit(
+        ow, op="overwrite", expect_version=3, partition_by="d",
+        keys=["d", "k"],
+    )
+    out["phase2"] = {{"result": "win", "version": v}}
+except CommitConflictError:
+    out["phase2"] = {{"result": "conflict"}}
+store._publish = orig
+barrier("p2done")
+assert store.latest_version() == 4, store.latest_version()
+
+# -- phase 3: compact vs delete, unsynchronized ----------------------------
+barrier("p3start")
+if role == "a":
+    store.compact(spark, target_file_bytes=1 << 30, max_retries=4)
+    out["phase3"] = {{"op": "compact"}}
+else:
+    try:
+        store.delete_where(spark, [("k", "==", 7)])
+        out["phase3"] = {{"op": "delete", "retried": False}}
+    except CommitConflictError:
+        store.delete_where(spark, [("k", "==", 7)])
+        out["phase3"] = {{"op": "delete", "retried": True}}
+barrier("p3done")
+final = {{(r.d, r.k): r.v for r in store.read(spark).collect()}}
+out["phase3"]["no_resurrect"] = not any(k == 7 for _, k in final)
+out["phase3"]["n_rows"] = len(final)
+out["phase3"]["values_ok"] = all(
+    v == k * 10 for (_, k), v in final.items()
+)
+
+with open(os.path.join(root, f"out_{{role}}.json"), "w") as fh:
+    json.dump(out, fh)
+spark.stop()
+"""
+
+
+def test_two_process_occ_races(tmp_path):
+    root = str(tmp_path)
+    script = _WORKER.format(repo=_REPO)
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, role, root],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for role in ("a", "b")
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"worker failed rc={p.returncode}\n"
+            f"stdout:\n{so.decode()[-2000:]}\n"
+            f"stderr:\n{se.decode()[-4000:]}"
+        )
+    results = {}
+    for role in ("a", "b"):
+        with open(os.path.join(root, f"out_{role}.json")) as fh:
+            results[role] = json.load(fh)
+
+    # phase 1: both merges landed (one at v2, one rebased to v3),
+    # neither update lost
+    versions = sorted(
+        results[r]["phase1"]["version"] for r in ("a", "b")
+    )
+    assert versions == [2, 3], results
+    for r in ("a", "b"):
+        assert results[r]["phase1"]["both_updates"], results
+        assert results[r]["phase1"]["n_rows"] == 80, results
+
+    # phase 2: exactly one writer won the same-parent overwrite
+    outcomes = sorted(
+        results[r]["phase2"]["result"] for r in ("a", "b")
+    )
+    assert outcomes == ["conflict", "win"], results
+
+    # phase 3: the deleted key never resurrected; both processes
+    # converged on the same snapshot
+    for r in ("a", "b"):
+        assert results[r]["phase3"]["no_resurrect"], results
+        assert results[r]["phase3"]["n_rows"] == 78, results  # k=7 in d0+d1
+        assert results[r]["phase3"]["values_ok"], results
