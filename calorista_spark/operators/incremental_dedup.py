@@ -43,19 +43,66 @@ fingerprints to near-duplicate signatures.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.operators.checkpoint import stage_checkpoint
-from calorista_spark.operators.similarity import minhash_signatures
+from calorista_spark.operators.similarity import (
+    MINHASH_A,
+    MINHASH_B,
+    minhash_signatures,
+)
 from calorista_spark.sources.commitlog import CommitLogStore
+
+# bumped whenever the signature computation changes incompatibly
+# (r12's seed-correlation fix was exactly such a change: same
+# parameters, different constants, silently non-matching signatures)
+FAMILY_VERSION = 2
+
+_PARAMS_FILE = "_neardup_family.json"
+
+
+def _constants_digest(num_hashes: int) -> str:
+    """Fingerprint of the universal-hash constants actually used for
+    the first ``num_hashes`` seeds — catches a constants change even
+    when every named parameter is identical (ADVICE r12)."""
+    import hashlib
+
+    payload = ",".join(
+        f"{MINHASH_A[i]}:{MINHASH_B[i]}" for i in range(num_hashes)
+    )
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
 class NearDupIndex:
     """A persisted MinHash signature index for incremental near-dup
     admission. ``threshold`` is the minimum fraction of agreeing hash
     positions (estimated Jaccard) for a candidate to count as a
-    duplicate."""
+    duplicate.
+
+    **Hash-family pinning (r13 — ADVICE r12):** the index stamps its
+    parameters (num_hashes, rows_per_band, shingle_n, threshold,
+    FAMILY_VERSION, and a digest of the MinHash constants) into
+    ``_neardup_family.json`` inside the store on first open and
+    VALIDATES them on every subsequent open — opening an index with
+    different parameters (or after a constants change like r12's
+    seed-correlation fix) raises instead of silently ceasing to match
+    true duplicates. A deliberate parameter change goes through
+    :meth:`rebuild`.
+
+    **doc_id immutability (r13 — ADVICE r12):** a doc_id is the
+    identity of an ADMITTED document; re-ingesting an existing id
+    with DIFFERENT text in a new (non-replay) batch is rejected
+    (``ValueError``) rather than silently upserting a new signature
+    over the old one — an upsert would let docs admitted against the
+    old version now near-duplicate the new one, breaking the
+    "index never holds near-duplicates" invariant. Replays (same
+    ``batch_id`` at or below the ledger's high-water mark) and
+    byte-identical resends pass unchanged. Use :meth:`retract` + a
+    fresh admit to genuinely replace a document."""
 
     def __init__(
         self,
@@ -75,6 +122,54 @@ class NearDupIndex:
         self.rows_per_band = rows_per_band
         self.shingle_n = shingle_n
         self.threshold = threshold
+        self._check_family()
+
+    # -- hash-family pinning ------------------------------------------------
+
+    def _params(self) -> dict:
+        return {
+            "family_version": FAMILY_VERSION,
+            "num_hashes": self.num_hashes,
+            "rows_per_band": self.rows_per_band,
+            "shingle_n": self.shingle_n,
+            "threshold": self.threshold,
+            "constants_digest": _constants_digest(self.num_hashes),
+        }
+
+    def _stamp_family(self) -> None:
+        """Atomically (re)write the family stamp (tmp + rename)."""
+        p = os.path.join(self.store.path, _PARAMS_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._params(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
+
+    def _check_family(self) -> None:
+        p = os.path.join(self.store.path, _PARAMS_FILE)
+        if not os.path.exists(p):
+            # fresh index — or a pre-r13 store opened for the first
+            # time since stamping existed: record THIS opener's
+            # parameters so every later open is validated
+            self._stamp_family()
+            return
+        with open(p) as fh:
+            stamped = json.load(fh)
+        mine = self._params()
+        diffs = {
+            k: (stamped.get(k), mine[k])
+            for k in mine
+            if stamped.get(k) != mine[k]
+        }
+        if diffs:
+            raise ValueError(
+                "near-dup index parameter mismatch (stored vs "
+                f"requested): {diffs}. Signatures persisted under one "
+                "hash family do not match those computed under "
+                "another; open the index with its stamped parameters "
+                "or re-bootstrap via NearDupIndex.rebuild()."
+            )
 
     # -- signature / band plumbing ---------------------------------------
 
@@ -154,6 +249,50 @@ class NearDupIndex:
         sigs = self.wide_signatures(docs, "doc_id", text_col)
         self.store.merge(spark, sigs, keys=["doc_id"], batch_id=batch_id)
 
+    def _batch_dups(self, batch_sigs: DataFrame, bb: DataFrame) -> DataFrame:
+        """Within-batch losers of the lowest-id-wins signature rule:
+        docs whose signature agrees on >= threshold positions with a
+        LOWER-id doc of the same batch. Shared by :meth:`admit` (the
+        batch face) and :meth:`rebuild` (the whole corpus is one
+        batch)."""
+        ba = bb.select(
+            F.col("doc_id").alias("id_a"), "band", "band_key"
+        )
+        cand_nn = (
+            ba.join(
+                bb.withColumnRenamed("doc_id", "id_b").hint(
+                    "shuffle_hash"
+                ),
+                ["band", "band_key"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        agree_nn = (
+            cand_nn.join(
+                batch_sigs.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("sig").alias("sig_a"),
+                ).hint("shuffle_hash"),
+                "id_a",
+            )
+            .join(
+                batch_sigs.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("sig").alias("sig_b"),
+                ).hint("shuffle_hash"),
+                "id_b",
+            )
+            .where(
+                self._agreement(F.col("sig_a"), F.col("sig_b"))
+                >= F.lit(self.threshold)
+            )
+        )
+        return agree_nn.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+
     # -- admission --------------------------------------------------------
 
     def admit(
@@ -181,6 +320,43 @@ class NearDupIndex:
         bb = self.band_keys(batch_sigs, "doc_id")
         corpus_sigs = self.index_signatures(spark)
         cb = self.band_keys(corpus_sigs, "doc_id")
+
+        # doc_id immutability (ADVICE r12): in a NEW batch (not a
+        # ledger replay), an id the index already holds must carry a
+        # byte-identical signature — a changed doc under a reused id
+        # would silently upsert over the old signature and void the
+        # no-near-dups invariant for docs admitted against it. One
+        # extra map-side pass: the index streams against the
+        # broadcast batch exactly like the band join below.
+        last = self.store.last_batch_id()
+        is_replay = (
+            batch_id is not None
+            and last is not None
+            and batch_id <= last
+        )
+        if not is_replay:
+            changed = (
+                corpus_sigs.join(
+                    F.broadcast(
+                        batch_sigs.select(
+                            "doc_id", F.col("sig").alias("sig_new")
+                        )
+                    ),
+                    "doc_id",
+                )
+                .where(F.col("sig") != F.col("sig_new"))
+                .select("doc_id")
+                .limit(5)
+                .collect()
+            )
+            if changed:
+                ids = sorted(r.doc_id for r in changed)
+                raise ValueError(
+                    f"doc_ids {ids} are already indexed with DIFFERENT "
+                    "text: doc_ids are immutable once admitted. "
+                    "retract() the old documents first, or assign "
+                    "fresh ids."
+                )
 
         # corpus face: index streams against the BROADCAST batch —
         # never shuffles, never re-reads text
@@ -228,43 +404,7 @@ class NearDupIndex:
 
         # batch face: lowest-id-wins within the batch (the
         # doc_neardup_dedup_survivors rule)
-        ba = bb.select(
-            F.col("doc_id").alias("id_a"), "band", "band_key"
-        )
-        cand_nn = (
-            ba.join(
-                bb.withColumnRenamed("doc_id", "id_b").hint(
-                    "shuffle_hash"
-                ),
-                ["band", "band_key"],
-            )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        agree_nn = (
-            cand_nn.join(
-                batch_sigs.select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("sig").alias("sig_a"),
-                ).hint("shuffle_hash"),
-                "id_a",
-            )
-            .join(
-                batch_sigs.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("sig").alias("sig_b"),
-                ).hint("shuffle_hash"),
-                "id_b",
-            )
-            .where(
-                self._agreement(F.col("sig_a"), F.col("sig_b"))
-                >= F.lit(self.threshold)
-            )
-        )
-        batch_dups = agree_nn.select(
-            F.col("id_b").alias("doc_id")
-        ).distinct()
+        batch_dups = self._batch_dups(batch_sigs, bb)
 
         # report base = EVERY batch doc: a doc with < shingle_n words
         # has no shingles, hence no signature row — by the corpus
@@ -305,6 +445,105 @@ class NearDupIndex:
             spark, admitted_sigs, keys=["doc_id"], batch_id=batch_id
         )
         return report
+
+    # -- maintenance (r13 — VERDICT r12 #8) ---------------------------------
+
+    def retract(self, spark: SparkSession, doc_ids) -> int:
+        """Remove retracted documents' signatures (takedown / GDPR /
+        curation reversal) via the table format's own DML — a
+        merge-on-read delete (deletion vectors), so retraction cost is
+        O(touched files), not a table rewrite. Returns the new index
+        version. NOTE: docs previously REJECTED against a retracted
+        doc are not re-admitted retroactively — re-offer them in a
+        later batch if desired (the index no longer blocks them).
+
+        ``doc_ids`` is a driver-side id list (maintenance-op sized,
+        like the table format's other predicate faces)."""
+        ids = sorted(int(i) for i in doc_ids)
+        if not ids:
+            return self.store.latest_version()
+        return self.store.delete_where(
+            spark, [("doc_id", "in", ids)], cow_threshold=None
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        dv_fraction: float = 0.1,
+    ) -> int:
+        """Index housekeeping: physically purge retracted signatures
+        whose deletion-vector mass passed ``dv_fraction`` (the
+        difference between retracted and ERASED), then bin-pack the
+        small per-batch files admission accretes into
+        ``target_file_bytes`` files. Returns the final version."""
+        self.store.purge_dv(spark, dv_fraction=dv_fraction)
+        self.store.compact(spark, target_file_bytes=target_file_bytes)
+        return self.store.latest_version()
+
+    def rebuild(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        num_hashes: int | None = None,
+        rows_per_band: int | None = None,
+        shingle_n: int | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Re-bootstrap the index from the corpus under (possibly)
+        CHANGED family parameters — the documented path when
+        ``num_hashes``/``threshold``/constants change would otherwise
+        trip :meth:`_check_family`. The corpus is processed as one
+        batch against an empty index (the lowest-id-wins signature
+        rule of the batch face), the survivors' signatures REPLACE the
+        store contents in one overwrite commit, and the family stamp
+        is rewritten. The replay ledger survives, so previously
+        processed batch_ids still skip. Returns the per-doc report
+        ``(doc_id, status)`` with status in {admitted, batch_dup}."""
+        if num_hashes is not None:
+            self.num_hashes = num_hashes
+        if rows_per_band is not None:
+            self.rows_per_band = rows_per_band
+        if shingle_n is not None:
+            self.shingle_n = shingle_n
+        if threshold is not None:
+            self.threshold = threshold
+        if self.num_hashes % self.rows_per_band != 0:
+            raise ValueError(
+                f"num_hashes={self.num_hashes} not divisible by "
+                f"rows_per_band={self.rows_per_band}"
+            )
+        if id_col != "doc_id":
+            docs = docs.withColumnRenamed(id_col, "doc_id")
+        sigs = stage_checkpoint(
+            self.wide_signatures(docs, "doc_id", text_col), eager=True
+        )
+        dups = self._batch_dups(sigs, self.band_keys(sigs, "doc_id"))
+        survivors = sigs.join(F.broadcast(dups), "doc_id", "left_anti")
+        self.store.commit(
+            survivors,
+            op="overwrite",
+            expect_version=self.store.latest_version(),
+        )
+        self._stamp_family()
+        return (
+            docs.select("doc_id")
+            .distinct()
+            .join(
+                F.broadcast(dups.withColumn("__d", F.lit(1))),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("__d").isNotNull(), F.lit("batch_dup"))
+                .otherwise(F.lit("admitted"))
+                .alias("status"),
+            )
+        )
 
 
 def start_neardup_admission(

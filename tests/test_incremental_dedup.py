@@ -194,3 +194,153 @@ def test_streaming_admission_exactly_once(spark, tmp_path):
     # both ledgers applied batches 0..2 exactly once
     assert adm.last_batch_id() == 2
     assert idx.store.last_batch_id() == 2
+
+
+def test_family_params_are_stamped_and_validated(spark, tmp_path):
+    """r13 (ADVICE r12): the hash-family parameters are stamped into
+    the store on first open; reopening with different parameters (or
+    different constants — covered by the digest) fails loudly instead
+    of silently not matching persisted signatures."""
+    import json
+    import os
+
+    import pytest
+
+    p = str(tmp_path / "idx")
+    idx = NearDupIndex(p, num_hashes=16, rows_per_band=4)
+    idx.admit(spark, _docs(spark, [(1, _T1)]), batch_id=1)
+    # same params reopen: fine
+    NearDupIndex(p, num_hashes=16, rows_per_band=4)
+    # different family: loud failure
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        NearDupIndex(p, num_hashes=8, rows_per_band=4)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        NearDupIndex(p, num_hashes=16, rows_per_band=4, threshold=0.9)
+    # a constants change (r12's fix was one) trips the digest even
+    # with identical named parameters
+    sp = os.path.join(p, "_neardup_family.json")
+    stamped = json.load(open(sp))
+    stamped["constants_digest"] = "0" * 16
+    json.dump(stamped, open(sp, "w"))
+    with pytest.raises(ValueError, match="constants_digest"):
+        NearDupIndex(p, num_hashes=16, rows_per_band=4)
+
+
+def test_doc_id_reuse_with_changed_text_rejected(spark, tmp_path):
+    """r13 (ADVICE r12): re-ingesting an EXISTING doc_id with changed
+    text in a new batch is rejected (immutability), while identical
+    resends and ledger replays pass."""
+    import pytest
+
+    idx = NearDupIndex(str(tmp_path / "idx"))
+    idx.admit(spark, _docs(spark, [(1, _T1), (2, _T2)]), batch_id=1)
+    # identical resend without a ledger entry: allowed, report stable
+    r = idx.admit(spark, _docs(spark, [(1, _T1)]))
+    assert [(x.doc_id, x.status) for x in r.collect()] == [
+        (1, "admitted")
+    ]
+    # changed text under a reused id in a NEW batch: rejected
+    with pytest.raises(ValueError, match="immutable"):
+        idx.admit(spark, _docs(spark, [(1, _T4)]), batch_id=2)
+    # the index is untouched by the rejected batch
+    assert {r.doc_id for r in idx.index_signatures(spark).collect()} == {
+        1,
+        2,
+    }
+    # a REPLAY of batch 1 (ledger high-water mark) still passes even
+    # though its ids are all indexed
+    r1 = idx.admit(spark, _docs(spark, [(1, _T1), (2, _T2)]), batch_id=1)
+    assert {(x.doc_id, x.status) for x in r1.collect()} == {
+        (1, "admitted"),
+        (2, "admitted"),
+    }
+
+
+def test_retract_then_admit_and_compact(spark, tmp_path):
+    """r13 (VERDICT r12 #8): a retracted doc stops blocking future
+    admissions; compaction physically purges the retracted signature
+    and bin-packs the accreted per-batch files without changing the
+    index contents."""
+    idx = NearDupIndex(str(tmp_path / "idx"))
+    idx.admit(spark, _docs(spark, [(1, _T1), (2, _T2)]), batch_id=1)
+    idx.admit(spark, _docs(spark, [(3, _T3)]), batch_id=2)
+    # 10 duplicates indexed doc 1 -> rejected
+    r = idx.admit(spark, _docs(spark, [(10, _T1)]), batch_id=3)
+    assert [x.status for x in r.collect()] == ["corpus_dup"]
+    idx.retract(spark, [1])
+    assert {r.doc_id for r in idx.index_signatures(spark).collect()} == {
+        2,
+        3,
+    }
+    # the retracted doc no longer blocks: 11 (same text) admits
+    r = idx.admit(spark, _docs(spark, [(11, _T1)]), batch_id=4)
+    assert [x.status for x in r.collect()] == ["admitted"]
+    before = {
+        (r.doc_id, tuple(r.sig))
+        for r in idx.index_signatures(spark).collect()
+    }
+    n_files_before = len(
+        idx.store.manifest(idx.store.latest_version())["files"]
+    )
+    idx.compact(spark)
+    after = {
+        (r.doc_id, tuple(r.sig))
+        for r in idx.index_signatures(spark).collect()
+    }
+    assert after == before
+    m = idx.store.manifest(idx.store.latest_version())
+    assert len(m["files"]) <= n_files_before
+    assert not m.get("dv")  # retracted signature physically erased
+    # replay ledger survived maintenance: batch 4 still skips
+    r = idx.admit(spark, _docs(spark, [(11, _T1)]), batch_id=4)
+    assert [x.status for x in r.collect()] == ["admitted"]
+    assert {r.doc_id for r in idx.index_signatures(spark).collect()} == {
+        2,
+        3,
+        11,
+    }
+
+
+def test_rebuild_under_new_params_matches_fresh_index(spark, tmp_path):
+    """r13 (VERDICT r12 #8): rebuilding an index under CHANGED family
+    parameters yields exactly the state a fresh index with those
+    parameters would reach over the same corpus — old-family state is
+    fully discarded."""
+    corpus = _docs(
+        spark,
+        [(1, _T1), (2, _T2), (3, _T1 + " extra"), (4, _T3), (5, _T3)],
+    )
+    p_old = str(tmp_path / "old")
+    idx = NearDupIndex(p_old, num_hashes=16, rows_per_band=4)
+    idx.admit(spark, corpus, batch_id=1)
+    report = idx.rebuild(
+        spark, corpus, num_hashes=8, rows_per_band=2, threshold=0.6
+    )
+    statuses = {(r.doc_id, r.status) for r in report.collect()}
+    # fresh index under the NEW parameters over the same corpus
+    fresh = NearDupIndex(
+        str(tmp_path / "fresh"),
+        num_hashes=8,
+        rows_per_band=2,
+        threshold=0.6,
+    )
+    fr = fresh.admit(spark, corpus, batch_id=1)
+    fresh_statuses = {
+        (r.doc_id, r.status) for r in fr.collect()
+    }
+    assert statuses == fresh_statuses
+    got = {
+        (r.doc_id, tuple(r.sig))
+        for r in idx.index_signatures(spark).collect()
+    }
+    want = {
+        (r.doc_id, tuple(r.sig))
+        for r in fresh.index_signatures(spark).collect()
+    }
+    assert got == want
+    # the stamp was rewritten: old params now fail, new ones open
+    import pytest
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        NearDupIndex(p_old, num_hashes=16, rows_per_band=4)
+    NearDupIndex(p_old, num_hashes=8, rows_per_band=2, threshold=0.6)
