@@ -1,0 +1,152 @@
+"""Persisted IVF vector index (operators/ann_index.py): bootstrap /
+incremental upsert with exactly-once replay, frozen-centroid
+assignment, probe-time partition pruning, and family pinning."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from calorista_spark.operators.ann_index import IVFVectorIndex
+
+
+def _emb(spark, rows):
+    # rows: (vec_id, [floats], label)
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _cluster(center, jitter):
+    return [c + jitter for c in center]
+
+
+@pytest.fixture()
+def corpus(spark):
+    # three well-separated clusters along distinct axes
+    a, b, c = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    rows = []
+    for i in range(6):
+        rows.append((i, _cluster(a, 0.01 * i), 0))
+        rows.append((10 + i, _cluster(b, 0.01 * i), 1))
+        rows.append((20 + i, _cluster(c, 0.01 * i), 2))
+    return _emb(spark, rows)
+
+
+def test_bootstrap_upsert_and_topk(spark, tmp_path, corpus):
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus)
+    # an unlabeled new vector lands in its nearest cluster's bucket
+    new = spark.createDataFrame(
+        [(100, [0.9, 0.05, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.upsert(spark, new, batch_id=1)
+    assigned = {
+        r.vec_id: r.bucket
+        for r in idx.assignments_store.read(spark).collect()
+    }
+    assert assigned[100] == 0
+    assert len(assigned) == 19
+    # top-k of a probe near cluster b stays inside bucket 1 (nprobe=1)
+    q = spark.createDataFrame(
+        [(999, [0.0, 1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = idx.topk(spark, q, k=3, nprobe=1).collect()
+    assert len(top) == 3
+    assert all(r.probe_bucket == 1 for r in top)
+    assert all(10 <= r.cand_id < 20 for r in top)
+    assert top[0].rank == 1 and top[0].sim == max(r.sim for r in top)
+
+
+def test_upsert_replay_is_exactly_once(spark, tmp_path, corpus):
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus)
+    new = spark.createDataFrame(
+        [(100, [0.9, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.upsert(spark, new, batch_id=7)
+    v = idx.assignments_store.latest_version()
+    before = {
+        (r.vec_id, r.bucket)
+        for r in idx.assignments_store.read(spark).collect()
+    }
+    idx.upsert(spark, new, batch_id=7)  # replay
+    assert idx.assignments_store.latest_version() == v
+    after = {
+        (r.vec_id, r.bucket)
+        for r in idx.assignments_store.read(spark).collect()
+    }
+    assert after == before
+
+
+def test_centroids_frozen_across_upserts(spark, tmp_path, corpus):
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus)
+    cents_before = {
+        r.bucket: tuple(r.centroid)
+        for r in idx.centroids(spark).collect()
+    }
+    # a flood of new vectors near cluster a must NOT move centroids
+    flood = spark.createDataFrame(
+        [(200 + i, [0.5, 0.5, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.upsert(spark, flood, batch_id=1)
+    cents_after = {
+        r.bucket: tuple(r.centroid)
+        for r in idx.centroids(spark).collect()
+    }
+    assert cents_after == cents_before
+    assert idx.centroids_store.latest_version() == 1
+
+
+def test_probe_reads_only_probed_partitions(spark, tmp_path, corpus):
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus)
+    q = spark.createDataFrame(
+        [(999, [1.0, 0.02, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.topk(spark, q, k=2, nprobe=1).collect()
+    prof = idx.assignments_store.last_prune_profile
+    assert prof is not None
+    # 3 bucket partitions exist; an nprobe=1 query loads exactly 1
+    assert prof["segments_total"] == 3
+    assert prof["segments_loaded"] == 1
+
+
+def test_family_params_pinned(spark, tmp_path, corpus):
+    p = str(tmp_path / "idx")
+    IVFVectorIndex(p, round_digits=6)
+    IVFVectorIndex(p, round_digits=6)  # same params: fine
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        IVFVectorIndex(p, round_digits=4)
+
+
+def test_topk_sims_match_exact_cosine(spark, tmp_path, corpus):
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus)
+    qvec = [0.0, 0.0, 1.0, 0.0]
+    q = spark.createDataFrame(
+        [(999, qvec)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.cand_id: r.sim
+        for r in idx.topk(spark, q, k=2, nprobe=1).collect()
+    }
+    rows = {
+        r.vec_id: list(r.embedding)
+        for r in corpus.filter(F.col("label") == 2).collect()
+    }
+    for cid, sim in got.items():
+        v = rows[cid]
+        exact = sum(a * b for a, b in zip(qvec, v)) / (
+            math.sqrt(sum(a * a for a in qvec))
+            * math.sqrt(sum(b * b for b in v))
+        )
+        assert abs(sim - round(exact, 6)) < 1e-9
