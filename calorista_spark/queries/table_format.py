@@ -1065,3 +1065,107 @@ def store_spark_write_roundtrip(
         )
         .orderBy("event_date")
     )
+
+
+_COLUMN_MAPPING_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_date, user_id, event_type,
+         CASE WHEN event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+                   AND event_type <> 'view'
+              THEN n * 2 ELSE n END AS event_count
+  FROM base
+),
+agg AS (
+  SELECT event_date,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(event_count) AS BIGINT) AS total_events
+  FROM merged GROUP BY event_date
+),
+posts AS (
+  SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n_cdf_posts
+  FROM base
+  WHERE event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+    AND event_type <> 'view'
+  GROUP BY event_date
+)
+SELECT a.event_date, a.n_rows, a.total_events,
+       COALESCE(p.n_cdf_posts, 0) AS n_cdf_posts
+FROM agg a LEFT JOIN posts p ON p.event_date = a.event_date
+ORDER BY a.event_date
+"""
+
+
+@query("store_column_mapping", _COLUMN_MAPPING_ORACLE)
+def store_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive schema evolution through the correctness gate
+    (r13 — VERDICT r12 #6): rename ``n_events`` → ``event_count`` as a
+    METADATA-ONLY commit (guard: not one data file changes), merge a
+    post-rename batch through the renamed logical schema (touched
+    dates' non-'view' counts double; 'view' rows re-sent identical
+    must suppress), then aggregate the head snapshot AND count each
+    date's ``update_postimage`` rows from a change feed that CROSSES
+    the rename — the oracle recomputes both, so the driver hash pins
+    rename semantics, merge-through-mapping, row-hash suppression
+    across the rename, and the CDF's end-schema presentation."""
+
+    def mutate(store):
+        m1 = store.manifest(1)
+        v2 = store.rename_column("n_events", "event_count")
+        m2 = store.manifest(v2)
+        if m2["files"] != m1["files"]:
+            raise RuntimeError("rename rewrote data files")
+        if m2.get("column_mapping") != {"event_count": "n_events"}:
+            raise RuntimeError(
+                f"bad mapping: {m2.get('column_mapping')}"
+            )
+        base = store.read(spark, 1).withColumnRenamed(
+            "n_events", "event_count"
+        )
+        touched = base.filter(
+            F.col("event_date").isin(
+                [F.lit(d).cast("date") for d in _TOUCHED]
+            )
+        )
+        batch = touched.withColumn(
+            "event_count",
+            F.when(
+                F.col("event_type") != F.lit("view"),
+                F.col("event_count") * 2,
+            ).otherwise(F.col("event_count")),
+        )
+        v3 = store.merge(spark, batch, _KEYS, optimize_write=True)
+        if v3 != 3:
+            raise RuntimeError(f"unexpected merge version {v3}")
+
+    store = _mutated_store(spark, sf_dir, "colmap", mutate)
+    agg = (
+        store.read(spark)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_count").cast("long").alias("total_events"),
+        )
+    )
+    posts = (
+        store.read_changes(spark, 1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_cdf_posts"))
+    )
+    return (
+        agg.join(posts, "event_date", "left")
+        .select(
+            "event_date",
+            "n_rows",
+            "total_events",
+            F.coalesce(F.col("n_cdf_posts"), F.lit(0))
+            .cast("long")
+            .alias("n_cdf_posts"),
+        )
+        .orderBy("event_date")
+    )

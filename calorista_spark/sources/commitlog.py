@@ -405,6 +405,54 @@ def _align_to(df: DataFrame, schema: T.StructType) -> DataFrame:
 _ZORDER_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double")
 
 
+def _physical_struct(
+    schema: T.StructType, mapping: dict[str, str]
+) -> T.StructType:
+    """The schema as written in parquet files: logical field names
+    replaced by their stable physical names (identity when the table
+    never renamed/dropped — the pre-r13 fast path)."""
+    if not mapping:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(
+                mapping.get(f.name, f.name),
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename mapped logical columns to their physical names (column
+    order and unmapped columns — e.g. the ``__part`` shadow —
+    untouched). Projections preserve row order, so this composes with
+    ``sortWithinPartitions`` upstream."""
+    if not mapping or not any(c in mapping for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _map_predicates(
+    predicates: list[tuple], mapping: dict[str, str]
+) -> list[tuple]:
+    """Predicate column names logical → physical (footer stats are
+    keyed by the names actually in the files)."""
+    if not mapping:
+        return predicates
+    return [(mapping.get(c, c), op, v) for c, op, v in predicates]
+
+
 def _zorder_column(df: DataFrame, cols: list[str], bits: int = 4):
     """Z-value expression for multi-dimensional clustering: each column
     is bucketed into 2^bits RANK buckets by approx quantiles (the ONLY
@@ -951,7 +999,13 @@ class CommitLogStore:
             raise FileNotFoundError(f"commit-log store at {self.path} is empty")
         m = self.manifest(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        return self._read_files(spark, m["files"], schema, dv=m.get("dv"))
+        return self._read_files(
+            spark,
+            m["files"],
+            schema,
+            dv=m.get("dv"),
+            mapping=m.get("column_mapping"),
+        )
 
     def files_for(
         self, predicates: list[tuple], version: int | None = None
@@ -1008,6 +1062,9 @@ class CommitLogStore:
         preds = _pruning_predicates(
             usable, T.StructType.fromJson(json.loads(meta["schema"]))
         )
+        # footer stats are keyed by PHYSICAL column names; predicates
+        # arrive logical (r13 column mapping)
+        preds = _map_predicates(preds, meta.get("column_mapping") or {})
         idx = self._segment_index(meta)
         if idx is None:
             m = self.manifest(v)
@@ -1083,7 +1140,7 @@ class CommitLogStore:
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
         return self._read_files(
-            spark, files, schema, dv=dvm
+            spark, files, schema, dv=dvm, mapping=meta.get("column_mapping")
         ).filter(residual)
 
     # -- write -------------------------------------------------------------
@@ -1133,7 +1190,8 @@ class CommitLogStore:
                 f"expected parent v{expect_version}, found v{latest}"
             )
         staged = self._stage_snapshot_data(
-            df, partition_by, sort_by, sort_expr, optimize_write
+            df, partition_by, sort_by, sort_expr, optimize_write,
+            parent=latest,
         )
         return self._commit_staged(
             staged,
@@ -1146,6 +1204,39 @@ class CommitLogStore:
             clustering=clustering,
         )
 
+    def _staging_mapping(
+        self, parent: int | None, schema: T.StructType
+    ) -> dict[str, str]:
+        """The logical→physical column mapping this staged write must
+        use (r13 column mapping): existing logical columns keep their
+        stamped physical names; a NEW logical column whose name would
+        collide with a retired physical name (re-added after a drop)
+        or another column's physical name (freed by a rename) gets a
+        fresh deterministic physical name — old files' bytes for the
+        retired column can then never bleed into the new one."""
+        if parent is None:
+            return {}
+        meta = self.manifest_meta(parent)
+        mapping = dict(meta.get("column_mapping") or {})
+        retired = set(meta.get("retired_columns") or [])
+        taken = set(mapping.values()) | retired
+        out: dict[str, str] = {}
+        for f in schema.fields:
+            if f.name in mapping:
+                out[f.name] = mapping[f.name]
+            elif f.name in taken:
+                base = hashlib.md5(
+                    f"{f.name}:{parent}:{len(retired)}".encode()
+                ).hexdigest()
+                i = 0
+                fresh = f"{f.name}__{base[:8]}"
+                while fresh in taken:
+                    i += 1
+                    fresh = f"{f.name}__{base[: 8 + i]}"
+                out[f.name] = fresh
+                taken.add(fresh)
+        return out
+
     def _stage_snapshot_data(
         self,
         df: DataFrame,
@@ -1153,12 +1244,18 @@ class CommitLogStore:
         sort_by: list[str] | None,
         sort_expr,
         optimize_write: bool,
+        parent: int | None = None,
     ) -> dict:
         """Write ``df``'s data files under a fresh ``data/<token>/``
         dir — the immutable half of a commit, reusable across publish
-        attempts. Returns {token, partitions, files, stats, schema}."""
+        attempts. Returns {token, partitions, files, stats, schema,
+        column_mapping}. ``df`` arrives with LOGICAL column names;
+        files are written under the stable PHYSICAL names derived from
+        ``parent``'s mapping (identity on never-evolved tables)."""
         from urllib.parse import unquote
 
+        mapping = self._staging_mapping(parent, df.schema)
+        logical_schema_json = df.schema.json()
         token = uuid.uuid4().hex
         ddir = os.path.join(self.data_dir, token)
         partitions: dict[str, list[str]] = {}
@@ -1200,6 +1297,8 @@ class CommitLogStore:
                 # the key be a computed column (z-value) that is sorted
                 # by but never written.
                 staged = staged.sortWithinPartitions("__part", *order_keys)
+            # physical rename LAST (a projection — preserves the sort)
+            staged = _to_physical(staged, mapping)
             staged.write.mode("error").partitionBy("__part").parquet(ddir)
             for sub in sorted(os.listdir(ddir)):
                 if not sub.startswith("__part="):
@@ -1221,7 +1320,7 @@ class CommitLogStore:
                 df = df.sortWithinPartitions(*sort_by)
             elif sort_expr is not None:
                 df = df.sortWithinPartitions(sort_expr)
-            df.write.mode("error").parquet(ddir)
+            _to_physical(df, mapping).write.mode("error").parquet(ddir)
             new_files = sorted(
                 os.path.join("data", token, f)
                 for f in os.listdir(ddir)
@@ -1239,7 +1338,8 @@ class CommitLogStore:
                 f: _parquet_file_stats(os.path.join(self.path, f))
                 for f in new_files
             },
-            "schema": df.schema.json(),
+            "schema": logical_schema_json,
+            "column_mapping": mapping,
         }
 
     def _commit_staged(
@@ -1413,6 +1513,17 @@ class CommitLogStore:
             }
         if keys is not None:
             manifest["keys"] = list(keys)
+        # r13 column mapping: the staged write's logical→physical map
+        # becomes the snapshot's; retired physical names accumulate so
+        # a re-added logical name can never alias dropped bytes
+        cm = staged.get("column_mapping") or {}
+        if cm:
+            manifest["column_mapping"] = {k: cm[k] for k in sorted(cm)}
+        retired = staged.get("retired_columns")
+        if retired is None and latest is not None:
+            retired = prev_meta.get("retired_columns")
+        if retired:
+            manifest["retired_columns"] = sorted(retired)
         if carry_refs:
             manifest["__carry_segments__"] = carry_refs
         if latest is not None and (
@@ -1579,6 +1690,9 @@ class CommitLogStore:
             if not preds:
                 read_files.extend(fl)
                 continue
+            preds = _map_predicates(
+                preds, manifest.get("column_mapping") or {}
+            )
             kept = []
             for f in fl:
                 if _file_matches(stats.get(f), preds):
@@ -1590,7 +1704,8 @@ class CommitLogStore:
         # DV-aware: a touched file's deleted rows must not resurrect
         # through the merge's rewrite of that partition
         target = self._read_files(
-            spark, sorted(read_files), schema, dv=prev_dv
+            spark, sorted(read_files), schema, dv=prev_dv,
+            mapping=manifest.get("column_mapping"),
         )
         return target, carry, touched, carry_files
 
@@ -1657,8 +1772,15 @@ class CommitLogStore:
                 if _stat_value(mn) is None or _stat_value(mx) is None:
                     continue  # unsupported stat type: unprunable on k
                 preds.append((k, "between", (mn, mx)))
+        mapping = meta.get("column_mapping")
         if not preds:
-            return self._read_files(spark, files, schema, dv=dv), None
+            return (
+                self._read_files(
+                    spark, files, schema, dv=dv, mapping=mapping
+                ),
+                None,
+            )
+        preds = _map_predicates(preds, mapping or {})
         read_files: list[str] = []
         kept: list[str] = []
         for f in files:
@@ -1666,7 +1788,9 @@ class CommitLogStore:
                 read_files.append(f)
             else:
                 kept.append(f)
-        target = self._read_files(spark, read_files, schema, dv=dv)
+        target = self._read_files(
+            spark, read_files, schema, dv=dv, mapping=mapping
+        )
         return target, (kept or None)
 
     def _merge_commutes(
@@ -1762,7 +1886,7 @@ class CommitLogStore:
         latest = self.latest_version()
         merged, carry, pb, touched, carry_files = prepare(latest)
         staged = self._stage_snapshot_data(
-            merged, pb, None, None, optimize_write
+            merged, pb, None, None, optimize_write, parent=latest
         )
         retries = 0
         while True:
@@ -1809,7 +1933,7 @@ class CommitLogStore:
                 latest = new_latest
                 merged, carry, pb, touched, carry_files = prepare(latest)
                 staged = self._stage_snapshot_data(
-                    merged, pb, None, None, optimize_write
+                    merged, pb, None, None, optimize_write, parent=latest
                 )
 
     def merge(
@@ -2075,6 +2199,200 @@ class CommitLogStore:
             carry_partitions=carry,
         )
 
+    # -- non-additive schema evolution (r13 — VERDICT r12 #6) ---------------
+
+    def _metadata_only_commit(
+        self,
+        latest: int,
+        meta: dict,
+        *,
+        op: str,
+        schema: T.StructType,
+        mapping: dict[str, str],
+        retired: list[str] | None,
+        partition_by: str | None,
+        keys: list[str] | None,
+        clustering: dict | None,
+    ) -> int:
+        """Publish a commit that changes ONLY table metadata: every
+        data file (and DV, and per-file stats) carries from the parent
+        by reference — on a segmented manifest the driver never parses
+        a single file list, so a rename of a 10^6-file table costs one
+        manifest write."""
+        staged = {
+            "token": uuid.uuid4().hex,
+            "partitions": {},
+            "files": [],
+            "stats": {},
+            "schema": schema.json(),
+            "column_mapping": mapping,
+            "retired_columns": retired,
+        }
+        carry_partitions: dict[str, list[str] | None] | None = None
+        carry_files: dict[str, list[str]] | None = None
+        if self._meta_partitioned(meta):
+            idx = self._segment_index(meta)
+            carry_partitions = (
+                {v: None for v in idx}
+                if idx is not None
+                else {
+                    v: list(fl)
+                    for v, fl in self.manifest(latest)[
+                        "partitions"
+                    ].items()
+                }
+            )
+        else:
+            files = self.manifest(latest)["files"]
+            if files:
+                carry_files = {"": list(files)}
+        return self._commit_staged(
+            staged,
+            op=op,
+            parent=latest,
+            partition_by=partition_by,
+            keys=keys,
+            carry_partitions=carry_partitions,
+            carry_files=carry_files,
+            clustering=clustering,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column WITHOUT rewriting any data (Delta's
+        column-mapping semantics, r13 — VERDICT r12 #6): the logical
+        name changes in the table schema while every file keeps the
+        column under its stable PHYSICAL name, recorded in the
+        manifest's ``column_mapping``. Snapshot reads, pruned reads,
+        DML, CDF and time travel all present the name each version
+        declared; a change feed CROSSING the rename presents the
+        column's full history under the END version's name (physical
+        identity is the join). Metadata references (partition_by,
+        merge keys, clustering) follow the rename. O(1) commit cost on
+        segmented manifests — all data carries by reference."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                f"commit-log store at {self.path} is empty"
+            )
+        meta = self.manifest_meta(latest)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"unknown column {old!r}; have {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if not new or "." in new:
+            raise ValueError(f"invalid column name {new!r}")
+        mapping = dict(meta.get("column_mapping") or {})
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+
+        def ren(c: str) -> str:
+            return new if c == old else c
+
+        keys = meta.get("keys")
+        clustering = meta.get("clustering")
+        return self._metadata_only_commit(
+            latest,
+            meta,
+            op="rename_column",
+            schema=new_schema,
+            mapping=mapping,
+            retired=meta.get("retired_columns"),
+            partition_by=(
+                ren(meta["partition_by"])
+                if meta.get("partition_by") is not None
+                else None
+            ),
+            keys=[ren(k) for k in keys] if keys is not None else None,
+            clustering=(
+                {
+                    v: (
+                        {**t, "cols": [ren(c) for c in t["cols"]]}
+                        if isinstance(t, dict)
+                        else [ren(c) for c in t]
+                    )
+                    for v, t in clustering.items()
+                }
+                if clustering
+                else None
+            ),
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column WITHOUT rewriting any data (r13 — VERDICT
+        r12 #6): the field leaves the table schema; its physical name
+        is RETIRED in the manifest so a later re-added column of the
+        same name gets a fresh physical slot and can never read the
+        dropped bytes. The data remains in old files (time travel to
+        pre-drop versions still presents it; physical erasure is a
+        rewrite — :meth:`compact` — plus :meth:`vacuum`, the GDPR
+        path). Refuses to drop the partition column, a merge key, or
+        the last column."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                f"commit-log store at {self.path} is empty"
+            )
+        meta = self.manifest_meta(latest)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(f"unknown column {name!r}; have {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        if meta.get("partition_by") == name:
+            raise ValueError(
+                f"{name!r} is the partition column; repartition via a "
+                "full overwrite first"
+            )
+        if name in (meta.get("keys") or []):
+            raise ValueError(
+                f"{name!r} is a merge key; dropping it would break "
+                "keyed merge and CDF classification"
+            )
+        mapping = dict(meta.get("column_mapping") or {})
+        phys = mapping.pop(name, name)
+        retired = sorted(
+            set(meta.get("retired_columns") or []) | {phys}
+        )
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        clustering = meta.get("clustering")
+        kept_clustering = None
+        if clustering:
+            kept_clustering = {}
+            for v, t in clustering.items():
+                cols = t["cols"] if isinstance(t, dict) else t
+                if name not in cols:
+                    kept_clustering[v] = t
+            # entries referencing the dropped column lose their layout
+            # guarantee and are omitted
+        return self._metadata_only_commit(
+            latest,
+            meta,
+            op="drop_column",
+            schema=new_schema,
+            mapping=mapping,
+            retired=retired,
+            partition_by=meta.get("partition_by"),
+            keys=meta.get("keys"),
+            clustering=kept_clustering or None,
+        )
+
     def _build_dv_artifacts(
         self,
         spark: SparkSession,
@@ -2228,9 +2546,14 @@ class CommitLogStore:
 
         ddir = os.path.join(self.data_dir, token, subdir)
         pb = m.get("partition_by")
+        # DML frames arrive LOGICAL; files are written physical (r13
+        # column mapping — the __part shadow derives from the logical
+        # name first, then the projection renames the payload)
+        mapping = m.get("column_mapping") or {}
         new_parts: dict[str, list[str]] = {}
         if pb is not None and self._meta_partitioned(m):
             staged = df.withColumn("__part", F.col(pb).cast("string"))
+            staged = _to_physical(staged, mapping)
             if coalesce_partitions:
                 staged = staged.repartition(F.col("__part"))
             staged.write.mode("error").partitionBy("__part").parquet(ddir)
@@ -2250,6 +2573,7 @@ class CommitLogStore:
                 if fl:
                     new_parts[val] = fl
         else:
+            df = _to_physical(df, mapping)
             if coalesce_partitions:
                 df = df.coalesce(1)
             df.write.mode("error").parquet(ddir)
@@ -2345,6 +2669,9 @@ class CommitLogStore:
             for k in ("partition_by", "keys"):
                 if k in m:
                     manifest[k] = m[k]
+            for k in ("column_mapping", "retired_columns"):
+                if k in meta:
+                    manifest[k] = meta[k]
             if "partitions" in m:
                 manifest["partitions"] = _reshape_partitions(
                     m["partitions"], removed, new_parts
@@ -2407,7 +2734,7 @@ class CommitLogStore:
         }
         if dv:
             manifest["dv"] = {f: dv[f] for f in sorted(dv)}
-        for k in ("partition_by", "keys"):
+        for k in ("partition_by", "keys", "column_mapping", "retired_columns"):
             if k in meta:
                 manifest[k] = meta[k]
         if partitioned:
@@ -2479,14 +2806,24 @@ class CommitLogStore:
         )
         if not cand:
             return latest
+        mapping = meta.get("column_mapping") or {}
         residual = reduce(
             lambda a, b: a & b,
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
+        # the position scan reads raw files (physical column names);
+        # its residual must reference them directly (r13 mapping)
+        residual_phys = reduce(
+            lambda a, b: a & b,
+            [
+                _predicate_column(c, op, val)
+                for c, op, val in _map_predicates(predicates, mapping)
+            ],
+        )
         token = uuid.uuid4().hex
         summaries = self._build_dv_artifacts(
-            spark, cand, schema, residual, cand_dv, token,
-            cow_threshold, cand_stats,
+            spark, cand, _physical_struct(schema, mapping),
+            residual_phys, cand_dv, token, cow_threshold, cand_stats,
         )
         touched = [s for s in summaries if s["n_new"] > 0]
         if not touched:
@@ -2502,7 +2839,7 @@ class CommitLogStore:
             # predicate keeps the row, matching the DV path's filter)
             keep = ~F.coalesce(residual, F.lit(False))
             surv = self._read_files(
-                spark, cow_files, schema, dv=cand_dv
+                spark, cow_files, schema, dv=cand_dv, mapping=mapping
             ).filter(keep)
             new_parts, _new_files, new_stats = self._write_dml_files(
                 surv, meta, token, "rw", coalesce_partitions=False
@@ -2580,14 +2917,22 @@ class CommitLogStore:
         )
         if not cand:
             return latest
+        mapping = meta.get("column_mapping") or {}
         residual = reduce(
             lambda a, b: a & b,
             [_predicate_column(c, op, val) for c, op, val in predicates],
         )
+        residual_phys = reduce(
+            lambda a, b: a & b,
+            [
+                _predicate_column(c, op, val)
+                for c, op, val in _map_predicates(predicates, mapping)
+            ],
+        )
         token = uuid.uuid4().hex
         summaries = self._build_dv_artifacts(
-            spark, cand, schema, residual, dv_prev, token,
-            cow_threshold, cand_stats,
+            spark, cand, _physical_struct(schema, mapping),
+            residual_phys, dv_prev, token, cow_threshold, cand_stats,
         )
         touched = [s for s in summaries if s["n_new"] > 0]
         if not touched:
@@ -2610,7 +2955,7 @@ class CommitLogStore:
             # applied (existing DVs respected — a previously deleted
             # row neither re-emits nor resurrects)
             matching = self._read_files(
-                spark, dv_files, schema, dv=dv_prev
+                spark, dv_files, schema, dv=dv_prev, mapping=mapping
             ).filter(residual)
             updated = matching.select(
                 *[
@@ -2631,7 +2976,7 @@ class CommitLogStore:
             # row kept unchanged, matching the sparse path's filter)
             cond = F.coalesce(residual, F.lit(False))
             rewritten = self._read_files(
-                spark, cow_files, schema, dv=dv_prev
+                spark, cow_files, schema, dv=dv_prev, mapping=mapping
             ).select(
                 *[
                     (
@@ -2682,6 +3027,7 @@ class CommitLogStore:
         files: list[str],
         schema: T.StructType,
         dv: dict[str, str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Plan a read of ``files``; files with a deletion vector in
         ``dv`` get their deleted positions anti-joined out via
@@ -2704,7 +3050,11 @@ class CommitLogStore:
 
         if not files:
             return spark.createDataFrame([], schema)
-        cols = schema.fieldNames()
+        # files are written under PHYSICAL column names (stable across
+        # rename/drop — r13 column mapping); plan physical, present
+        # logical at the end
+        pschema = _physical_struct(schema, mapping or {})
+        pcols = pschema.fieldNames()
         # absolute root: the DV anti-join matches _metadata.file_path
         # (always fully qualified) against driver-built paths, and a
         # relative self.path would make the two sides diverge
@@ -2714,14 +3064,14 @@ class CommitLogStore:
         frames: list[DataFrame] = []
         if plain:
             frames.append(
-                spark.read.schema(schema).parquet(
+                spark.read.schema(pschema).parquet(
                     *[os.path.join(root, f) for f in plain]
                 )
             )
         if dv:
             dvdf = self._dv_frame(spark, dv)
             live = (
-                spark.read.schema(schema)
+                spark.read.schema(pschema)
                 .parquet(*[os.path.join(root, f) for f in dv])
                 .withColumn("__path", _decoded_path_col())
                 .withColumn("__pos", F.col("_metadata.row_index"))
@@ -2731,12 +3081,19 @@ class CommitLogStore:
                     & (F.col("__pos") == F.col("__dv_pos")),
                     "left_anti",
                 )
-                .select(*cols)
+                .select(*pcols)
             )
             frames.append(live)
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
+        if mapping:
+            out = out.select(
+                *[
+                    F.col(p).alias(l)
+                    for p, l in zip(pcols, schema.fieldNames())
+                ]
+            )
         return out
 
     def _dv_frame(self, spark: SparkSession, dv: dict[str, str]) -> DataFrame:
@@ -2928,10 +3285,23 @@ class CommitLogStore:
             raise ValueError(
                 f"empty version range ({from_version}, {to_version}]"
             )
+        def _phys_rename(frame: DataFrame, cols, mapping):
+            """Step frames union in PHYSICAL column space (r13 column
+            mapping): a renamed column keeps its identity across
+            versions because its physical name never changes."""
+            if not mapping:
+                return frame
+            return frame.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in cols],
+                "_change_type",
+                "_commit_version",
+            )
+
         frames: list[DataFrame] = []
         for v in range(from_version + 1, to_v + 1):
             m = self.manifest_meta(v)
             schema = T.StructType.fromJson(json.loads(m["schema"]))
+            mapping = m.get("column_mapping") or {}
             data_cols = schema.fieldNames()
             parent = m.get("parent")
             tag = [
@@ -2940,19 +3310,48 @@ class CommitLogStore:
             if parent is None:
                 m0 = self.manifest(v)
                 frames.append(
-                    self._read_files(
-                        spark, m0["files"], schema, dv=m0.get("dv")
-                    ).select(
-                        *data_cols,
-                        F.lit("insert").alias("_change_type"),
-                        *tag,
+                    _phys_rename(
+                        self._read_files(
+                            spark,
+                            m0["files"],
+                            schema,
+                            dv=m0.get("dv"),
+                            mapping=mapping,
+                        ).select(
+                            *data_cols,
+                            F.lit("insert").alias("_change_type"),
+                            *tag,
+                        ),
+                        data_cols,
+                        mapping,
                     )
                 )
                 continue
+            # file identity includes its deletion vector: a file whose
+            # DV changed reads as pre (parent's mask) AND post (child's
+            # mask); the row-hash join then surfaces exactly the newly
+            # masked rows as deletes and suppresses the unchanged rest.
+            # Segment-aware: untouched partitions never parse (r12)
+            pre_files, post_files, pdv, cdv = self._file_diff(parent, v)
+            if not pre_files and not post_files:
+                # metadata-only commit (rename_column / drop_column /
+                # pure carries): provably zero row changes — and the
+                # only legal way a non-additive schema change crosses
+                # the feed (the guard below never sees it)
+                continue
             mp = self.manifest_meta(parent)
             pschema = T.StructType.fromJson(json.loads(mp["schema"]))
-            pmap = {f.name: f.dataType.simpleString() for f in pschema.fields}
-            cmap = {f.name: f.dataType.simpleString() for f in schema.fields}
+            pmapping = mp.get("column_mapping") or {}
+            # compare PHYSICAL name→type maps: a rename (same physical,
+            # new logical) is not an evolution of the row identity
+            pmap = {
+                pmapping.get(f.name, f.name): f.dataType.simpleString()
+                for f in pschema.fields
+            }
+            cmap = {
+                mapping.get(f.name, f.name): f.dataType.simpleString()
+                for f in schema.fields
+            }
             # additive evolution is fine: parent files read under the
             # child schema surface typed nulls for appended columns, so
             # pre/post row hashes stay comparable. Drops/retypes aren't.
@@ -2969,17 +3368,15 @@ class CommitLogStore:
                     f"v{v} records no merge keys; pass keys= to classify "
                     "overwrite commits"
                 )
-            # file identity includes its deletion vector: a file whose
-            # DV changed reads as pre (parent's mask) AND post (child's
-            # mask); the row-hash join then surfaces exactly the newly
-            # masked rows as deletes and suppresses the unchanged rest.
-            # Segment-aware: untouched partitions never parse (r12)
-            pre_files, post_files, pdv, cdv = self._file_diff(parent, v)
             pre = with_row_hash(
-                self._read_files(spark, pre_files, schema, dv=pdv)
+                self._read_files(
+                    spark, pre_files, schema, dv=pdv, mapping=mapping
+                )
             )
             post = with_row_hash(
-                self._read_files(spark, post_files, schema, dv=cdv)
+                self._read_files(
+                    spark, post_files, schema, dv=cdv, mapping=mapping
+                )
             )
             p = pre.select(
                 *[F.col(c).alias(f"__p_{c}") for c in data_cols],
@@ -3020,22 +3417,46 @@ class CommitLogStore:
                 *tag,
             )
             frames.append(
-                deletes.unionByName(inserts)
-                .unionByName(pre_rows)
-                .unionByName(post_rows)
+                _phys_rename(
+                    deletes.unionByName(inserts)
+                    .unionByName(pre_rows)
+                    .unionByName(post_rows),
+                    data_cols,
+                    mapping,
+                )
             )
         # histories spanning an additive schema evolution produce
         # frames with different column sets; the feed surfaces the END
         # version's schema, pre-evolution change rows reading null for
-        # appended columns (schema-on-read, same as snapshot reads)
-        out_schema = T.StructType.fromJson(
-            json.loads(self.manifest_meta(to_v)["schema"])
-        )
+        # appended columns (schema-on-read, same as snapshot reads).
+        # Frames are in PHYSICAL column space here; the final select
+        # presents the END version's LOGICAL names, so a feed crossing
+        # a rename carries the renamed column's full history under its
+        # new name (r13 column mapping).
+        end_meta = self.manifest_meta(to_v)
+        out_schema = T.StructType.fromJson(json.loads(end_meta["schema"]))
+        end_mapping = end_meta.get("column_mapping") or {}
+        if not frames:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(out_schema.fields)
+                    + [
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_version", T.LongType()),
+                    ]
+                ),
+            )
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out.select(
-            *out_schema.fieldNames(), "_change_type", "_commit_version"
+            *[
+                F.col(end_mapping.get(c, c)).alias(c)
+                for c in out_schema.fieldNames()
+            ],
+            "_change_type",
+            "_commit_version",
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -3212,7 +3633,10 @@ class CommitLogStore:
                 and (cluster_by is None or clustering.get("") == cluster_tag)
             ):
                 return latest
-            df = self._read_files(spark, fl, schema, dv=dv)
+            df = self._read_files(
+                spark, fl, schema, dv=dv,
+                mapping=meta.get("column_mapping"),
+            )
             zval = None
             if layout == "zorder":
                 zval = _zorder_column(df, cluster_by)
@@ -3305,7 +3729,10 @@ class CommitLogStore:
                 if val not in todo
             }
         touched_files = [f for val in todo for f in parts[val]]
-        df = self._read_files(spark, touched_files, schema, dv=dv)
+        df = self._read_files(
+            spark, touched_files, schema, dv=dv,
+            mapping=meta.get("column_mapping"),
+        )
         total = sum(todo.values())
         zval = None
         secondary: list[str] = []
@@ -3434,7 +3861,10 @@ class CommitLogStore:
             return latest
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         token = uuid.uuid4().hex
-        live = self._read_files(spark, heavy, schema, dv=dv)
+        live = self._read_files(
+            spark, heavy, schema, dv=dv,
+            mapping=meta.get("column_mapping"),
+        )
         new_parts, _nf, new_stats = self._write_dml_files(
             live, meta, token, "purge", coalesce_partitions=False
         )
@@ -3682,6 +4112,7 @@ def _changes_between_py(
     for v in range(from_version + 1, to_version + 1):
         m = store.manifest_meta(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
+        mapping = m.get("column_mapping") or {}
         cols = schema.fieldNames()
         if set(cols) - set(out_cols):
             raise ValueError(
@@ -3700,14 +4131,17 @@ def _changes_between_py(
                 if dvm and f in dvm:  # deletion vector: skip positions
                     with open(os.path.join(store.path, dvm[f]), "rb") as fh:
                         masked = {int(p) for p in _decode_dv(fh.read())}
+                # files hold PHYSICAL names (r13 column mapping);
                 # pre-evolution files lack appended columns → nulls,
                 # mirroring the Spark face's schema-on-read
+                phys = {c: mapping.get(c, c) for c in cols}
+                present = [c for c in cols if phys[c] in have]
                 for i, r in enumerate(
-                    t.select([c for c in cols if c in have]).to_pylist()
+                    t.select([phys[c] for c in present]).to_pylist()
                 ):
                     if i in masked:
                         continue
-                    rows.append({c: r.get(c) for c in cols})
+                    rows.append({c: r.get(phys[c]) for c in cols})
             return rows
 
         if parent is None:

@@ -190,12 +190,21 @@ def make_commitlog_batch_datasource():
 
     class CommitLogScanPartition(InputPartition):
         """One task's slice: a list of (file, sidecar, row_groups,
-        start_row) items plus the declared schema."""
+        start_row) items plus the declared schema and the logical→
+        physical column mapping (r13 — files keep stable physical
+        names across rename/drop)."""
 
-        def __init__(self, root: str, items: list[tuple], schema_json: str):
+        def __init__(
+            self,
+            root: str,
+            items: list[tuple],
+            schema_json: str,
+            mapping: dict | None,
+        ):
             self.root = root
             self.items = items
             self.schema_json = schema_json
+            self.mapping = mapping or {}
 
     class CommitLogBatchReader(DataSourceReader):
         def __init__(self, options):
@@ -233,7 +242,10 @@ def make_commitlog_batch_datasource():
             )
             root = os.path.abspath(self.path)
             return [
-                CommitLogScanPartition(root, items, meta["schema"])
+                CommitLogScanPartition(
+                    root, items, meta["schema"],
+                    meta.get("column_mapping"),
+                )
                 for items in _plan_scan_items(
                     root, files, dvm, stats, self.budget
                 )
@@ -254,6 +266,11 @@ def make_commitlog_batch_datasource():
                 _json.loads(partition.schema_json)
             )
             cols = st.fieldNames()
+            # files hold PHYSICAL column names (stable across
+            # rename/drop — r13 column mapping); output is logical
+            phys = {
+                c: partition.mapping.get(c, c) for c in cols
+            }
             target = to_arrow_schema(st)
             for file, sidecar, row_groups, start_row in partition.items:
                 pf = pq.ParquetFile(
@@ -263,21 +280,24 @@ def make_commitlog_batch_datasource():
                 # column selection reaches the parquet reader: only
                 # the declared schema's columns present in the file
                 # are decoded (VERDICT r12 #1 — was a full-width read)
-                present = [c for c in cols if c in have]
+                present = [c for c in cols if phys[c] in have]
                 if row_groups is None:
-                    tbl = pf.read(columns=present)
+                    tbl = pf.read(columns=[phys[c] for c in present])
                 else:
-                    tbl = pf.read_row_groups(row_groups, columns=present)
+                    tbl = pf.read_row_groups(
+                        row_groups, columns=[phys[c] for c in present]
+                    )
                 # schema-on-read: pre-evolution files lack appended
                 # columns — fill nulls; every column cast to the
                 # declared arrow type so evolved and original files
                 # batch-align
+                in_file = set(present)
                 arrays = []
                 fields = []
                 for name, typ in zip(cols, target.types):
-                    if name in have:
+                    if name in in_file:
                         arrays.append(
-                            tbl.column(name).cast(typ, safe=False)
+                            tbl.column(phys[name]).cast(typ, safe=False)
                         )
                     else:
                         arrays.append(pa.nulls(len(tbl), type=typ))
@@ -320,6 +340,7 @@ def make_commitlog_batch_datasource():
             parent: int | None,
             partition_by: str | None,
             keys: list[str] | None,
+            mapping: dict | None = None,
         ):
             import uuid
 
@@ -330,6 +351,9 @@ def make_commitlog_batch_datasource():
             self.parent = parent
             self.partition_by = partition_by
             self.keys = keys
+            # logical→physical column mapping (r13): files are written
+            # under the table's stable physical names
+            self.mapping = mapping or {}
             self.token = uuid.uuid4().hex
 
         # -- executor side ------------------------------------------------
@@ -369,9 +393,17 @@ def make_commitlog_batch_datasource():
                 writers[val] = (writer, rel)
                 return writer
 
+            def to_physical(t: pa.Table) -> pa.Table:
+                if not self.mapping:
+                    return t
+                return t.rename_columns(
+                    [self.mapping.get(c, c) for c in t.column_names]
+                )
+
             for batch in iterator:
                 tbl = pa.Table.from_batches([batch])
                 if self.partition_by is None:
+                    tbl = to_physical(tbl)
                     sink_for(None, tbl.schema).write_table(tbl)
                     continue
                 import pyarrow.compute as pc
@@ -384,7 +416,7 @@ def make_commitlog_batch_datasource():
                         f"column {self.partition_by!r} must be total"
                     )
                 for val in pc.unique(vals).to_pylist():
-                    sub = tbl.filter(pc.equal(vals, val))
+                    sub = to_physical(tbl.filter(pc.equal(vals, val)))
                     sink_for(val, sub.schema).write_table(sub)
             entries = []
             for val, (writer, rel) in writers.items():
@@ -418,6 +450,7 @@ def make_commitlog_batch_datasource():
                 "files": files,
                 "stats": stats,
                 "schema": self.schema_json,
+                "column_mapping": self.mapping,
             }
             carry_partitions: dict[str, list[str] | None] | None = None
             carry_files: dict[str, list[str]] | None = None
@@ -569,6 +602,9 @@ def make_commitlog_batch_datasource():
                     f"partition column {part_opt!r} not in "
                     f"{schema.fieldNames()}"
                 )
+            declared_schema = T.StructType.fromJson(
+                _json.loads(schema_json)
+            )
             return CommitLogBatchWriter(
                 path,
                 schema_json,
@@ -576,6 +612,7 @@ def make_commitlog_batch_datasource():
                 parent,
                 part_opt,
                 keys,
+                mapping=store._staging_mapping(parent, declared_schema),
             )
 
     return CommitLogBatchDataSource
