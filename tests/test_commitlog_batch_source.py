@@ -324,3 +324,61 @@ def test_sql_over_registered_view(spark, clustered_store):
         "WHERE k < 10"
     ).first()
     assert row.s == sum(k * 10 for k in range(10))
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('commitlog'): each epoch is one table commit
+    under batch_id = epoch id; a restarted query replaying an epoch is
+    skipped by the commit ledger (exactly-once), and new data after
+    the restart appends normally."""
+    import os
+
+    register_batch_source(spark)
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, "k long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = (
+            stream.writeStream.format("commitlog")
+            .option("path", p)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([(1, 10), (2, 20)])
+    run()
+    store = CommitLogStore(p)
+    assert {(r.k, r.v) for r in store.read(spark).collect()} == {
+        (1, 10),
+        (2, 20),
+    }
+    v_after_first = store.latest_version()
+    # restart with NO new data: no new commit (ledger skip / no epoch)
+    run()
+    assert store.latest_version() == v_after_first
+    # restart with new data: appends exactly once
+    feed([(3, 30)])
+    run()
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+    # the Spark batch face reads what the stream wrote
+    ds = {
+        (r.k, r.v)
+        for r in spark.read.format("commitlog")
+        .option("path", p)
+        .load()
+        .collect()
+    }
+    assert ds == got
+    # ledger recorded epoch ids
+    assert store.last_batch_id() is not None
+    assert os.path.isdir(os.path.join(p, "_commits"))
