@@ -122,15 +122,18 @@ def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
         if name in arrow_sanctioned:
             continue
         if name in dv_sanctioned:
-            # any Arrow eval here must consume ONLY the sidecar frame
+            # any Python eval here must consume ONLY the sidecar PATH
+            # frame: the r12 ArrowEvalPython decode or its r13
+            # bounded-chunk MapInPandas successor (_decode_chunks) —
+            # never table data
             for ln in plan.splitlines():
-                if "ArrowEvalPython" in ln:
+                if "ArrowEvalPython" in ln or "MapInPandas" in ln:
                     assert "__dv_sidecar" in ln, (
-                        f"{name}: Arrow eval outside the DV path frame"
+                        f"{name}: Python eval outside the DV path frame"
                     )
-            assert "InPandas" not in plan, (
-                f"{name} fell off the JVM fast path"
-            )
+            assert "FlatMapGroupsInPandas" not in plan and (
+                "ApplyInPandas" not in plan
+            ), f"{name} fell off the JVM fast path"
             continue
         assert "EvalPython" not in plan and "InPandas" not in plan, (
             f"{name} fell off the JVM fast path"
