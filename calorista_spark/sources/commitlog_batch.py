@@ -262,6 +262,10 @@ def make_commitlog_batch_datasource():
 
             from calorista_spark.sources.commitlog import _decode_dv
 
+            if partition is None:
+                # partitions() returned [] (an EMPTY store snapshot):
+                # Spark still schedules one task with a None partition
+                return
             st = T.StructType.fromJson(
                 _json.loads(partition.schema_json)
             )
