@@ -50,6 +50,7 @@ from calorista_spark.sources.commitlog import CommitLogStore
 ANN_FAMILY_VERSION = 1
 
 _PARAMS_FILE = "_ann_family.json"
+_PQ_PARAMS_FILE = "_pq_family.json"
 
 
 class IVFVectorIndex:
@@ -279,3 +280,133 @@ class IVFVectorIndex:
         return scored.withColumn(
             "rank", F.row_number().over(w).cast("int")
         ).filter(F.col("rank") <= k)
+
+
+class PQCodeIndex:
+    """Persisted product-quantization index (the PQ half of VERDICT
+    r12 #4's parenthetical): the trained codebook AND the per-vector
+    codes live in commit-log stores, so neither is recomputed per job.
+
+    - ``<root>/codebook`` — ``(subspace int, code int, centroid
+      array<double>)``: the frozen trained quantizer (m·k rows —
+      tiny; float64 parquet roundtrip is exact, so the reloaded
+      codebook is BIT-IDENTICAL to the trained one and every
+      downstream code/ADC value is reproducible).
+    - ``<root>/codes`` — ``(vec_id long, codes array<int>, recon
+      bigint)``: each vector's m codes + integer-quantized
+      reconstruction error, assigned by the Arrow-batched numpy
+      projection (operators/pq.py ``pq_assign_udf`` — the measured
+      fast path). :meth:`upsert` merges new batches keyed by
+      ``vec_id`` under the ``batch_id`` replay ledger (exactly-once),
+      mirroring :class:`IVFVectorIndex`.
+
+    Codebook drift = retrain = :meth:`bootstrap` again (an overwrite
+    commit of both stores); codes assigned under the old codebook are
+    replaced wholesale because PQ codes are meaningless across
+    codebooks."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self.codebook_store = CommitLogStore(
+            os.path.join(self.path, "codebook")
+        )
+        self.codes_store = CommitLogStore(os.path.join(self.path, "codes"))
+
+    # -- build / ingest ------------------------------------------------------
+
+    def bootstrap(
+        self,
+        spark: SparkSession,
+        emb: DataFrame,
+        codebook=None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_id: int | None = None,
+        m: int = 8,
+        k: int = 16,
+        sample_n: int = 16384,
+    ) -> None:
+        """Persist the codebook (trained here via the deterministic
+        sample-bounded trainer unless a pre-trained array is passed —
+        production indexes ship their codebook exactly like the BPE
+        merge table) and code the whole corpus."""
+        import numpy as np
+
+        from calorista_spark.operators.pq import train_pq_from_df
+
+        if codebook is None:
+            codebook = train_pq_from_df(
+                emb, vec_col=vec_col, id_col=id_col, m=m, k=k,
+                sample_n=sample_n,
+            )
+        cb = np.asarray(codebook, dtype=np.float64)
+        rows = [
+            (int(j), int(c), [float(x) for x in cb[j, c]])
+            for j in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ]
+        self.codebook_store.commit(
+            spark.createDataFrame(
+                rows, "subspace int, code int, centroid array<double>"
+            ),
+            op="overwrite",
+            expect_version=None,
+        )
+        coded = self._assign_codes(spark, emb, id_col, vec_col)
+        self.codes_store.commit(
+            coded,
+            op="overwrite",
+            expect_version=None,
+            keys=["vec_id"],
+            batch_id=batch_id,
+        )
+
+    def codebook(self, spark: SparkSession):
+        """The persisted quantizer as the (m, k, dsub) numpy array —
+        bit-identical to what :meth:`bootstrap` stored."""
+        import numpy as np
+
+        rows = self.codebook_store.read(spark).collect()
+        m = 1 + max(r.subspace for r in rows)
+        k = 1 + max(r.code for r in rows)
+        dsub = len(rows[0].centroid)
+        cb = np.empty((m, k, dsub), dtype=np.float64)
+        for r in rows:
+            cb[r.subspace, r.code] = r.centroid
+        return cb
+
+    def _assign_codes(
+        self, spark: SparkSession, emb: DataFrame, id_col: str, vec_col: str
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from calorista_spark.operators.pq import pq_assign_udf
+
+        assign = pq_assign_udf(self.codebook(spark))
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            assign(F.col(vec_col)).alias("__pq"),
+        ).select(
+            "vec_id", F.col("__pq.codes").alias("codes"),
+            F.col("__pq.recon").alias("recon"),
+        )
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_id: int | None = None,
+    ) -> None:
+        """Code a new batch under the FROZEN persisted codebook and
+        merge keyed by vec_id; replayed ``batch_id``s are skipped by
+        the commit ledger (exactly-once)."""
+        coded = self._assign_codes(spark, emb, id_col, vec_col)
+        self.codes_store.merge(
+            spark, coded, keys=["vec_id"], batch_id=batch_id
+        )
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        return self.codes_store.read(spark)

@@ -150,3 +150,41 @@ def test_topk_sims_match_exact_cosine(spark, tmp_path, corpus):
             * math.sqrt(sum(b * b for b in v))
         )
         assert abs(sim - round(exact, 6)) < 1e-9
+
+
+def test_pq_code_index_roundtrip_and_replay(spark, tmp_path, corpus):
+    import numpy as np
+
+    from calorista_spark.operators.ann_index import PQCodeIndex
+    from calorista_spark.operators.pq import train_pq_codebook
+
+    X = np.array(
+        [r.embedding for r in corpus.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    cb = train_pq_codebook(X, m=2, k=4)
+    idx = PQCodeIndex(str(tmp_path / "pq"))
+    idx.bootstrap(spark, corpus.filter("vec_id < 20"), codebook=cb)
+    # float64 parquet roundtrip is exact
+    assert np.array_equal(idx.codebook(spark), cb)
+    # incremental upsert under the ledger
+    idx.upsert(spark, corpus.filter("vec_id >= 20"), batch_id=1)
+    v = idx.codes_store.latest_version()
+    before = {
+        (r.vec_id, tuple(r.codes)) for r in idx.codes(spark).collect()
+    }
+    assert len(before) == 18
+    idx.upsert(spark, corpus.filter("vec_id >= 20"), batch_id=1)
+    assert idx.codes_store.latest_version() == v
+    after = {
+        (r.vec_id, tuple(r.codes)) for r in idx.codes(spark).collect()
+    }
+    assert after == before
+    # stored codes match a fresh assignment under the same codebook
+    fresh = {
+        (r.vec_id, tuple(r.codes))
+        for r in idx._assign_codes(
+            spark, corpus, "vec_id", "embedding"
+        ).collect()
+    }
+    assert after == fresh
