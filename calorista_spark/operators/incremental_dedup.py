@@ -523,10 +523,14 @@ class NearDupIndex:
         )
         dups = self._batch_dups(sigs, self.band_keys(sigs, "doc_id"))
         survivors = sigs.join(F.broadcast(dups), "doc_id", "left_anti")
+        # keys metadata must survive the overwrite: CDF classification
+        # (read_changes) over a range crossing the rebuild version
+        # raises 'records no merge keys' otherwise (ADVICE r13)
         self.store.commit(
             survivors,
             op="overwrite",
             expect_version=self.store.latest_version(),
+            keys=["doc_id"],
         )
         self._stamp_family()
         return (

@@ -919,11 +919,21 @@ class CommitLogStore:
             dv.update(seg.get("dv", {}))
         return parts, stats, dv
 
-    def last_batch_id(self) -> int | None:
+    def last_batch_id(self, app_id: str | None = None) -> int | None:
+        """High-water batch id of the replay ledger. With ``app_id``,
+        the WRITER-SCOPED high-water mark (the Delta txnAppId/
+        txnVersion pattern — r14, ADVICE r13): each named writer gets
+        its own monotonic epoch sequence in the manifest's ``txn``
+        map, so a restarted streaming query with a fresh checkpoint
+        (epochs restart at 0) can never be confused with a replay of
+        another writer's batches."""
         v = self.latest_version()
         if v is None:
             return None
-        return self.manifest_meta(v).get("last_batch_id")
+        m = self.manifest_meta(v)
+        if app_id is not None:
+            return (m.get("txn") or {}).get(app_id)
+        return m.get("last_batch_id")
 
     def version_as_of(self, ts: float) -> int:
         """The snapshot a reader at wall-clock ``ts`` (unix seconds)
@@ -1354,6 +1364,7 @@ class CommitLogStore:
         carry_partitions: dict[str, list[str]] | None = None,
         carry_files: dict[str, list[str]] | None = None,
         clustering: dict | None = None,
+        txn_app: str | None = None,
     ) -> int:
         """Compose a manifest for already-staged data files against
         ``parent`` and publish it atomically; stats/DV/clustering of
@@ -1492,13 +1503,19 @@ class CommitLogStore:
             "files": files,
             "schema": staged["schema"],
             "batch_id": batch_id,
+            # an app-scoped batch rides the per-writer txn ledger only
+            # (applied in _publish); bumping the GLOBAL high-water mark
+            # for it would silently swallow other writers' batch ids
             "last_batch_id": (
                 batch_id
                 if batch_id is not None
+                and txn_app is None
                 and (prev_last_batch is None or batch_id > prev_last_batch)
                 else prev_last_batch
             ),
         }
+        if txn_app is not None:
+            manifest["txn_app"] = txn_app
         manifest["stats"] = {f: stats[f] for f in sorted(stats)}
         if dv_map:
             manifest["dv"] = {f: dv_map[f] for f in sorted(dv_map)}
@@ -1545,6 +1562,25 @@ class CommitLogStore:
 
         new_version = manifest["version"]
         manifest["committed_at"] = _time.time()
+        # per-writer txn ledger (r14, ADVICE r13 — Delta's txnAppId/
+        # txnVersion): the parent's app→high-water map carries forward
+        # on EVERY commit path (this is the single publish choke
+        # point), and a commit stamped with txn_app advances only its
+        # own writer's entry
+        txn_app = manifest.pop("txn_app", None)
+        parent = manifest.get("parent")
+        txn = (
+            dict(self.manifest_meta(parent).get("txn") or {})
+            if parent is not None
+            else {}
+        )
+        if txn_app is not None and manifest.get("batch_id") is not None:
+            b = int(manifest["batch_id"])
+            prev = txn.get(txn_app)
+            if prev is None or b > prev:
+                txn[txn_app] = b
+        if txn:
+            manifest["txn"] = {k: txn[k] for k in sorted(txn)}
         # stats_format 2 = r11+ timestamp kinds ('t' strictly UTC, 'tn'
         # naive). Manifests WITHOUT the marker may hold pre-r11 naive
         # values under kind 't'; files_for treats their datetime

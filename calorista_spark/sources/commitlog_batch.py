@@ -345,6 +345,7 @@ def make_commitlog_batch_datasource():
             partition_by: str | None,
             keys: list[str] | None,
             mapping: dict | None = None,
+            txn_app: str | None = None,
         ):
             import uuid
 
@@ -355,6 +356,9 @@ def make_commitlog_batch_datasource():
             self.parent = parent
             self.partition_by = partition_by
             self.keys = keys
+            # option("txnAppId", ...) — writer-scoped replay ledger
+            # (r14, ADVICE r13); None = the legacy global ledger
+            self.txn_app = txn_app
             # logical→physical column mapping (r13): files are written
             # under the table's stable physical names
             self.mapping = mapping or {}
@@ -503,6 +507,7 @@ def make_commitlog_batch_datasource():
                 keys=self.keys,
                 carry_partitions=carry_partitions,
                 carry_files=carry_files,
+                txn_app=self.txn_app,
             )
 
         def abort(self, messages):
@@ -540,8 +545,24 @@ def make_commitlog_batch_datasource():
             from calorista_spark.sources.commitlog import CommitLogStore
 
             store = CommitLogStore(self.inner.path)
-            high = store.last_batch_id()
+            app = self.inner.txn_app
+            high = store.last_batch_id(app)
             if high is not None and batchId <= high:
+                if app is None and batchId < high:
+                    # a genuine restart replays only the LAST epoch
+                    # (batchId == high). A strictly-lower epoch means a
+                    # fresh checkpoint (epochs restarted at 0) or a
+                    # second writer sharing the global ledger — silently
+                    # dropping those epochs loses data (ADVICE r13).
+                    raise ValueError(
+                        f"streaming epoch {batchId} is below the store's "
+                        f"global batch high-water mark {high}; this is a "
+                        "fresh-checkpoint restart or a second writer on "
+                        "the same ledger, not an epoch replay. Set "
+                        ".option('txnAppId', '<stable-writer-id>') to "
+                        "scope exactly-once per writer, or resume from "
+                        "the original checkpoint."
+                    )
                 return  # epoch replay after restart: exactly-once skip
             # streaming appends chain onto the CURRENT head (the sink
             # is an ongoing writer, not a pinned one-shot transaction)
@@ -607,6 +628,11 @@ def make_commitlog_batch_datasource():
                 else None
             )
             part_opt = self.options.get("partitionBy")
+            # option("partitionBy", "") explicitly de-partitions an
+            # overwrite; a missing option inherits the table's layout
+            departition = part_opt == ""
+            if departition:
+                part_opt = None
             if parent is not None:
                 meta = store.manifest_meta(parent)
                 inherited = meta.get("partition_by")
@@ -637,6 +663,13 @@ def make_commitlog_batch_datasource():
                         keys = list(k) if k else None
                     schema_json = meta["schema"]
                 else:
+                    # overwrite inherits the table's partition layout
+                    # unless explicitly re- or de-partitioned (ADVICE
+                    # r13: silently writing an unpartitioned snapshot
+                    # over a partitioned table loses pruning + scoped
+                    # merges for every later version)
+                    if part_opt is None and not departition:
+                        part_opt = inherited
                     schema_json = schema.json()
             else:
                 schema_json = schema.json()
@@ -656,6 +689,7 @@ def make_commitlog_batch_datasource():
                 part_opt,
                 keys,
                 mapping=store._staging_mapping(parent, declared_schema),
+                txn_app=self.options.get("txnAppId"),
             )
 
         def streamWriter(self, schema, overwrite):

@@ -188,3 +188,68 @@ def test_pq_code_index_roundtrip_and_replay(spark, tmp_path, corpus):
         ).collect()
     }
     assert after == fresh
+
+def test_pq_family_params_pinned(spark, tmp_path, corpus):
+    """ADVICE r13: re-bootstrapping an existing PQ index under
+    different {m, k, sample_n} must raise instead of silently training
+    a new codebook (codes are meaningless across codebooks); force=True
+    is the deliberate retrain escape."""
+    from calorista_spark.operators.ann_index import PQCodeIndex
+
+    p = str(tmp_path / "pq")
+    idx = PQCodeIndex(p)
+    idx.bootstrap(spark, corpus, m=2, k=4, sample_n=64)
+    # same params: retrain allowed (the documented drift path)
+    idx.bootstrap(spark, corpus, m=2, k=4, sample_n=64)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        idx.bootstrap(spark, corpus, m=4, k=4, sample_n=64)
+    # force: deliberate retrain rewrites the stamp
+    idx.bootstrap(spark, corpus, m=4, k=4, sample_n=64, force=True)
+    idx.bootstrap(spark, corpus, m=4, k=4, sample_n=64)  # now pinned
+
+
+def test_ivf_retract_removes_from_topk(spark, tmp_path, corpus):
+    """VERDICT r13 #7: a retracted vector must never appear in topk;
+    replayed retract batch_ids are skipped; the surviving index equals
+    an index that never contained the vectors (same frozen centroids)."""
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus)
+    q = spark.createDataFrame(
+        [(999, [0.0, 1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    before = [r.cand_id for r in idx.topk(spark, q, k=3, nprobe=1).collect()]
+    victim = before[0]
+    idx.retract(spark, [victim], batch_id=11)
+    after = idx.topk(spark, q, k=3, nprobe=1).collect()
+    assert victim not in {r.cand_id for r in after}
+    assert [r.rank for r in after] == [1, 2, 3]
+    # replay is exactly-once
+    v = idx.assignments_store.latest_version()
+    idx.retract(spark, [victim], batch_id=11)
+    assert idx.assignments_store.latest_version() == v
+    # rebuild equivalence: retract(X) then query == the same-centroid
+    # index whose candidate set never held X
+    expected = [
+        r.cand_id
+        for r in idx.topk(spark, q, k=3, nprobe=1).collect()
+    ]
+    rebuilt = IVFVectorIndex(str(tmp_path / "idx2"))
+    rebuilt.bootstrap(spark, corpus)  # same corpus -> same centroids
+    rebuilt.retract(spark, [victim])
+    assert [
+        r.cand_id for r in rebuilt.topk(spark, q, k=3, nprobe=1).collect()
+    ] == expected
+
+
+def test_pq_retract_removes_codes(spark, tmp_path, corpus):
+    from calorista_spark.operators.ann_index import PQCodeIndex
+
+    idx = PQCodeIndex(str(tmp_path / "pq"))
+    idx.bootstrap(spark, corpus, m=2, k=4, sample_n=64)
+    assert idx.codes(spark).filter("vec_id = 3").count() == 1
+    idx.retract(spark, [3, 4], batch_id=2)
+    assert idx.codes(spark).filter("vec_id IN (3, 4)").count() == 0
+    v = idx.codes_store.latest_version()
+    idx.retract(spark, [3, 4], batch_id=2)  # replay skipped
+    assert idx.codes_store.latest_version() == v

@@ -36,8 +36,9 @@ class _NoStopSession:
 
 
 def test_bench_isolates_failures_and_prints_summary_last(
-    spark, sf_dir, monkeypatch, capsys
+    spark, sf_dir, tmp_path, monkeypatch, capsys
 ):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", str(tmp_path / "b.json"))
     def ok(s, d):
         return s.range(5).selectExpr("id", "id * 2 AS doubled")
 
@@ -70,7 +71,10 @@ def test_bench_isolates_failures_and_prints_summary_last(
     assert line.rstrip("}").rsplit(",", 1)[-1].strip().startswith('"value":')
 
 
-def test_bench_normalization_and_medians(spark, sf_dir, monkeypatch, capsys):
+def test_bench_normalization_and_medians(
+    spark, sf_dir, tmp_path, monkeypatch, capsys
+):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", str(tmp_path / "b.json"))
     """r8/r11: the summary must be self-describing for load drift —
     value_normalized rescales by the calibration probe, and (VERDICT
     r10 #3) every query carries a median over n_passes runs so
@@ -100,3 +104,50 @@ def test_bench_normalization_and_medians(spark, sf_dir, monkeypatch, capsys):
     assert summary["value_median_sec"] == pytest.approx(
         sum(summary["per_query_median_sec"].values()), abs=1e-3
     )
+
+def test_bench_persists_full_summary_json(
+    spark, sf_dir, tmp_path, monkeypatch, capsys
+):
+    """r14 (VERDICT r13 #5): the driver's 2000-char stdout tail
+    discards per-query medians; bench must persist the COMPLETE
+    summary to a JSON artifact whose schema matches the stdout line."""
+    import json
+    import os
+
+    import bench
+
+    def ok(s, d):
+        return s.range(5).selectExpr("id")
+
+    monkeypatch.setattr(bench, "QUERIES", {"q0": ok, "q1": ok})
+    monkeypatch.setattr(
+        bench, "build_session", lambda app_name: _NoStopSession(spark)
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    full = str(tmp_path / "BENCH_full_test.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", full)
+    bench.main()
+    stdout_summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert os.path.isfile(full)
+    with open(full) as fh:
+        persisted = json.load(fh)
+    # identical content: the artifact IS the full summary
+    assert persisted == stdout_summary
+    # schema pin: the keys cross-round comparisons rely on
+    for key in (
+        "queries",
+        "per_query_median_sec",
+        "per_query_warm_median_sec",
+        "fixture_overhead_sec",
+        "value_warm_median_sec",
+        "value_median_sec",
+        "calibration_sec",
+        "calibration_samples",
+        "value",
+        "sf",
+        "n_ok",
+        "n_err",
+    ):
+        assert key in persisted, key

@@ -382,3 +382,121 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     # ledger recorded epoch ids
     assert store.last_batch_id() is not None
     assert os.path.isdir(os.path.join(p, "_commits"))
+
+def test_overwrite_inherits_partition_layout(spark, tmp_path):
+    """mode('overwrite') without option('partitionBy') keeps the
+    table's partition layout (ADVICE r13: silently de-partitioning
+    loses pruning and partition-scoped merges for every later
+    version); option('partitionBy', '') de-partitions explicitly."""
+    register_batch_source(spark)
+    p = str(tmp_path / "ow")
+    spark.range(30).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g"
+    ).write.format("commitlog").option("path", p).option(
+        "partitionBy", "g"
+    ).mode("overwrite").save()
+    store = CommitLogStore(p)
+    # plain overwrite: layout inherited
+    spark.range(9).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g"
+    ).write.format("commitlog").option("path", p).mode(
+        "overwrite"
+    ).save()
+    m = store.manifest(store.latest_version())
+    assert m.get("partition_by") == "g"
+    assert sorted(m["partitions"]) == ["0", "1", "2"]
+    # explicit de-partition: option("partitionBy", "")
+    spark.range(9).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g"
+    ).write.format("commitlog").option("path", p).option(
+        "partitionBy", ""
+    ).mode("overwrite").save()
+    m2 = store.manifest(store.latest_version())
+    assert m2.get("partition_by") is None
+    assert store.read(spark).count() == 9
+
+
+def test_streaming_sink_fresh_checkpoint_raises_on_global_ledger(
+    spark, tmp_path
+):
+    """A store whose GLOBAL batch high-water mark is ahead (e.g. CDC
+    merges committed batch_id=7) must not silently swallow a streaming
+    query that starts at epoch 0 — the pre-r14 behavior dropped those
+    epochs (ADVICE r13). Without txnAppId the sink now fails loudly."""
+    register_batch_source(spark)
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "sink")
+    store = CommitLogStore(p)
+    store.commit(
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+        expect_version=None,
+        batch_id=7,
+    )
+    spark.createDataFrame([(1, 10)], "k long, v long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    q = (
+        stream.writeStream.format("commitlog")
+        .option("path", p)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="high-water|txnAppId"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
+
+
+def test_streaming_sink_txn_app_scoped_ledger(spark, tmp_path):
+    """option('txnAppId'): the writer-scoped replay ledger (Delta's
+    txnAppId/txnVersion). A streaming writer's epoch 0 lands even when
+    the store's global batch ledger is far ahead, its own replays
+    still skip, and it never bumps the global high-water mark."""
+    register_batch_source(spark)
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    store = CommitLogStore(p)
+    store.commit(
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+        expect_version=None,
+        batch_id=7,
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, "k long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = (
+            stream.writeStream.format("commitlog")
+            .option("path", p)
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", "ingest-a")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([(1, 10), (2, 20)])
+    run()
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    assert got == {(0, 0), (1, 10), (2, 20)}
+    v1 = store.latest_version()
+    run()  # no new data: no new commit
+    assert store.latest_version() == v1
+    feed([(3, 30)])
+    run()
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    assert got == {(0, 0), (1, 10), (2, 20), (3, 30)}
+    # app-scoped ledger advanced; the GLOBAL ledger did not move
+    assert store.last_batch_id("ingest-a") is not None
+    assert store.last_batch_id() == 7
+    # the txn map survives unrelated commits (carried through _publish)
+    store.commit(
+        spark.createDataFrame([(9, 90)], "k long, v long"), op="append"
+    )
+    assert store.last_batch_id("ingest-a") is not None

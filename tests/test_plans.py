@@ -318,3 +318,32 @@ def test_plan_ledger_catches_regression_mutation(spark, sf_dir):
     assert any("exch regressed" in p for p in problems), problems
     # and a missing baseline entry is itself a failure
     assert plan_audit.ledger_compare({}, {"q": base}) != []
+
+def test_plans_md_not_stale():
+    """r14 (VERDICT r13 #4): PLANS.md (the human-readable audit
+    artifact) must agree with plans_baseline.json (the enforced
+    ledger) on the query count — r13 shipped a PLANS.md two rounds
+    stale. Regenerate with `python plan_audit.py` at round end."""
+    import json
+    import os
+    import re
+
+    import plan_audit
+
+    root = os.path.dirname(plan_audit.BASELINE_PATH)
+    with open(plan_audit.BASELINE_PATH) as fh:
+        baseline = json.load(fh)
+    n_base = len([k for k in baseline if not k.startswith("_")])
+    with open(os.path.join(root, "PLANS.md")) as fh:
+        header = fh.read(600)
+    m = re.search(r"\((\d+) queries compiled", header)
+    assert m, "PLANS.md header missing the 'N queries compiled' stamp"
+    assert int(m.group(1)) == n_base, (
+        f"PLANS.md is stale: header says {m.group(1)} queries, "
+        f"plans_baseline.json pins {n_base} — run `python plan_audit.py`"
+    )
+    # and the enforced ledger itself must match the live registry
+    assert n_base == len(QUERIES), (
+        f"plans_baseline.json pins {n_base} queries but the registry "
+        f"has {len(QUERIES)} — run `python plan_audit.py --baseline`"
+    )
