@@ -237,7 +237,39 @@ def _band_kll_quantiles(spark: SparkSession, sf_dir: str) -> dict:
     return _finish(metrics)
 
 
+def _band_kmeans_recall(spark: SparkSession, sf_dir: str) -> dict:
+    """The label-free k-means index (VERDICT r13 #2) is iterative →
+    no SQL oracle; its band pins the part that is NOT approximate:
+    probing ALL buckets is brute force, so recall_full must be
+    EXACTLY 1.0 per query (any assignment/similarity/pruning wiring
+    bug breaks it), and the index must hold every eligible corpus
+    vector exactly once. The honest nprobe=2 recall is reported in
+    the query output itself, not gated here."""
+    from calorista_spark.catalog import read_table
+    from calorista_spark.queries import QUERIES
+    from calorista_spark.queries.vector_index_pq import (
+        _NONULL_SPARK,
+        _built_kmeans_index,
+    )
+
+    rows = QUERIES["embedding_ann_kmeans_recall"](spark, sf_dir).collect()
+    metrics = {
+        f"full_probe_recall[{r.q_id}]": _rel(r.recall_full, 1.0)
+        for r in rows
+    }
+    idx = _built_kmeans_index(spark, sf_dir)
+    indexed = idx.assignments_store.read(spark).count()
+    eligible = (
+        read_table(spark, sf_dir, "embeddings")
+        .where(_NONULL_SPARK)
+        .count()
+    )
+    metrics["index_coverage"] = _rel(indexed, eligible)
+    return _finish(metrics)
+
+
 APPROX_BANDS: dict[str, Callable[[SparkSession, str], dict]] = {
+    "embedding_ann_kmeans_recall": _band_kmeans_recall,
     "orders_column_profile_approx": _band_profile,
     "approx_stats_by_returnflag": _band_stats,
     "events_distinct_users_sketch_rollup": _band_sketch_rollup,

@@ -223,14 +223,20 @@ class IVFVectorIndex:
             .collect()
         )
         X = np.asarray([r[1] for r in rows], dtype=np.float64)
-        cents = train_pq_codebook(X, m=1, k=nlist, iters=iters)[0]
-        cents_rows = [
-            (
-                int(b),
-                [round(float(x), self.round_digits) for x in cents[b]],
-            )
-            for b in range(nlist)
-        ]
+        if X.shape[0] >= nlist:
+            cents = train_pq_codebook(X, m=1, k=nlist, iters=iters)[0]
+            cents_rows = [
+                (
+                    int(b),
+                    [round(float(x), self.round_digits) for x in cents[b]],
+                )
+                for b in range(nlist)
+            ]
+        else:
+            # degenerate corpus (fewer vectors than cells — includes
+            # the empty-table stress axis): an empty quantizer, so the
+            # index stays well-formed and every probe returns 0 rows
+            cents_rows = []
         cdf = spark.createDataFrame(
             cents_rows, "bucket int, centroid array<double>"
         ).withColumn("c_norm", l2_norm("centroid"))

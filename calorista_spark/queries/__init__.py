@@ -40,6 +40,7 @@ from calorista_spark.queries import tpch_more  # noqa: F401
 from calorista_spark.queries import tpch_rest  # noqa: F401
 from calorista_spark.queries import udf_surface  # noqa: F401
 from calorista_spark.queries import vector_index  # noqa: F401
+from calorista_spark.queries import vector_index_pq  # noqa: F401
 from calorista_spark.queries import vector_pq  # noqa: F401
 from calorista_spark.queries import windows_extra  # noqa: F401
 from calorista_spark.queries.registry import ORACLES, QUERIES  # noqa: F401

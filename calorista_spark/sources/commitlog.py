@@ -1113,6 +1113,11 @@ class CommitLogStore:
             "segments_total": len(idx),
             "segments_loaded": loaded,
             "files_matched": len(out),
+            # exact planned IO of this pruned scan (r14 — the ANN
+            # bytes-scanned record in SCALING reads it)
+            "planned_bytes": sum(
+                st.get("bytes", 0) for st in stm.values()
+            ),
         }
         return sorted(out), dvm, stm, part_of
 

@@ -341,6 +341,68 @@ def main() -> None:
             flush=True,
         )
 
+    # r14 (VERDICT r13 #1): the fused IVF×PQ read path's bytes-scanned
+    # claim, measured from the manifests. Both ANN queries probe the
+    # SAME buckets (same coarse quantizer + query set); the raw path
+    # plans the probed partitions of the assignments store (full
+    # vectors), the fused path plans the probed partitions of the
+    # pq_codes store for its corpus-scale ADC pass. The ratio is the
+    # 100 TB payoff (codes are 4-16 B/vector vs 512+ B raw); the
+    # rerank pass reads raw bytes for only `rerank` rows per query.
+    def _ann_bytes(src_dir: str) -> dict:
+        from calorista_spark.queries.vector_index_pq import (
+            _built_ivfpq_index,
+        )
+
+        from pyspark.sql import functions as F
+
+        from calorista_spark.catalog import read_table
+        from calorista_spark.queries.vector_index_pq import (
+            _K,
+            _NONULL_SPARK,
+            _NPROBE,
+            _RERANK,
+        )
+
+        # prune profiles live on the store INSTANCE that executed the
+        # read, so drive the held index directly with the registered
+        # queries' exact parameters
+        idx = _built_ivfpq_index(spark, src_dir)
+        emb = read_table(spark, src_dir, "embeddings").where(
+            _NONULL_SPARK
+        )
+        q = emb.filter(F.col("vec_id") < 5)
+        idx.topk_adc(
+            spark, q, k=_K, nprobe=_NPROBE, rerank=_RERANK
+        ).write.format("noop").mode("overwrite").save()
+        release_caches(spark)
+        code_prof = dict(idx.pq_codes_store.last_prune_profile or {})
+        # the raw path plans the SAME probed buckets (same quantizer,
+        # same queries) but scans full vectors — its planned bytes are
+        # what the fused ADC pass avoids
+        idx.topk(spark, q, k=_K, nprobe=_NPROBE).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        release_caches(spark)
+        raw_prof = dict(
+            idx.assignments_store.last_prune_profile or {}
+        )
+        adc_bytes = code_prof.get("planned_bytes", 0)
+        raw_bytes = raw_prof.get("planned_bytes", 0)
+        return {
+            "adc_pass": code_prof,
+            "raw_probe": raw_prof,
+            "adc_scan_bytes": adc_bytes,
+            "raw_scan_bytes": raw_bytes,
+            "bytes_ratio": round(adc_bytes / max(raw_bytes, 1), 4),
+        }
+
+    try:
+        ann_bytes = _ann_bytes(src)
+    except Exception as exc:  # noqa: BLE001
+        ann_bytes = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    print("ann_bytes_scanned:", ann_bytes, file=sys.stderr, flush=True)
+
     worst = max(record.values(), key=lambda r: r["alpha"])["alpha"]
     vol_alphas = {
         n: r["alpha_records"]
@@ -369,7 +431,12 @@ def main() -> None:
             if n in VOL_ALPHA_EXCEPTIONS
         },
         "vol_gate_unexplained": unexplained,
-        "pass": worst <= ALPHA_MAX and vol_ok,
+        "ann_bytes_scanned": ann_bytes,
+        "pass": worst <= ALPHA_MAX
+        and vol_ok
+        # the fused path must actually scan fewer bytes than the raw
+        # probe (the whole point of VERDICT r13 #1)
+        and ann_bytes.get("bytes_ratio", 1.0) < 0.5,
     }
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)

@@ -253,3 +253,174 @@ def test_pq_retract_removes_codes(spark, tmp_path, corpus):
     v = idx.codes_store.latest_version()
     idx.retract(spark, [3, 4], batch_id=2)  # replay skipped
     assert idx.codes_store.latest_version() == v
+
+@pytest.fixture()
+def corpus8(spark):
+    """Like `corpus` but 8-dim (PQ needs dim % m == 0 with dsub >= 2)."""
+    import random
+
+    rng = random.Random(7)
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.2, 0.0],
+    }
+    rows = []
+    for lbl, center in base.items():
+        for i in range(8):
+            vec = [c + rng.uniform(-0.05, 0.05) for c in center]
+            rows.append((lbl * 10 + i, vec, lbl))
+    return _emb(spark, rows)
+
+
+def test_ivfpq_topk_adc_matches_raw_topk_with_full_rerank(
+    spark, tmp_path, corpus8
+):
+    """With rerank >= the probed candidate count, the fused ADC path
+    must return EXACTLY what the raw-vector probe returns (same
+    shortlist in, same cosine rerank out) — the correctness anchor
+    under which smaller rerank budgets trade bytes for recall."""
+    from calorista_spark.operators.ann_index import IVFPQIndex
+
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus8, m=4, k=4, sample_n=64)
+    q = corpus8.filter("vec_id IN (0, 11)")
+    raw = idx.topk(spark, q, k=3, nprobe=2)
+    fused = idx.topk_adc(spark, q, k=3, nprobe=2, rerank=1000)
+    want = sorted(
+        (r.q_id, r.cand_id, r.sim, r.rank) for r in raw.collect()
+    )
+    got = sorted(
+        (r.q_id, r.cand_id, r.sim, r.rank) for r in fused.collect()
+    )
+    assert got == want
+    # adc distances are integers present on every row
+    assert all(
+        isinstance(r.adc_dist_q, int) for r in fused.collect()
+    )
+
+
+def test_ivfpq_upsert_feeds_both_halves_exactly_once(
+    spark, tmp_path, corpus8
+):
+    from calorista_spark.operators.ann_index import IVFPQIndex
+
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus8.filter("vec_id < 20"), m=4, k=4)
+    new = corpus8.filter("vec_id >= 20").drop("label")
+    idx.upsert(spark, new, batch_id=3)
+    va = idx.assignments_store.latest_version()
+    vc = idx.pq_codes_store.latest_version()
+    idx.upsert(spark, new, batch_id=3)  # replay
+    assert idx.assignments_store.latest_version() == va
+    assert idx.pq_codes_store.latest_version() == vc
+    n_raw = idx.assignments_store.read(spark).count()
+    n_codes = idx.pq_codes_store.read(spark).count()
+    assert n_raw == n_codes == 24
+    # codes live under the same bucket partition as the raw vectors
+    raw_b = {
+        r.vec_id: r.bucket
+        for r in idx.assignments_store.read(spark).collect()
+    }
+    for r in idx.pq_codes_store.read(spark).collect():
+        assert raw_b[r.vec_id] == r.bucket
+
+
+def test_ivfpq_adc_scan_prunes_to_probed_code_partitions(
+    spark, tmp_path, corpus8
+):
+    """The 100 TB claim itself: an nprobe=1 ADC query loads exactly 1
+    of the 3 code partitions AND 1 of the 3 raw partitions (rerank),
+    and the planned code bytes are a small fraction of the raw bytes."""
+    from calorista_spark.operators.ann_index import IVFPQIndex
+
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus8, m=4, k=4)
+    q = corpus8.filter("vec_id = 0")
+    idx.topk_adc(spark, q, k=2, nprobe=1, rerank=10).collect()
+    code_prof = idx.pq_codes_store.last_prune_profile
+    raw_prof = idx.assignments_store.last_prune_profile
+    assert code_prof["segments_total"] == 3
+    assert code_prof["segments_loaded"] == 1
+    assert raw_prof["segments_loaded"] == 1
+    # bytes: the probed code partition is much smaller than the raw one
+    def planned_bytes(store, bucket):
+        m = store.manifest(store.latest_version())
+        return sum(
+            m["stats"][f]["bytes"] for f in m["partitions"][bucket]
+        )
+
+    bucket = sorted(idx.pq_codes_store.manifest(
+        idx.pq_codes_store.latest_version())["partitions"])[0]
+    assert planned_bytes(idx.pq_codes_store, bucket) < planned_bytes(
+        idx.assignments_store, bucket
+    )
+
+
+def test_ivfpq_retract_hits_both_halves(spark, tmp_path, corpus8):
+    from calorista_spark.operators.ann_index import IVFPQIndex
+
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus8, m=4, k=4)
+    q = corpus8.filter("vec_id = 0")
+    before = idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
+    victim = before[0].cand_id
+    idx.retract(spark, [victim], batch_id=9)
+    after = idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
+    assert victim not in {r.cand_id for r in after}
+    assert idx.pq_codes_store.read(spark).filter(
+        F.col("vec_id") == victim
+    ).count() == 0
+
+
+def test_bootstrap_kmeans_labelfree(spark, tmp_path, corpus):
+    """Label-free training must recover the cluster structure: every
+    cluster lands in one bucket, probes prune, and full-probe topk is
+    exact (recall 1.0 vs brute within the index)."""
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    idx.bootstrap_kmeans(spark, corpus.drop("label"), nlist=3)
+    assigned = {
+        r.vec_id: r.bucket
+        for r in idx.assignments_store.read(spark).collect()
+    }
+    assert len(assigned) == 18
+    # each true cluster maps to exactly one trained bucket
+    for lo in (0, 10, 20):
+        assert len({assigned[lo + i] for i in range(6)}) == 1
+    assert len({assigned[0], assigned[10], assigned[20]}) == 3
+    # trainer provenance recorded in the family stamp
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(idx.path, "_ann_family.json")) as fh:
+        assert _json.load(fh)["trainer"] == "kmeans"
+    # probe pruning still holds under the kmeans quantizer
+    q = spark.createDataFrame(
+        [(999, [0.0, 1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = idx.topk(spark, q, k=3, nprobe=1).collect()
+    prof = idx.assignments_store.last_prune_profile
+    assert prof["segments_total"] == 3 and prof["segments_loaded"] == 1
+    assert {r.cand_id for r in top} <= set(range(10, 20))
+
+def test_adc_recall_not_below_raw_ivf(spark, sf_dir):
+    """VERDICT r13 #1's gate: the fused ADC path's recall@5 vs the
+    brute anchor must be >= the raw-IVF probe's — the shortlist+rerank
+    must not lose what the probe found (the _RERANK constant is sized
+    for this on the worst-case isotropic corpus; see vector_index_pq)."""
+    from calorista_spark.queries import QUERIES
+
+    ivf = sum(
+        r.n_hits
+        for r in QUERIES["embedding_ann_index_recall"](
+            spark, sf_dir
+        ).collect()
+    )
+    pq = sum(
+        r.n_hits
+        for r in QUERIES["embedding_ann_pq_recall"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert pq >= ivf, (pq, ivf)
