@@ -30,6 +30,7 @@ from calorista_spark.queries import reshape_dedup  # noqa: F401
 from calorista_spark.queries import semistructured  # noqa: F401
 from calorista_spark.queries import snapshot_diff  # noqa: F401
 from calorista_spark.queries import sql_api  # noqa: F401
+from calorista_spark.queries import store_sql_api  # noqa: F401
 from calorista_spark.queries import streaming_windows  # noqa: F401
 from calorista_spark.queries import table_format  # noqa: F401
 from calorista_spark.queries import data_pipeline  # noqa: F401
