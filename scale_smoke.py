@@ -37,6 +37,175 @@ from calorista_spark.session import build_session
 N = int(os.environ.get("SPARK_GRAFT_SMOKE_ROWS", "10000000"))
 
 
+# ---------------------------------------------------------------------------
+# N-writer OCC throughput/liveness harness (r14 — VERDICT r13 #6).
+# r13 proved 2-process SAFETY (races can't tear or lose); production
+# is N contending writers, which is a LIVENESS question: does every
+# batch land exactly once in bounded retries, and at what commit rate?
+# Reused by tests/test_commitlog_multiprocess.py (small N×R) and the
+# multiwriter_occ smoke section (bigger N×R).
+# ---------------------------------------------------------------------------
+
+_NWRITER_WORKER = r'''
+import json, os, sys, time
+
+sys.path.insert(0, {repo!r})
+role = int(sys.argv[1]); n_roles = int(sys.argv[2])
+rounds = int(sys.argv[3]); per_batch = int(sys.argv[4])
+root = sys.argv[5]
+store_path = os.path.join(root, "store")
+
+
+def barrier(name, timeout=600):
+    open(os.path.join(root, f"bar_{{name}}_{{role}}"), "w").close()
+    t0 = time.time()
+    while not all(
+        os.path.exists(os.path.join(root, f"bar_{{name}}_{{r}}"))
+        for r in range(n_roles)
+    ):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(name)
+        time.sleep(0.01)
+
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"nwriter-{{role}}")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from calorista_spark.sources.commitlog import CommitLogStore
+
+store = CommitLogStore(store_path)
+if role == 0:
+    base = spark.createDataFrame(
+        [(f"d{{i}}", k, -1) for i in range(n_roles) for k in range(10)],
+        "d string, k long, v long",
+    )
+    store.commit(
+        base, expect_version=None, partition_by="d", keys=["d", "k"]
+    )
+barrier("init")
+assert store.latest_version() == 1, store.latest_version()
+
+# count publish ATTEMPTS: attempts - merges = lost link(2) races
+# (each loss forces a rebase-or-recompute retry — the liveness cost)
+publishes = {{"n": 0}}
+orig = store._publish
+
+
+def counting(manifest, token):
+    publishes["n"] += 1
+    return orig(manifest, token)
+
+
+store._publish = counting
+mine = f"d{{role}}"
+barrier("start")
+t0 = time.time()
+landed = []
+for rnd in range(rounds):
+    batch = spark.createDataFrame(
+        [(mine, 100 + rnd * per_batch + j, rnd) for j in range(per_batch)],
+        "d string, k long, v long",
+    )
+    landed.append(store.merge(spark, batch, ["d", "k"], max_retries=64))
+elapsed = time.time() - t0
+barrier("done")
+rows = store.read(spark).collect()
+per = {{}}
+for r in rows:
+    per.setdefault(r.d, set()).add((r.k, r.v))
+ok = True
+for i in range(n_roles):
+    expect = {{(k, -1) for k in range(10)}} | {{
+        (100 + rnd * per_batch + j, rnd)
+        for rnd in range(rounds)
+        for j in range(per_batch)
+    }}
+    if per.get(f"d{{i}}") != expect:
+        ok = False
+out = {{
+    "landed_versions": landed,
+    "publish_attempts": publishes["n"],
+    "merges": rounds,
+    "lost_races": publishes["n"] - rounds,
+    "elapsed_sec": round(elapsed, 3),
+    "converged": ok,
+    "final_version": store.latest_version(),
+}}
+with open(os.path.join(root, f"out_{{role}}.json"), "w") as fh:
+    json.dump(out, fh)
+spark.stop()
+'''
+
+
+def run_nwriter_occ(
+    root: str, n_writers: int, rounds: int, per_batch: int = 10
+) -> dict:
+    """Drive ``n_writers`` REAL OS processes (separate interpreters +
+    JVMs; the store directory is the only shared state) through
+    ``rounds`` disjoint-partition merges each, all started on a file
+    barrier. Asserts exactly-once landing (every batch present, every
+    version distinct, final version == 1 + N·R) and returns the
+    liveness metrics (commits/sec, lost-race/rebase counts)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = _NWRITER_WORKER.format(repo=repo)
+    env = dict(os.environ, PYTHONPATH=repo)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c", script,
+                str(i), str(n_writers), str(rounds), str(per_batch), root,
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(n_writers)
+    ]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"n-writer worker rc={p.returncode}\n"
+                f"stdout:\n{so.decode()[-2000:]}\n"
+                f"stderr:\n{se.decode()[-4000:]}"
+            )
+    results = []
+    for i in range(n_writers):
+        with open(os.path.join(root, f"out_{i}.json")) as fh:
+            results.append(json.load(fh))
+    n_total = n_writers * rounds
+    versions = sorted(v for r in results for v in r["landed_versions"])
+    if versions != list(range(2, 2 + n_total)):
+        raise AssertionError(f"versions not exactly-once: {versions}")
+    if not all(r["converged"] for r in results):
+        raise AssertionError(f"writers did not converge: {results}")
+    if not all(r["final_version"] == 1 + n_total for r in results):
+        raise AssertionError(f"final version wrong: {results}")
+    wall = max(r["elapsed_sec"] for r in results)
+    lost = sum(r["lost_races"] for r in results)
+    return {
+        "n_writers": n_writers,
+        "rounds_each": rounds,
+        "commits": n_total,
+        "wall_sec": round(wall, 3),
+        "commits_per_sec": round(n_total / max(wall, 1e-9), 2),
+        "lost_races": lost,
+        "rebase_rate": round(lost / n_total, 3),
+        "per_writer_lost": [r["lost_races"] for r in results],
+    }
+
+
 def timed(label, fn):
     # optional section filter: `python scale_smoke.py label1 label2`
     # runs only the named sections (default: everything)
@@ -2128,7 +2297,33 @@ def main() -> None:
         "manifest_scale", manifest_scale_check
     )
 
+    # -- N contending writers: OCC liveness + throughput (r14 #6) -----------
+    occ_metrics: dict = {}
 
+    def multiwriter_check():
+        import tempfile as _tf
+
+        root = _tf.mkdtemp(prefix="calorista_nwriter_")
+        try:
+            occ_metrics.update(
+                run_nwriter_occ(root, n_writers=6, rounds=8, per_batch=50)
+            )
+        finally:
+            import shutil as _sh
+
+            _sh.rmtree(root, ignore_errors=True)
+        return (
+            f"{occ_metrics['commits']} commits from "
+            f"{occ_metrics['n_writers']} processes in "
+            f"{occ_metrics['wall_sec']}s "
+            f"({occ_metrics['commits_per_sec']}/s), "
+            f"{occ_metrics['lost_races']} lost races "
+            f"(rebase rate {occ_metrics['rebase_rate']})"
+        )
+
+    results["multiwriter_occ_6x8"] = timed(
+        "multiwriter_occ", multiwriter_check
+    )
 
     print(
         json.dumps(
@@ -2140,6 +2335,7 @@ def main() -> None:
                 "zorder": zorder_metrics,
                 "manifest_scale": manifest_metrics,
                 "incremental_admit": admit_metrics,
+                "multiwriter_occ": occ_metrics,
             }
         )
     )
