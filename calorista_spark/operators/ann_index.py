@@ -320,6 +320,24 @@ class IVFVectorIndex:
             spark, [("vec_id", "in", ids)], batch_id=batch_id
         )
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        dv_fraction: float = 0.1,
+    ) -> int:
+        """Index housekeeping (L2-parity lifecycle, r14): physically
+        purge retracted vectors once their deletion-vector mass passes
+        ``dv_fraction``, then bin-pack the small per-batch files
+        streaming/incremental ingest accretes. Probe pruning is
+        layout-independent (manifest partitions), so queries before
+        and after compact are identical."""
+        self.assignments_store.purge_dv(spark, dv_fraction=dv_fraction)
+        self.assignments_store.compact(
+            spark, target_file_bytes=target_file_bytes
+        )
+        return self.assignments_store.latest_version()
+
     # -- query ----------------------------------------------------------------
 
     def topk(
@@ -776,6 +794,20 @@ class IVFPQIndex(IVFVectorIndex):
             spark, [("vec_id", "in", ids)], batch_id=batch_id
         )
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        dv_fraction: float = 0.1,
+    ) -> int:
+        """Housekeep BOTH halves (raw + codes)."""
+        super().compact(spark, target_file_bytes, dv_fraction)
+        self.pq_codes_store.purge_dv(spark, dv_fraction=dv_fraction)
+        self.pq_codes_store.compact(
+            spark, target_file_bytes=target_file_bytes
+        )
+        return self.pq_codes_store.latest_version()
+
     # -- query ----------------------------------------------------------------
 
     def topk_adc(
@@ -898,3 +930,40 @@ class IVFPQIndex(IVFVectorIndex):
         return reranked.withColumn(
             "rank", F.row_number().over(wk).cast("int")
         ).filter(F.col("rank") <= k)
+
+def start_ann_ingest(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fused: bool = False,
+    trigger_available_now: bool = True,
+    on_batch=None,
+):
+    """Streaming ANN-index ingest (ST × L3 — r14, lifecycle parity
+    with L2's :func:`start_neardup_admission`): ``foreachBatch``
+    upserts each micro-batch into the persisted index with
+    ``batch_id`` = the epoch id, so exactly-once across crash/restart
+    is the commit ledger's replay skip. ``fused=True`` maintains an
+    :class:`IVFPQIndex` (raw + codes halves, one assignment pass);
+    otherwise an :class:`IVFVectorIndex`. The index must be
+    bootstrapped first (the quantizers are FROZEN — streaming ingest
+    assigns against them, it never retrains)."""
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
+        spark = batch.sparkSession
+        idx = (IVFPQIndex if fused else IVFVectorIndex)(index_path)
+        idx.upsert(
+            spark, batch, id_col=id_col, vec_col=vec_col,
+            batch_id=batch_id,
+        )
+
+    writer = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -424,3 +424,83 @@ def test_adc_recall_not_below_raw_ivf(spark, sf_dir):
         ).collect()
     )
     assert pq >= ivf, (pq, ivf)
+
+def test_streaming_ann_ingest_exactly_once(spark, tmp_path, corpus8):
+    """ST x L3 (r14): start_ann_ingest upserts each epoch into the
+    FUSED index under batch_id = epoch; a restart with no new data
+    commits nothing, new data appends exactly once, and both halves
+    stay row-for-row in sync."""
+    from calorista_spark.operators.ann_index import (
+        IVFPQIndex,
+        start_ann_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    p = str(tmp_path / "idx")
+    idx = IVFPQIndex(p)
+    idx.bootstrap(spark, corpus8.filter("vec_id < 20"), m=4, k=4)
+
+    def feed(df):
+        df.select("vec_id", "embedding").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        q = start_ann_ingest(stream, p, ckpt, fused=True)
+        q.awaitTermination(120)
+
+    feed(corpus8.filter("vec_id >= 20"))
+    run()
+    assert idx.assignments_store.read(spark).count() == 24
+    assert idx.pq_codes_store.read(spark).count() == 24
+    va = idx.assignments_store.latest_version()
+    vc = idx.pq_codes_store.latest_version()
+    run()  # restart, no new data: nothing commits
+    assert idx.assignments_store.latest_version() == va
+    assert idx.pq_codes_store.latest_version() == vc
+    # one more vector streams in exactly once
+    feed(
+        spark.createDataFrame(
+            [(900, [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    run()
+    assert idx.assignments_store.read(spark).count() == 25
+    assert idx.pq_codes_store.read(spark).count() == 25
+
+
+def test_ann_compact_erases_retracted_and_preserves_topk(
+    spark, tmp_path, corpus8
+):
+    from calorista_spark.operators.ann_index import IVFPQIndex
+
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    idx.bootstrap(spark, corpus8, m=4, k=4)
+    q = corpus8.filter("vec_id = 0")
+    victims = [
+        r.cand_id
+        for r in idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
+    ]
+    idx.retract(spark, victims)
+    before = sorted(
+        (r.q_id, r.cand_id, r.rank)
+        for r in idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
+    )
+    idx.compact(spark, dv_fraction=0.0)
+    after = sorted(
+        (r.q_id, r.cand_id, r.rank)
+        for r in idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
+    )
+    assert after == before
+    # physically erased: no DV entries remain in either half
+    for store in (idx.assignments_store, idx.pq_codes_store):
+        m = store.manifest(store.latest_version())
+        assert not m.get("dv"), m.get("dv")
+    # probe pruning still intact post-compact
+    idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
+    assert idx.pq_codes_store.last_prune_profile["segments_loaded"] == 1
