@@ -1204,10 +1204,75 @@ class CommitLogStore:
             raise CommitConflictError(
                 f"expected parent v{expect_version}, found v{latest}"
             )
+        carry_files = None
+        if op == "append" and latest is not None:
+            # r14: APPEND semantics on the library face. Before this,
+            # commit(op="append") staged only the new data and
+            # published a manifest WITHOUT the parent's files — an
+            # overwrite wearing an append label. Appends now inherit
+            # the table's layout/schema/keys (the Spark writer face's
+            # contract, commitlog_batch.py) and carry every parent
+            # file by reference.
+            meta = self.manifest_meta(latest)
+            inherited = meta.get("partition_by")
+            if partition_by is not None and partition_by != inherited:
+                raise ValueError(
+                    f"append partition_by={partition_by!r} conflicts "
+                    f"with the table's {inherited!r}"
+                )
+            partition_by = inherited
+            declared = T.StructType.fromJson(json.loads(meta["schema"]))
+            want = {(f.name, f.dataType) for f in declared.fields}
+            got = {(f.name, f.dataType) for f in df.schema.fields}
+            if want != got:
+                raise ValueError(
+                    "append schema mismatch: table has "
+                    f"{sorted(n for n, _ in want)}, write has "
+                    f"{sorted(n for n, _ in got)} (use merge with "
+                    "schema_mode='merge' for schema evolution)"
+                )
+            if keys is None:
+                k = meta.get("keys")
+                keys = list(k) if k else None
         staged = self._stage_snapshot_data(
             df, partition_by, sort_by, sort_expr, optimize_write,
             parent=latest,
         )
+        if op == "append" and latest is not None:
+            meta = self.manifest_meta(latest)
+            if partition_by is not None and self._meta_partitioned(meta):
+                idx = self._segment_index(meta)
+                parent_parts = (
+                    {v: None for v in idx}
+                    if idx is not None
+                    else {
+                        v: list(fl)
+                        for v, fl in self.manifest(latest)[
+                            "partitions"
+                        ].items()
+                    }
+                )
+                touched = set(staged["partitions"]) & set(parent_parts)
+                auto_carry = {
+                    v: parent_parts[v]
+                    for v in parent_parts
+                    if v not in touched
+                }
+                if carry_partitions:
+                    auto_carry.update(carry_partitions)
+                carry_partitions = auto_carry
+                if touched:
+                    if idx is not None:
+                        sliced, _st, _dv = self._partition_slice(
+                            meta, touched
+                        )
+                    else:
+                        sliced = {v: parent_parts[v] for v in touched}
+                    carry_files = {v: list(fl) for v, fl in sliced.items()}
+            else:
+                parent_files = self.manifest(latest)["files"]
+                if parent_files:
+                    carry_files = {"": list(parent_files)}
         return self._commit_staged(
             staged,
             op=op,
@@ -1216,6 +1281,7 @@ class CommitLogStore:
             partition_by=partition_by,
             keys=keys,
             carry_partitions=carry_partitions,
+            carry_files=carry_files,
             clustering=clustering,
         )
 

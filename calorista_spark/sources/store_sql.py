@@ -25,6 +25,7 @@ Supported DML grammar (case-insensitive keywords)::
     DELETE FROM commitlog.<table> WHERE <pred>
     UPDATE commitlog.<table> SET col = <spark-sql-expr>[, ...]
         WHERE <pred>
+    INSERT INTO commitlog.<table> (<select ...>) | <view-name>
     MERGE INTO commitlog.<table> [AS] t
         USING (<select ...>) | <view-name> [AS] s
         ON t.k = s.k [AND t.k2 = s.k2 ...]
@@ -257,6 +258,11 @@ _UPDATE_RE = re.compile(
     r"WHERE\s+(?P<pred>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+{_TABLE_PAT}\s+"
+    r"(?:\((?P<sub>.+)\)|(?P<view>[A-Za-z_][A-Za-z0-9_]*))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+{_TABLE_PAT}"
     r"(?:\s+AS)?\s+(?P<t>[A-Za-z_][A-Za-z0-9_]*)\s+"
@@ -374,6 +380,23 @@ def store_sql(spark: SparkSession, sql: str) -> int:
             else spark.table(m.group("view"))
         )
         return store.merge(spark, src, keys, batch_id=batch_id)
+
+    m = _INSERT_RE.match(sql)
+    if m:
+        store = CommitLogStore(_resolve_table(m))
+        # commit() records batch ids but doesn't replay-skip (its
+        # overwrite face is used by bootstraps); the SQL INSERT face
+        # IS a retried-pipeline surface, so skip here
+        if batch_id is not None:
+            high = store.last_batch_id()
+            if high is not None and batch_id <= high:
+                return store.latest_version()
+        src = (
+            spark.sql(m.group("sub"))
+            if m.group("sub") is not None
+            else spark.table(m.group("view"))
+        )
+        return store.commit(src, op="append", batch_id=batch_id)
 
     raise ValueError(
         "unrecognized store DML; supported statements are the "

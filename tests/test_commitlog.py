@@ -2408,3 +2408,62 @@ def test_unpartitioned_merge_carry_respects_deletion_vectors(
     assert m2.get("dv") == m1.get("dv"), "carried file lost its DV"
     got = {(r.k, r.amt) for r in store.read(spark).collect()}
     assert got == {(k, k) for k in range(100) if k not in (1, 90)} | {(1, 111)}
+
+def test_commit_append_carries_parent_files(spark, tmp_path):
+    """r14: commit(op='append') on the LIBRARY face must carry the
+    parent's files by reference (it used to stage only the new data —
+    an overwrite wearing an append label), inherit partition layout,
+    schema-check, and inherit keys."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    # unpartitioned
+    st = CommitLogStore(str(tmp_path / "u"))
+    st.commit(
+        spark.range(5).selectExpr("id AS k", "id AS v"),
+        expect_version=None,
+        keys=["k"],
+    )
+    st.commit(
+        spark.createDataFrame([(100, 100)], "k long, v long"), op="append"
+    )
+    assert sorted(r.k for r in st.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 100,
+    ]
+    m = st.manifest(st.latest_version())
+    assert m.get("keys") == ["k"]  # inherited
+    # partitioned: untouched partitions carry by ref
+    sp = CommitLogStore(str(tmp_path / "p"))
+    sp.commit(
+        spark.range(30).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS g", "id AS v"
+        ),
+        expect_version=None,
+        partition_by="g",
+    )
+    m1 = sp.manifest(1)
+    sp.commit(
+        spark.createDataFrame([(100, "1", 100)], "k long, g string, v long"),
+        op="append",
+    )
+    m2 = sp.manifest(2)
+    assert m2["partition_by"] == "g"
+    assert m2["partitions"]["0"] == m1["partitions"]["0"]
+    assert m2["partitions"]["2"] == m1["partitions"]["2"]
+    assert set(m1["partitions"]["1"]) < set(m2["partitions"]["1"])
+    assert sp.read(spark).count() == 31
+    # schema mismatch raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append schema mismatch"):
+        sp.commit(
+            spark.createDataFrame([(1,)], "k long"), op="append"
+        )
+    # layout conflict raises
+    with _pytest.raises(ValueError, match="conflicts"):
+        sp.commit(
+            spark.createDataFrame(
+                [(100, "1", 100)], "k long, g string, v long"
+            ),
+            op="append",
+            partition_by="k",
+        )

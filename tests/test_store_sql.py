@@ -162,3 +162,18 @@ def test_store_sql_rejects_conditional_merge_and_garbage(spark, store):
             "ON t.k = s.kk WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *",
         )
+
+def test_store_sql_insert_appends_exactly_once(spark, store):
+    n0 = store.read(spark).count()
+    stmt = (
+        f"INSERT INTO commitlog.`{store.path}` "
+        "(SELECT id + 500 AS k, CAST((id + 500) % 4 AS STRING) AS g, "
+        "CAST(0 AS BIGINT) AS amt FROM range(3)) "
+        "OPTIONS (batch_id = 9)"
+    )
+    v = store_sql(spark, stmt)
+    assert store.read(spark).count() == n0 + 3
+    assert store_sql(spark, stmt) == v  # replay skipped
+    assert store.read(spark).count() == n0 + 3
+    # parent rows survived the append
+    assert store.read(spark).filter("k = 1").count() == 1
