@@ -106,7 +106,14 @@ def register_store_views(
     """Publish each registered store as a temp view (via the batch
     DataSource, so DV masking / column mapping / time travel defaults
     all apply) — ``spark.sql("SELECT ... FROM <name>")`` reads the
-    current snapshot with no path in sight. Returns the view names."""
+    current snapshot with no path in sight. Returns the view names.
+
+    Views are SNAPSHOT-PINNED: the DataSource resolves the store
+    version once at load (deliberate — planning can never straddle a
+    commit landing mid-query; ADVICE r12), so a view registered here
+    keeps reading the version current at registration. Re-run this
+    after DML to advance the published views — the store_sql DML faces
+    never read through views, so they are unaffected."""
     from calorista_spark.sources.commitlog_batch import (
         register_batch_source,
     )
