@@ -227,6 +227,78 @@ def adc_dist_expr(
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def sdc_tables(codebook: np.ndarray) -> list[list[list[int]]]:
+    """Symmetric-distance (SDC) lookup tables: per subspace the k×k
+    integer micro-unit ||c_a − c_b||² between CODEBOOK centroids
+    (Jégou et al. §III.A — both sides quantized, so a self-join at
+    corpus scale touches only codes, never raw vectors). Pure
+    codebook-derived LITERALS: rendered identically into both engines,
+    so unlike ADC there is no per-query float path at all."""
+    m, k, dsub = codebook.shape
+    out = []
+    for j in range(m):
+        tab = []
+        for a in range(k):
+            row = []
+            for b in range(k):
+                acc = 0.0
+                for x, y in zip(codebook[j, a], codebook[j, b]):
+                    d = x - y
+                    acc = acc + d * d
+                row.append(int(np.floor(acc * 1e6 + 0.5)))
+            tab.append(row)
+        out.append(tab)
+    return out
+
+
+def sdc_dist_udf(tables):
+    """Arrow-batched SDC distance: (a_codes, b_codes) → Σ_j
+    T_j[a_j][b_j] as BIGINT. Same measured decision as
+    ``pq_assign_udf``: the literal-array expression form compiles with
+    0 WholeStageCodegen spans (the m·k² = 4096-literal projection
+    blows the janino limits) and evaluates interpreted at ~4 s per
+    400k pairs, while this numpy gather is a constant-time per-batch
+    fancy-index. Integer in, integer out — no float path, so parity
+    with the SQL renderer is trivial. Null/ragged code arrays map to
+    null (totality)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    T = np.asarray(tables, dtype=np.int64)  # (m, k, k)
+    m = T.shape[0]
+    j_idx = np.arange(m)
+
+    from pyspark.sql import types as T_
+
+    # explicit eval type (the hint inferencer can't resolve pd.Series
+    # annotations with pandas imported locally) and a DataType OBJECT,
+    # not a DDL string — string parsing needs an active session, and
+    # this UDF is built at module import (pq_assign_udf's contract)
+    @F.pandas_udf(T_.LongType(), F.PandasUDFType.SCALAR)
+    def _sdc(a, b):
+        n = len(a)
+        A = np.zeros((n, m), dtype=np.int64)
+        B = np.zeros((n, m), dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+        for i, (x, y) in enumerate(zip(a.values, b.values)):
+            if x is None or y is None:
+                continue
+            xa = np.asarray(x)
+            ya = np.asarray(y)
+            if xa.shape[0] != m or ya.shape[0] != m:
+                continue
+            valid[i] = True
+            A[i] = xa
+            B[i] = ya
+        out = T[j_idx, A, B].sum(axis=1)
+        return pd.Series(
+            [int(out[i]) if valid[i] else None for i in range(n)],
+            dtype="Int64",
+        )
+
+    return _sdc
+
+
 def exact_dist_expr(
     query: np.ndarray, dim: int, dialect: tuple = SPARK_DIALECT
 ) -> str:

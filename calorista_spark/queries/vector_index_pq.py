@@ -378,3 +378,162 @@ def embedding_ann_kmeans_recall(
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SDC (symmetric distance) — the code-to-code half of the PQ family
+# (Jégou et al. §III.A). ADC keeps the query raw; SDC quantizes BOTH
+# sides, which is what an all-corpus neighbor join uses at 100 TB:
+# the bucket-bounded self-join below touches ONLY the pq_codes store
+# (integer table lookups), never a raw vector. The k×k-per-subspace
+# lookup tables are codebook-derived LITERALS rendered identically
+# into both engines, so — unlike ADC — there is no per-query float
+# path anywhere.
+# ---------------------------------------------------------------------------
+
+from calorista_spark.operators.pq import sdc_tables as _sdc_tables  # noqa: E402
+
+_SDC = _sdc_tables(_CB)
+
+
+# Spark side: Arrow-batched numpy gather (operators/pq.py
+# sdc_dist_udf) — the literal-array expression form measured 0 WSCG
+# spans (4096 literals blow janino) and ~4 s interpreted per 400k
+# pairs; the numpy path is the same measured decision as
+# pq_assign_udf. Integer-only, so it cannot diverge from the SQL
+# renderer the oracle uses.
+from calorista_spark.operators.pq import sdc_dist_udf as _sdc_dist_udf  # noqa: E402
+
+_SDC_UDF = _sdc_dist_udf(_SDC)
+
+
+def _sdc_expr_duck() -> str:
+    parts = []
+    for j, tab in enumerate(_SDC):
+        lit = (
+            "list_value("
+            + ", ".join(
+                "list_value(" + ", ".join(str(v) for v in row) + ")"
+                for row in tab
+            )
+            + ")"
+        )
+        dn = _NAMES[j]
+        parts.append(
+            f"({lit}[list_position(a.{dn}, list_min(a.{dn}))])"
+            f"[list_position(b.{dn}, list_min(b.{dn}))]"
+        )
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+_SDC_TOP1_ORACLE = f"""
+WITH live AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE {_NONULL_DUCK}
+),
+norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM live
+),
+dims AS (
+  SELECT label, CAST(unnest(range(1, 65)) AS INTEGER) AS dim,
+         unnest(embedding) AS val
+  FROM live WHERE NOT ({_HOLDOUT})
+),
+cent_long AS (
+  SELECT label, dim, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS cval
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS bucket, list(cval ORDER BY dim) AS centroid
+  FROM cent_long GROUP BY label
+),
+cents_n AS (
+  SELECT bucket, centroid,
+         sqrt({_DOT.format(a='centroid', b='centroid')}) AS c_norm
+  FROM cents
+),
+assigned AS (
+  SELECT vec_id, bucket FROM (
+    SELECT e.vec_id, c.bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_DOT.format(a='e.embedding', b='c.centroid')}
+                            / (e.norm * c.c_norm), 6) DESC,
+                      c.bucket) AS rn
+    FROM norms e CROSS JOIN cents_n c
+  ) WHERE rn = 1
+),
+cd AS (
+  SELECT vec_id,
+         {", ".join(f"{e} AS {n}" for n, e in zip(_NAMES, _DUCK_D))}
+  FROM live
+),
+pairs AS (
+  SELECT aa.vec_id, bb.vec_id AS neighbor_id,
+         {_sdc_expr_duck()} AS sdc_dist_q
+  FROM assigned aa
+  JOIN assigned bb ON aa.bucket = bb.bucket
+                  AND aa.vec_id <> bb.vec_id
+  JOIN cd a ON a.vec_id = aa.vec_id
+  JOIN cd b ON b.vec_id = bb.vec_id
+),
+top1 AS (
+  SELECT vec_id, neighbor_id, sdc_dist_q,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY sdc_dist_q, neighbor_id
+         ) AS rn
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, sdc_dist_q
+FROM top1 WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@query("embedding_sdc_top1_neighbor", _SDC_TOP1_ORACLE)
+def embedding_sdc_top1_neighbor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every indexed vector's nearest IN-BUCKET neighbor by symmetric
+    PQ distance, computed ENTIRELY from the persisted pq_codes store:
+    a bucket-bounded self-join (never all-pairs — the coarse quantizer
+    caps candidates at N/nlist per side, the simhash-bucket precedent)
+    whose distance is m integer lookups into codebook-literal k×k
+    tables. This is the all-corpus neighbor-join shape embedding
+    dedup runs at 100 TB: code bytes only, raw vectors untouched.
+    Ties break on (sdc, neighbor_id); the oracle recomputes buckets,
+    codes, and every table lookup."""
+    from pyspark.sql import Window
+
+    idx = _built_ivfpq_index(spark, sf_dir)
+    codes = idx.pq_codes_store.read(spark)
+    a = codes.select(
+        F.col("vec_id"),
+        F.col("bucket"),
+        F.col("codes").alias("a_codes"),
+    )
+    b = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("codes").alias("b_codes"),
+    )
+    pairs = (
+        a.join(b, (a["bucket"] == b["b_bucket"]))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            _SDC_UDF(F.col("a_codes"), F.col("b_codes")).alias(
+                "sdc_dist_q"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("sdc_dist_q", "neighbor_id")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "neighbor_id", "sdc_dist_q")
+        .orderBy("vec_id")
+    )

@@ -206,3 +206,40 @@ def test_rerank_recovers_recall(spark, sf_dir):
     # output is ordered by true distance
     dists = [r.exact_dist_q for r in rr_rows]
     assert dists == sorted(dists)
+
+def test_sdc_tables_and_udf_match_bruteforce(spark):
+    """SDC (r14): the k×k-per-subspace tables equal the brute
+    centroid-pair distances under the family's micro-unit floor, and
+    the Arrow gather UDF reproduces Σ_j T_j[a_j][b_j] exactly."""
+    import numpy as np
+
+    from calorista_spark.operators.pq import (
+        sdc_dist_udf,
+        sdc_tables,
+        train_pq_codebook,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(64, 8)
+    cb = train_pq_codebook(X, m=2, k=4)
+    T = sdc_tables(cb)
+    for j in range(2):
+        for a in range(4):
+            for b in range(4):
+                acc = 0.0
+                for x, y in zip(cb[j, a], cb[j, b]):
+                    dlt = x - y
+                    acc = acc + dlt * dlt
+                assert T[j][a][b] == int(np.floor(acc * 1e6 + 0.5))
+            assert T[j][a][a] == 0
+    udf = sdc_dist_udf(T)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([0, 1], [3, 2]), ([1, 1], [1, 1]), (None, [0, 0]), ([0], [0, 0])],
+        "a array<int>, b array<int>",
+    ).select(F.expr("a"), F.expr("b"))
+    got = [r[0] for r in df.select(udf("a", "b")).collect()]
+    assert got[0] == T[0][0][3] + T[1][1][2]
+    assert got[1] == 0
+    assert got[2] is None and got[3] is None  # totality
