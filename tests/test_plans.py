@@ -114,12 +114,29 @@ def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
         "store_skipping_scan",
         "store_partition_merge_diff",
     }
+    # r14: the SDC in-bucket neighbor join carries exactly one Arrow
+    # eval — the integer sdc_dist_udf gather over PQ CODES (8 B/row),
+    # the same measured decision as pq_assign_udf (the 4096-literal
+    # expression form blows janino and runs ~4 s interpreted per 400k
+    # pairs). Raw vectors never enter that plan, which the bytes-side
+    # assertion in tests/test_ann_index.py pins.
+    sdc_sanctioned = {"embedding_sdc_top1_neighbor"}
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, sf_dir), mode="simple")
         assert "BatchEvalPython" not in plan, (
             f"{name} uses row-at-a-time Python"
         )
         if name in arrow_sanctioned:
+            continue
+        if name in sdc_sanctioned:
+            evals = [
+                ln
+                for ln in plan.splitlines()
+                if "ArrowEvalPython" in ln or "InPandas" in ln
+            ]
+            assert len(evals) == 1 and "_sdc" in evals[0], (
+                f"{name}: expected exactly the sdc_dist_udf Arrow eval"
+            )
             continue
         if name in dv_sanctioned:
             # any Python eval here must consume ONLY the sidecar PATH
