@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calorista_spark.queries.registry import query
-from calorista_spark.queries.table_format import _mutated_store
+from calorista_spark.queries.table_format import (
+    _TOUCHED,
+    _KEYS,
+    _merge_batch,
+    _mutated_store,
+)
 from calorista_spark.sources.store_sql import (
     register_store,
     register_store_views,
@@ -157,4 +162,81 @@ def store_catalog_named_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_date
         ORDER BY event_date
         """
+    )
+
+
+_RESTORE_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_date, user_id, event_type,
+         CASE WHEN event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+                   AND event_type <> 'view'
+              THEN n * 2 ELSE n END AS n
+  FROM base
+  UNION ALL
+  SELECT event_date, user_id + 100000, 'backfill', 1
+  FROM base
+  WHERE event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+    AND event_type = 'click'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("store_restore_roundtrip", _RESTORE_ORACLE)
+def store_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-to-version through SQL text (r14): v2 = the standard
+    2-date keyed merge, v3 = a SQL DELETE that wipes every 'view' row
+    across all 30 partitions (a broad DV delete), v4 = ``RESTORE TABLE
+    ... TO VERSION AS OF 2``. The final read must equal the MERGED
+    state — every row v3 deleted is back, the replay ledger survived
+    the rollback, and history is append-only (v3 still time-travels).
+    The oracle recomputes the v2 state from the raw events table, so a
+    restore that silently no-ops (deleted rows missing) or
+    over-restores (to v1: merge effects missing) hash-mismatches."""
+
+    def mutate(store):
+        base = store.read(spark, 1)
+        v2 = store.merge(
+            spark, _merge_batch(base), _KEYS, optimize_write=True
+        )
+        register_store("restore_demo", store.path)
+        t = "commitlog.restore_demo"
+        v3 = store_sql(
+            spark, f"DELETE FROM {t} WHERE event_type = 'view'"
+        )
+        v4 = store_sql(spark, f"RESTORE TABLE {t} TO VERSION AS OF 2")
+        meta = store.manifest_meta(v4)
+        if (
+            (v2, v3, v4) != (2, 3, 4)
+            or meta["op"] != "restore"
+            or meta["restore_of"] != 2
+        ):
+            raise RuntimeError(
+                f"restore chain broken: v{v2},v{v3},v{v4} {meta.get('op')}"
+            )
+        # append-only history: the deleted state must still time-travel
+        if store.read(spark, 3).filter(
+            F.col("event_type") == "view"
+        ).count() != 0:
+            raise RuntimeError("v3 lost its delete after restore")
+
+    store = _mutated_store(spark, sf_dir, "restorert", mutate)
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("event_type")
     )

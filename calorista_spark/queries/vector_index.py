@@ -69,14 +69,22 @@ def _built_index(spark: SparkSession, sf_dir: str):
     )
     shutil.rmtree(path, ignore_errors=True)
     idx = IVFVectorIndex(path)
-    emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    # "flag" = a filterable attribute CO-LOCATED with the index rows
+    # (r14 filtered search): deterministic vec_id % 3 so the DuckDB
+    # oracle recomputes it exactly
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("flag", (F.col("vec_id") % 3).cast("int"))
     )
-    idx.bootstrap(spark, emb.filter(f"NOT ({_HOLDOUT})"))
+    idx.bootstrap(
+        spark, emb.filter(f"NOT ({_HOLDOUT})"), attr_cols=["flag"]
+    )
     holdout = emb.filter(_HOLDOUT)
-    idx.upsert(spark, holdout, batch_id=1)
+    idx.upsert(spark, holdout, batch_id=1, attr_cols=["flag"])
     v_after = idx.assignments_store.latest_version()
-    idx.upsert(spark, holdout, batch_id=1)  # replay: exactly-once
+    # replay: exactly-once
+    idx.upsert(spark, holdout, batch_id=1, attr_cols=["flag"])
     if idx.assignments_store.latest_version() != v_after:
         raise RuntimeError(
             "replayed upsert produced a new version — ledger broken"
@@ -237,3 +245,105 @@ def embedding_ann_index_recall(
         )
         .orderBy("q_id")
     )
+
+
+_ANN_FILTERED_ORACLE = f"""
+WITH live AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM live
+),
+dims AS (
+  SELECT label, CAST(unnest(range(1, 65)) AS INTEGER) AS dim,
+         unnest(embedding) AS val
+  FROM live WHERE NOT ({_HOLDOUT})
+),
+cent_long AS (
+  SELECT label, dim, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS cval
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS bucket, list(cval ORDER BY dim) AS centroid
+  FROM cent_long GROUP BY label
+),
+cents_n AS (
+  SELECT bucket, centroid,
+         sqrt({_DOT.format(a='centroid', b='centroid')}) AS c_norm
+  FROM cents
+),
+assigned AS (
+  SELECT vec_id, bucket, embedding, norm FROM (
+    SELECT e.vec_id, c.bucket, e.embedding, e.norm,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_DOT.format(a='e.embedding', b='c.centroid')}
+                            / (e.norm * c.c_norm), 6) DESC,
+                      c.bucket) AS rn
+    FROM norms e CROSS JOIN cents_n c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, norm AS q_norm
+  FROM norms WHERE vec_id < 5
+),
+probes AS (
+  SELECT q_id, bucket AS probe_bucket, q_vec, q_norm FROM (
+    SELECT q.q_id, c.bucket, q.q_vec, q.q_norm,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY ROUND({_DOT.format(a='q.q_vec', b='c.centroid')}
+                            / (q.q_norm * c.c_norm), 6) DESC,
+                      c.bucket) AS rn
+    FROM q CROSS JOIN cents_n c
+  ) WHERE rn <= {_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, p.probe_bucket, a.vec_id AS cand_id,
+         ROUND({_DOT.format(a='p.q_vec', b='a.embedding')}
+               / (p.q_norm * a.norm), 6) AS sim
+  FROM probes p
+  JOIN assigned a ON a.bucket = p.probe_bucket AND a.vec_id <> p.q_id
+  WHERE (a.vec_id % 3) = 1
+),
+ranked AS (
+  SELECT q_id, probe_bucket, cand_id, sim,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY sim DESC, cand_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, probe_bucket, cand_id, sim, rank
+FROM ranked WHERE rank <= {_K}
+ORDER BY q_id, rank
+"""
+
+
+@query("embedding_ann_filtered_topk", _ANN_FILTERED_ORACLE)
+def embedding_ann_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED ANN search (r14): top-k from the persisted IVF index
+    restricted to candidates whose co-located attribute matches
+    (``flag = vec_id % 3 = 1``, stored WITH the index rows at
+    bootstrap/upsert). The predicate rides the SAME ``read_where``
+    call as the bucket probe, so it is manifest-level data skipping
+    inside the probed partitions plus an exact residual — never a
+    post-join against an external attribute table. The oracle
+    recomputes training, assignment, probing, the attribute, and the
+    filtered ranking, so the whole filtered-search path sits inside
+    the correctness gate."""
+    idx = _built_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return idx.topk(
+        spark,
+        emb.filter(F.col("vec_id") < 5),
+        k=_K,
+        nprobe=_NPROBE,
+        where=[("flag", "==", 1)],
+    ).orderBy("q_id", "rank")

@@ -2500,6 +2500,93 @@ class CommitLogStore:
             clustering=kept_clustering or None,
         )
 
+    def restore(
+        self, to_version: int | None = None, *, as_of: float | None = None
+    ) -> int:
+        """ROLLBACK as a forward commit (Delta's ``RESTORE TABLE ...
+        VERSION AS OF`` — r14): publish a NEW version whose snapshot
+        content — files, per-file stats, deletion vectors, schema,
+        column mapping, retired slots, clustering, merge keys — is
+        exactly the retained target version's. History is never
+        rewritten (time travel to the undone versions still works, the
+        audit trail shows the restore), and every data file carries by
+        reference, so restoring a 10^6-file table costs one manifest
+        write: on a segmented (format-2) partitioned target the
+        partitions carry as the TARGET's content-addressed segment
+        refs without their file lists ever parsing.
+
+        The replay ledger is the one thing taken from the HEAD, not
+        the target: ``last_batch_id`` and the per-writer ``txn`` map
+        must keep their high-water marks, or a streaming writer would
+        re-apply batches the restore rolled back and double them on
+        the next epoch (Delta keeps txn actions across RESTORE for the
+        same reason).
+
+        Restoring to a version that vacuum has expired raises — the
+        commit JSON is gone and its unshared files may be too.
+        Vacuum-safety going forward is free: the restore commit itself
+        references the files, so they are retained as long as it is.
+        """
+        if (to_version is None) == (as_of is None):
+            raise ValueError("pass exactly one of to_version / as_of")
+        if as_of is not None:
+            to_version = self.version_as_of(as_of)
+        try:
+            tmeta = self.manifest_meta(to_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version v{to_version} is not retained in {self.path} "
+                "(never committed, or expired by vacuum)"
+            ) from None
+        tidx = self._segment_index(tmeta)
+        for _attempt in range(5):
+            latest = self.latest_version()
+            manifest = {
+                "version": (latest or 0) + 1,
+                "parent": latest,
+                "op": "restore",
+                "restore_of": to_version,
+                "schema": tmeta["schema"],
+                "batch_id": None,
+                "last_batch_id": self.last_batch_id(),
+                # carried stats keep the TARGET's stats_format: naive
+                # pre-r11 timestamp stats must stay non-prunable
+                "stats_format": tmeta.get("stats_format", 1),
+            }
+            for k in ("keys", "column_mapping", "retired_columns"):
+                if tmeta.get(k) is not None:
+                    manifest[k] = tmeta[k]
+            if tidx is not None and tmeta.get("partitioned"):
+                # O(partitions): target segments carry by reference
+                manifest["files"] = []
+                manifest["partitions"] = {}
+                manifest["stats"] = {}
+                if tmeta.get("partition_by") is not None:
+                    manifest["partition_by"] = tmeta["partition_by"]
+                if tmeta.get("clustering"):
+                    manifest["clustering"] = tmeta["clustering"]
+                manifest["__carry_segments__"] = dict(tidx)
+            else:
+                full = self.manifest(to_version)
+                manifest["files"] = list(full["files"])
+                manifest["stats"] = dict(full.get("stats", {}))
+                if full.get("dv"):
+                    manifest["dv"] = dict(full["dv"])
+                if "partitions" in full:
+                    manifest["partitions"] = {
+                        v: list(fl)
+                        for v, fl in full["partitions"].items()
+                    }
+                    manifest["partition_by"] = full.get("partition_by")
+                if full.get("clustering"):
+                    manifest["clustering"] = full["clustering"]
+            try:
+                return self._publish(manifest, uuid.uuid4().hex)
+            except CommitConflictError:
+                if _attempt == 4:
+                    raise
+        raise AssertionError("unreachable")
+
     def _build_dv_artifacts(
         self,
         spark: SparkSession,

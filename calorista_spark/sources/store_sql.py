@@ -26,6 +26,10 @@ Supported DML grammar (case-insensitive keywords)::
     UPDATE commitlog.<table> SET col = <spark-sql-expr>[, ...]
         WHERE <pred>
     INSERT INTO commitlog.<table> (<select ...>) | <view-name>
+    RESTORE TABLE commitlog.<table> TO VERSION AS OF <n>
+    RESTORE TABLE commitlog.<table> TO TIMESTAMP AS OF '<iso-ts>'
+    OPTIMIZE commitlog.<table> [ZORDER BY (c1[, c2 ...])]
+    VACUUM commitlog.<table> [RETAIN <n> VERSIONS]
     MERGE INTO commitlog.<table> [AS] t
         USING (<select ...>) | <view-name> [AS] s
         ON t.k = s.k [AND t.k2 = s.k2 ...]
@@ -270,6 +274,22 @@ _INSERT_RE = re.compile(
     r"(?:\((?P<sub>.+)\)|(?P<view>[A-Za-z_][A-Za-z0-9_]*))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+{_TABLE_PAT}\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'(?P<ts>[^']+)')\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+{_TABLE_PAT}"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+?)\s*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+{_TABLE_PAT}"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+{_TABLE_PAT}"
     r"(?:\s+AS)?\s+(?P<t>[A-Za-z_][A-Za-z0-9_]*)\s+"
@@ -377,6 +397,38 @@ def store_sql(spark: SparkSession, sql: str) -> int:
             batch_id=batch_id,
         )
 
+    m = _RESTORE_RE.match(sql)
+    if m:
+        store = CommitLogStore(_resolve_table(m))
+        if m.group("ver") is not None:
+            return store.restore(int(m.group("ver")))
+        ts = _dt.datetime.fromisoformat(m.group("ts"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return store.restore(as_of=ts.timestamp())
+
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        store = CommitLogStore(_resolve_table(m))
+        z = m.group("zcols")
+        if z is not None:
+            cols = [
+                c.strip().strip("`") for c in z.split(",") if c.strip()
+            ]
+            return store.compact(
+                spark, cluster_by=cols, layout="zorder", max_retries=2
+            )
+        return store.compact(spark, max_retries=2)
+
+    m = _VACUUM_RE.match(sql)
+    if m:
+        store = CommitLogStore(_resolve_table(m))
+        keep = m.group("keep")
+        store.vacuum(
+            keep_versions=int(keep) if keep is not None else None
+        )
+        return store.latest_version()
+
     m = _MERGE_RE.match(sql)
     if m:
         store = CommitLogStore(_resolve_table(m))
@@ -411,5 +463,7 @@ def store_sql(spark: SparkSession, sql: str) -> int:
         "calorista_spark.sources.store_sql): DELETE FROM commitlog.<t> "
         "WHERE ..., UPDATE commitlog.<t> SET ... WHERE ..., MERGE INTO "
         "commitlog.<t> t USING <src> s ON t.k = s.k WHEN MATCHED THEN "
-        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *, RESTORE TABLE "
+        "commitlog.<t> TO VERSION AS OF n, OPTIMIZE commitlog.<t> "
+        "[ZORDER BY (...)], VACUUM commitlog.<t> [RETAIN n VERSIONS]"
     )

@@ -504,3 +504,31 @@ def test_ann_compact_erases_retracted_and_preserves_topk(
     # probe pruning still intact post-compact
     idx.topk_adc(spark, q, k=2, nprobe=1, rerank=100).collect()
     assert idx.pq_codes_store.last_prune_profile["segments_loaded"] == 1
+
+
+def test_filtered_topk_with_colocated_attrs(spark, tmp_path, corpus):
+    """r14 filtered search: attribute column stored WITH the index,
+    predicate composed into the same pruned read as the bucket probe;
+    ranking is among MATCHING candidates only."""
+    idx = IVFVectorIndex(str(tmp_path / "idx"))
+    withattr = corpus.withColumn(
+        "parity", (F.col("vec_id") % 2).cast("int")
+    )
+    idx.bootstrap(spark, withattr, attr_cols=["parity"])
+    q = spark.createDataFrame(
+        [(999, [0.0, 1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = idx.topk(
+        spark, q, k=10, nprobe=1, where=[("parity", "==", 0)]
+    ).collect()
+    # bucket 1 holds vec_ids 10..15; parity 0 -> {10, 12, 14}
+    assert {r.cand_id for r in top} == {10, 12, 14}
+    assert [r.rank for r in sorted(top, key=lambda r: r.rank)] == [1, 2, 3]
+    # ranks are re-sequenced among matches (no gaps from filtered-out
+    # higher-sim candidates) and still pruned to the probed partition
+    prof = idx.assignments_store.last_prune_profile
+    assert prof["segments_loaded"] == 1
+    # reserved-name collision raises loudly
+    with pytest.raises(ValueError, match="collide"):
+        idx.bootstrap(spark, withattr, attr_cols=["norm"])

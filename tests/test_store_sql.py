@@ -177,3 +177,66 @@ def test_store_sql_insert_appends_exactly_once(spark, store):
     assert store.read(spark).count() == n0 + 3
     # parent rows survived the append
     assert store.read(spark).filter("k = 1").count() == 1
+
+
+def test_store_sql_restore_to_version(spark, store):
+    v1_rows = sorted(
+        (r.k, r.amt) for r in store.read(spark, 1).collect()
+    )
+    store_sql(
+        spark, f"DELETE FROM commitlog.`{store.path}` WHERE k >= 50"
+    )
+    v = store_sql(
+        spark,
+        f"RESTORE TABLE commitlog.`{store.path}` TO VERSION AS OF 1",
+    )
+    assert v == 3
+    assert sorted(
+        (r.k, r.amt) for r in store.read(spark).collect()
+    ) == v1_rows
+    assert store.manifest_meta(3)["op"] == "restore"
+
+
+def test_store_sql_restore_to_timestamp(spark, store):
+    t1 = store.manifest_meta(1)["committed_at"]
+    store_sql(
+        spark, f"DELETE FROM commitlog.`{store.path}` WHERE k >= 50"
+    )
+    iso = dt.datetime.fromtimestamp(
+        t1 + 0.5, tz=dt.timezone.utc
+    ).isoformat()
+    store_sql(
+        spark,
+        f"RESTORE TABLE commitlog.`{store.path}` "
+        f"TO TIMESTAMP AS OF '{iso}'",
+    )
+    assert store.manifest_meta(3)["restore_of"] == 1
+    assert store.read(spark).count() == 100
+
+
+def test_store_sql_optimize_and_vacuum(spark, store):
+    # fragment one partition with appends, then OPTIMIZE + VACUUM
+    for i in range(3):
+        store.commit(
+            spark.range(2).selectExpr(
+                f"id + 200 + {i * 2} AS k",
+                "CAST(0 AS STRING) AS g",
+                "CAST(0 AS BIGINT) AS amt",
+            ),
+            op="append",
+        )
+    before = store.read(spark).count()
+    n_files_before = len(store.manifest(store.latest_version())["files"])
+    v = store_sql(
+        spark,
+        f"OPTIMIZE commitlog.`{store.path}` ZORDER BY (k, amt)",
+    )
+    assert store.read(spark).count() == before
+    assert len(store.manifest(v)["files"]) < n_files_before
+    v2 = store_sql(
+        spark,
+        f"VACUUM commitlog.`{store.path}` RETAIN 1 VERSIONS",
+    )
+    assert v2 == v
+    assert store.versions() == [v]
+    assert store.read(spark).count() == before
