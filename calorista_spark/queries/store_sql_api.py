@@ -240,3 +240,67 @@ def store_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TT_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_date, user_id, event_type,
+         CASE WHEN event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+                   AND event_type <> 'view'
+              THEN n * 2 ELSE n END AS n
+  FROM base
+  UNION ALL
+  SELECT event_date, user_id + 100000, 'backfill', 1
+  FROM base
+  WHERE event_date IN (DATE '{_TOUCHED[0]}', DATE '{_TOUCHED[1]}')
+    AND event_type = 'click'
+),
+a AS (SELECT event_date, COUNT(*) AS n FROM base GROUP BY event_date),
+b AS (SELECT event_date, COUNT(*) AS n FROM merged GROUP BY event_date)
+SELECT b.event_date,
+       CAST(a.n AS BIGINT) AS rows_v1,
+       CAST(b.n AS BIGINT) AS rows_head,
+       CAST(b.n - a.n AS BIGINT) AS rows_added
+FROM a JOIN b ON a.event_date = b.event_date
+ORDER BY b.event_date
+"""
+
+
+@query("store_sql_time_travel", _TT_ORACLE)
+def store_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel in pure SQL TEXT (r14): one SELECT joins the SAME
+    catalog-named store at two snapshots — ``VERSION AS OF 1`` (the
+    pre-merge base) against the current head (post-merge) — through
+    :func:`store_sql_query`'s reference rewriting; the per-date row
+    delta isolates exactly the merge's backfill inserts. The oracle
+    recomputes both snapshots from the raw events table, so the
+    version pinning itself is inside the correctness gate (a rewrite
+    that resolved both references to the head would zero out
+    rows_added and hash-mismatch)."""
+    from calorista_spark.queries.table_format import _build_store
+    from calorista_spark.sources.store_sql import store_sql_query
+
+    store, _v1, _v2 = _build_store(spark, sf_dir, "sqltt")
+    register_store("events_tt", store.path)
+    return store_sql_query(
+        spark,
+        """
+        SELECT b.event_date,
+               CAST(a.n AS BIGINT) AS rows_v1,
+               CAST(b.n AS BIGINT) AS rows_head,
+               CAST(b.n - a.n AS BIGINT) AS rows_added
+        FROM (SELECT event_date, COUNT(*) AS n
+              FROM commitlog.events_tt VERSION AS OF 1
+              GROUP BY event_date) a
+        JOIN (SELECT event_date, COUNT(*) AS n
+              FROM commitlog.events_tt
+              GROUP BY event_date) b
+          ON a.event_date = b.event_date
+        ORDER BY b.event_date
+        """,
+    )

@@ -1176,3 +1176,71 @@ def store_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+_BLOOM_LOOKUP_ORACLE = """
+WITH uc AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n_events
+FROM uc
+WHERE user_id IN (7, 8, 42)
+ORDER BY user_id, event_type
+"""
+
+_BLOOM_CACHE: dict[tuple, str] = {}
+
+
+@query("store_bloom_point_lookup", _BLOOM_LOOKUP_ORACLE)
+def store_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping (r14 — sources/bloom.py) inside the
+    correctness gate: the per-user rollup is committed as TWO files
+    with fully overlapping ``user_id`` ranges but disjoint parity
+    sets, so min/max stats can never separate them — any skipping is
+    the bloom's. The point lookup (mixed-parity IN list) must both
+    match the plain-SQL oracle bit-for-bit (no false negatives — the
+    invariant) AND demonstrably skip at least one file on a
+    single-parity probe (guarded via ``last_prune_profile``)."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    fp = _events_fingerprint(sf_dir)
+    key = (sf_dir, fp)
+    path = _BLOOM_CACHE.get(key)
+    if path is None or not os.path.isfile(
+        os.path.join(path, "_commits", "v00000002.json")
+    ):
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"calorista_bloomlkp_{fp}_{os.getpid()}",
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        store = CommitLogStore(path)
+        uc = (
+            read_table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        store.commit(
+            uc.filter("user_id % 2 = 0").coalesce(1),
+            expect_version=None,
+            keys=["user_id", "event_type"],
+        )
+        store.commit(
+            uc.filter("user_id % 2 = 1").coalesce(1), op="append"
+        )
+        store.build_bloom(spark, ["user_id", "event_type"])
+        _BLOOM_CACHE[key] = path
+    store = CommitLogStore(path)
+    # guard: a single-parity probe must actually skip the other
+    # parity's file (min/max provably cannot — ranges fully overlap)
+    store.files_for([("user_id", "==", 42)])
+    prof = store.last_prune_profile
+    if prof is not None and prof.get("files_bloom_skipped", 0) < 1:
+        raise RuntimeError(f"bloom skipped nothing: {prof}")
+    return (
+        store.read_where(spark, [("user_id", "in", [7, 8, 42])])
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+        .orderBy("user_id", "event_type")
+    )

@@ -1080,6 +1080,11 @@ class CommitLogStore:
             m = self.manifest(v)
             stats = m.get("stats", {})
             out = [f for f in m["files"] if _file_matches(stats.get(f), preds)]
+            out, _skip = self._bloom_prune(
+                out, preds,
+                T.StructType.fromJson(json.loads(meta["schema"])),
+                meta.get("column_mapping"),
+            )
             keep = set(out)
             self.last_prune_profile = None
             return (
@@ -1109,10 +1114,20 @@ class CommitLogStore:
                         stm[f] = seg_stats[f]
                     if f in seg_dv:
                         dvm[f] = seg_dv[f]
+        out, bloom_skipped = self._bloom_prune(
+            out, preds,
+            T.StructType.fromJson(json.loads(meta["schema"])),
+            meta.get("column_mapping"),
+        )
+        keep = set(out)
+        dvm = {f: p for f, p in dvm.items() if f in keep}
+        stm = {f: st for f, st in stm.items() if f in keep}
+        part_of = {f: p for f, p in part_of.items() if f in keep}
         self.last_prune_profile = {
             "segments_total": len(idx),
             "segments_loaded": loaded,
             "files_matched": len(out),
+            "files_bloom_skipped": bloom_skipped,
             # exact planned IO of this pruned scan (r14 — the ANN
             # bytes-scanned record in SCALING reads it)
             "planned_bytes": sum(
@@ -2586,6 +2601,276 @@ class CommitLogStore:
                 if _attempt == 4:
                     raise
         raise AssertionError("unreachable")
+
+    def clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        *,
+        as_of: float | None = None,
+    ) -> "CommitLogStore":
+        """Zero-copy CLONE of one retained snapshot into a NEW store
+        (Delta's ``CREATE TABLE ... SHALLOW CLONE`` use case — r14:
+        dev/test forks of a production table, reproducible experiment
+        pins). Every data file and DV sidecar is ``link(2)``-ed into
+        the destination (copy-on-cross-device fallback), so no table
+        bytes are rewritten; the clone's v1 manifest carries the
+        source snapshot's schema/stats/DVs/partitions/clustering/
+        column-mapping verbatim under ``op="clone"`` with provenance
+        in ``clone_of``.
+
+        Hard links make the divergence guarantees STRONGER than a
+        path-referencing shallow clone: both stores see immutable
+        inodes, writes on either side only ever add new files, and a
+        ``vacuum`` that unlinks a shared file on one side cannot free
+        the other side's data (the inode lives until its last ref
+        drops) — no cross-store vacuum protocol needed.
+
+        The replay ledger does NOT carry (a clone is a new writer
+        domain — Delta clones reset txn identity for the same reason);
+        the clone starts at version 1 with an empty commit history of
+        its own. Destination must be an empty store path."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass at most one of version / as_of")
+            version = self.version_as_of(as_of)
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(
+                f"commit-log store at {self.path} is empty"
+            )
+        try:
+            meta = self.manifest_meta(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version v{v} is not retained in {self.path} "
+                "(never committed, or expired by vacuum)"
+            ) from None
+        dest = CommitLogStore(dest_path)
+        if os.path.realpath(dest.path) == os.path.realpath(self.path):
+            raise ValueError("clone destination is the source store")
+        if dest.latest_version() is not None:
+            raise ValueError(
+                f"clone destination {dest.path} is not empty "
+                f"(at v{dest.latest_version()})"
+            )
+        full = self.manifest(v)
+        import shutil as _shutil
+
+        for rel in list(full["files"]) + list(
+            (full.get("dv") or {}).values()
+        ):
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # idempotent retry after a crashed clone
+            except OSError:
+                # cross-device (EXDEV) or FS without hard links
+                _shutil.copy2(src, dst)
+        manifest = {
+            "version": 1,
+            "parent": None,
+            "op": "clone",
+            "clone_of": {"path": self.path, "version": v},
+            "files": list(full["files"]),
+            "schema": full["schema"],
+            "batch_id": None,
+            "last_batch_id": None,
+            "stats": dict(full.get("stats", {})),
+            "stats_format": meta.get("stats_format", 1),
+        }
+        if full.get("dv"):
+            manifest["dv"] = dict(full["dv"])
+        if "partitions" in full:
+            manifest["partitions"] = {
+                val: list(fl) for val, fl in full["partitions"].items()
+            }
+            manifest["partition_by"] = full.get("partition_by")
+        for k in (
+            "keys",
+            "column_mapping",
+            "retired_columns",
+            "clustering",
+        ):
+            if full.get(k) is not None:
+                manifest[k] = full[k]
+        dest._publish(manifest, uuid.uuid4().hex)
+        return dest
+
+    # -- bloom skipping (r14) ------------------------------------------------
+
+    _BLOOM_TYPES = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.StringType,
+        T.DateType,
+    )
+
+    def build_bloom(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        fpp: float = 0.01,
+        version: int | None = None,
+    ) -> int:
+        """Build per-file Bloom sidecars for EQUALITY skipping on
+        ``cols`` (int/string/date families only — see
+        ``sources/bloom.py`` for the design). Executors each read only
+        their files' target columns; sidecars publish atomically from
+        the tasks, so the driver never holds filter bytes. Immutable
+        data files make this incremental for free: files already
+        covered are skipped, files rewritten by DML lack sidecars
+        until the next build (= never skipped, never stale). Returns
+        the number of files indexed this call."""
+        from calorista_spark.sources import bloom as _bloom
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(
+                f"commit-log store at {self.path} is empty"
+            )
+        meta = self.manifest_meta(v)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(
+                    f"unknown column {c!r}; have {schema.fieldNames()}"
+                )
+            if not isinstance(by_name[c], self._BLOOM_TYPES):
+                raise ValueError(
+                    f"bloom column {c!r} has type "
+                    f"{by_name[c].simpleString()}; only int/string/"
+                    "date families carry equality blooms"
+                )
+        mapping = meta.get("column_mapping") or {}
+        phys = sorted(mapping.get(c, c) for c in cols)
+        todo = [
+            f
+            for f in self.manifest(v)["files"]
+            if not self._bloom_covers(f, phys)
+        ]
+        if todo:
+            import pandas as _pd
+
+            store_path = self.path
+            fpp_ = fpp
+
+            def _build(frames):
+                done = []
+                for pdf in frames:
+                    for rel in pdf["file"]:
+                        done.append(
+                            _bloom.build_file_bloom(
+                                store_path, rel, phys, fpp_
+                            )
+                        )
+                yield _pd.DataFrame({"n_cols": done})
+
+            n = (
+                spark.createDataFrame(
+                    [(f,) for f in todo], "file string"
+                )
+                .repartition(min(len(todo), 64))
+                .mapInPandas(_build, "n_cols int")
+                .count()
+            )
+            if n != len(todo):
+                raise RuntimeError(
+                    f"bloom build incomplete: {n}/{len(todo)} files"
+                )
+        # meta records PHYSICAL names: sidecars are keyed physical and
+        # probes arrive physical (post _map_predicates), so renames
+        # never invalidate the filters
+        _bloom.write_meta(self.path, phys, fpp)
+        self._bloom_meta_cache = None  # force re-read on next probe
+        return len(todo)
+
+    def _bloom_covers(self, file_rel: str, phys_cols: list[str]) -> bool:
+        from calorista_spark.sources import bloom as _bloom
+
+        sc = _bloom.load_sidecar(self.path, file_rel)
+        return sc is not None and all(
+            c in sc.get("cols", {}) for c in phys_cols
+        )
+
+    def _bloom_prune(
+        self,
+        files: list[str],
+        preds: list[tuple],
+        schema: T.StructType,
+        mapping: dict[str, str] | None = None,
+    ) -> tuple[list[str], int]:
+        """(surviving files, n skipped) — consult Bloom sidecars for
+        ``==`` / ``in`` predicates over covered columns. ``preds`` are
+        already PHYSICAL-named (post ``_map_predicates``) and so is
+        the bloom meta; the type gate keeps a probe whose literal type
+        doesn't match the column family from ever voting
+        (conservative)."""
+        from calorista_spark.sources import bloom as _bloom
+
+        bm = getattr(self, "_bloom_meta_cache", None)
+        if bm is None:
+            bm = _bloom.load_meta(self.path) or {}
+            self._bloom_meta_cache = bm
+        covered = set(bm.get("cols") or [])
+        if not covered:
+            return files, 0
+        mp = mapping or {}
+        by_name = {
+            mp.get(f.name, f.name): f.dataType for f in schema.fields
+        }
+
+        def type_ok(col: str, v) -> bool:
+            t = by_name.get(col)
+            if isinstance(v, bool):
+                return False
+            if isinstance(
+                t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                return isinstance(v, int)
+            if isinstance(t, T.StringType):
+                return isinstance(v, str)
+            if isinstance(t, T.DateType):
+                return isinstance(v, datetime.date) and not isinstance(
+                    v, datetime.datetime
+                )
+            return False
+
+        probes = []
+        for col, op, value in preds:
+            if op not in ("==", "in") or col not in covered:
+                continue
+            vals = value if op == "in" else [value]
+            if all(type_ok(col, v) for v in vals):
+                probes.append((col, op, value))
+        if not probes:
+            return files, 0
+        kept = [
+            f
+            for f in files
+            if _bloom.probe_keep(
+                self._bloom_sidecar_cached(f), probes
+            )
+        ]
+        return kept, len(files) - len(kept)
+
+    def _bloom_sidecar_cached(self, file_rel: str) -> dict | None:
+        from calorista_spark.sources import bloom as _bloom
+
+        cache = getattr(self, "_bloom_sidecar_cache", None)
+        if cache is None:
+            cache = self._bloom_sidecar_cache = {}
+        if file_rel not in cache:
+            if len(cache) >= 4096:
+                cache.clear()
+            cache[file_rel] = _bloom.load_sidecar(self.path, file_rel)
+        return cache[file_rel]
 
     def _build_dv_artifacts(
         self,
@@ -4202,6 +4487,31 @@ class CommitLogStore:
                 except FileNotFoundError:
                     continue
                 deleted.append(ap)
+        # bloom sidecars of files no retained manifest lists (r14):
+        # sidecars are derived data keyed by file path, so GC is just
+        # name-set subtraction — never age-gated on the DATA's side
+        # (a sidecar for a file that no longer exists can't be about
+        # to become referenced), but .tmp partials are age-gated like
+        # segments (an executor may still be publishing one)
+        from calorista_spark.sources import bloom as _bloom
+
+        bdir = _bloom.bloom_dir(self.path)
+        if os.path.isdir(bdir):
+            live = {
+                _bloom.sidecar_name(f) for f in referenced_files
+            }
+            for fn in os.listdir(bdir):
+                if fn == _bloom._META_FILE or fn in live:
+                    continue
+                ap = os.path.join(bdir, fn)
+                if ".tmp-" in fn and young(ap):
+                    continue
+                try:
+                    os.unlink(ap)
+                except FileNotFoundError:
+                    continue
+                deleted.append(ap)
+            self._bloom_sidecar_cache = {}
         return deleted
 
 

@@ -30,6 +30,11 @@ Supported DML grammar (case-insensitive keywords)::
     RESTORE TABLE commitlog.<table> TO TIMESTAMP AS OF '<iso-ts>'
     OPTIMIZE commitlog.<table> [ZORDER BY (c1[, c2 ...])]
     VACUUM commitlog.<table> [RETAIN <n> VERSIONS]
+
+Read side: :func:`store_sql_query` runs arbitrary SELECT text where
+any ``commitlog.<table>`` reference may carry ``VERSION AS OF <n>`` /
+``TIMESTAMP AS OF '<iso-ts>'`` — rewritten to snapshot-pinned views
+over the batch DataSource, then executed natively.
     MERGE INTO commitlog.<table> [AS] t
         USING (<select ...>) | <view-name> [AS] s
         ON t.k = s.k [AND t.k2 = s.k2 ...]
@@ -355,6 +360,58 @@ def _parse_on_keys(on: str, t: str, s: str) -> list[str]:
             )
         keys.append(a_col)
     return keys
+
+
+_TT_REF_RE = re.compile(
+    rf"{_TABLE_PAT}"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'(?P<ts>[^']+)')?",
+    re.IGNORECASE,
+)
+
+
+def store_sql_query(spark: SparkSession, sql: str):
+    """Arbitrary ``spark.sql`` SELECT text over commit-log stores with
+    Delta-style time travel (r14): every ``commitlog.<name>`` or
+    ``commitlog.`/path``` reference — optionally suffixed ``VERSION AS
+    OF <n>`` or ``TIMESTAMP AS OF '<iso-ts>'`` (naive = UTC) — is
+    rewritten to a snapshot-pinned temp view over the batch
+    DataSource, then the rewritten text runs natively (Catalyst
+    pushdown, DV masking, column mapping all apply; two references at
+    different versions compose in one statement, e.g. a
+    version-over-version diff join). Returns the DataFrame. Reads
+    only — DML text goes through :func:`store_sql`."""
+    import hashlib
+    import os
+
+    from calorista_spark.sources.commitlog import CommitLogStore
+    from calorista_spark.sources.commitlog_batch import (
+        register_batch_source,
+    )
+
+    register_batch_source(spark)
+
+    def repl(m: re.Match) -> str:
+        path = (
+            os.path.abspath(m.group("path"))
+            if m.group("path") is not None
+            else store_path(m.group("name"))
+        )
+        ver = m.group("ver")
+        if m.group("ts") is not None:
+            ts = _dt.datetime.fromisoformat(m.group("ts"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ver = str(CommitLogStore(path).version_as_of(ts.timestamp()))
+        tag = hashlib.md5(f"{path}@{ver}".encode()).hexdigest()[:12]
+        view = f"__cl_tt_{tag}"
+        reader = spark.read.format("commitlog").option("path", path)
+        if ver is not None:
+            reader = reader.option("version", ver)
+        reader.load().createOrReplaceTempView(view)
+        return view
+
+    return spark.sql(_TT_REF_RE.sub(repl, sql))
 
 
 def store_sql(spark: SparkSession, sql: str) -> int:

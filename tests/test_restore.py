@@ -168,3 +168,54 @@ def test_cdf_across_restore_classifies_the_rollback(spark, tmp_path):
         "update_postimage", 0
     )
     assert by_type.get("update_preimage", 0) > 0
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _mutate(store, spark)  # v2 merge, v3 DV delete
+    v3_rows = _rows(store, spark, 3)
+    clone = store.clone(str(tmp_path / "c"))
+    assert clone.latest_version() == 1
+    m = clone.manifest_meta(1)
+    assert m["op"] == "clone"
+    assert m["clone_of"]["version"] == 3
+    # same inodes, no data copied (hard links), DVs carried
+    import os
+
+    f = clone.manifest(1)["files"][0]
+    assert os.stat(os.path.join(clone.path, f)).st_ino == os.stat(
+        os.path.join(store.path, f)
+    ).st_ino
+    assert {
+        (r.d, r.k, r.amt) for r in clone.read(spark).collect()
+    } == v3_rows
+    # divergence: writes on the clone never touch the source
+    clone.delete_where(spark, [("k", ">=", 15)])
+    assert _rows(store, spark) == v3_rows
+    # ledger reset: the clone is a fresh writer domain
+    assert clone.last_batch_id() is None
+
+
+def test_clone_survives_source_vacuum(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    v1_rows = _rows(store, spark, 1)
+    clone = store.clone(str(tmp_path / "c"), version=1)
+    _mutate(store, spark)
+    # source compacts + vacuums away v1's files; the clone's hard
+    # links keep the inodes alive
+    store.compact(spark)
+    store.vacuum(keep_versions=1, retention_seconds=0.0)
+    assert {
+        (r.d, r.k, r.amt) for r in clone.read(spark).collect()
+    } == v1_rows
+
+
+def test_clone_guards(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="destination is the source"):
+        store.clone(store.path)
+    c = store.clone(str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="not empty"):
+        store.clone(c.path)
+    with pytest.raises(ValueError, match="at most one"):
+        store.clone(str(tmp_path / "d"), version=1, as_of=1.0)

@@ -240,3 +240,48 @@ def test_store_sql_optimize_and_vacuum(spark, store):
     assert v2 == v
     assert store.versions() == [v]
     assert store.read(spark).count() == before
+
+
+def test_store_sql_query_time_travel_diff_join(spark, store):
+    from calorista_spark.sources.store_sql import store_sql_query
+
+    store_sql(
+        spark, f"DELETE FROM commitlog.`{store.path}` WHERE k >= 60"
+    )
+    register_store("ttdemo", store.path)
+    df = store_sql_query(
+        spark,
+        """
+        SELECT a.g,
+               CAST(a.n AS BIGINT) AS n_v1,
+               CAST(b.n AS BIGINT) AS n_head
+        FROM (SELECT g, COUNT(*) AS n
+              FROM commitlog.ttdemo VERSION AS OF 1 GROUP BY g) a
+        JOIN (SELECT g, COUNT(*) AS n
+              FROM commitlog.ttdemo GROUP BY g) b
+          ON a.g = b.g
+        ORDER BY a.g
+        """,
+    )
+    rows = {(r.g, r.n_v1, r.n_head) for r in df.collect()}
+    assert rows == {(str(g), 25, 15) for g in range(4)}
+
+
+def test_store_sql_query_timestamp_as_of(spark, store):
+    import datetime as dtm
+
+    from calorista_spark.sources.store_sql import store_sql_query
+
+    t1 = store.manifest_meta(1)["committed_at"]
+    store_sql(
+        spark, f"DELETE FROM commitlog.`{store.path}` WHERE k >= 60"
+    )
+    iso = dtm.datetime.fromtimestamp(
+        t1 + 0.25, tz=dtm.timezone.utc
+    ).isoformat()
+    n = store_sql_query(
+        spark,
+        f"SELECT COUNT(*) AS n FROM commitlog.`{store.path}` "
+        f"TIMESTAMP AS OF '{iso}'",
+    ).collect()[0].n
+    assert n == 100
