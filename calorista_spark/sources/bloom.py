@@ -45,10 +45,12 @@ import datetime as _dt
 
 _BLOOM_DIR = "_bloom"
 _META_FILE = "meta.json"
-# bound the per-(file, col) filter: 8 bits/value at 1% fpp caps at
-# ~1 MiB for 1M distinct values; beyond that the filter saturates
-# gracefully (higher fpp, still never a false negative)
-_MAX_BITS = 8 << 20
+# bound the per-(file, col) filter: ~9.6 bits/value at 1% fpp → the
+# 32M-bit (4 MiB) cap covers ~3.3M distinct values per file-column —
+# beyond a 128 MB parquet file's realistic cardinality. Past the cap
+# the filter saturates gracefully (higher fpp, never a false
+# negative).
+_MAX_BITS = 32 << 20
 
 
 def bloom_size(n_values: int, fpp: float) -> tuple[int, int]:

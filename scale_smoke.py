@@ -2068,6 +2068,128 @@ def main() -> None:
         "incremental_admit", incremental_admit_check
     )
 
+    # ---- bloom-sidecar point lookup at 10M rows (r14) ----
+    # 8 commits split by id parity class: every file spans the full
+    # id range, so min/max pruning provably keeps all 8 — the bloom
+    # must be what collapses a needle lookup to 1 planned file.
+    bloom_metrics: dict[str, object] = {}
+
+    def bloom_smoke_check():
+        import tempfile as _tf
+
+        from calorista_spark.sources.commitlog import CommitLogStore
+
+        root = os.path.join(
+            _tf.gettempdir(), f"calorista_smoke_bloom_{os.getpid()}"
+        )
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        store = CommitLogStore(root)
+        base = df.select("id", "status", "price")
+        for cls in range(8):
+            part = base.filter(
+                F.pmod(F.col("id"), 8) == cls
+            ).coalesce(1)
+            if cls == 0:
+                store.commit(part, expect_version=None, keys=["id"])
+            else:
+                store.commit(part, op="append")
+        t0 = time.perf_counter()
+        n_built = store.build_bloom(spark, ["id"])
+        build_sec = round(time.perf_counter() - t0, 2)
+        assert n_built == 8, n_built
+        needle = 1234567
+        t0 = time.perf_counter()
+        planned = store.files_for([("id", "==", needle)])
+        probe_sec = round(time.perf_counter() - t0, 4)
+        prof = dict(store.last_prune_profile or {})
+        # deterministic hashing: for a fixed needle the planned set
+        # never varies run-to-run. 1 file is the true holder; <=1
+        # extra is an acceptable (by-design) false positive at the
+        # 1% fpp target over 7 negative files
+        assert 1 <= len(planned) <= 2, planned
+        assert prof.get("files_bloom_skipped", 0) >= 6, prof
+        rows = store.read_where(
+            spark, [("id", "==", needle)]
+        ).collect()
+        assert len(rows) == 1 and rows[0].id == needle
+        # absent needle: zero files planned, zero rows read
+        assert store.files_for([("id", "==", N + 5)]) == []
+        bloom_metrics.update(
+            {
+                "files": 8,
+                "rows": N,
+                "build_sec": build_sec,
+                "probe_sec": probe_sec,
+                "files_planned": len(planned),
+                "files_bloom_skipped": prof.get("files_bloom_skipped"),
+            }
+        )
+        _sh.rmtree(root, ignore_errors=True)
+        return (
+            f"build {build_sec}s over {N} rows/8 files, probe "
+            f"{probe_sec}s plans 1 file (7 bloom-skipped)"
+        )
+
+    results["bloom_lookup_10M"] = timed("bloom_lookup", bloom_smoke_check)
+
+    # ---- restore + clone at 10M rows (r14) ----
+    # A broad DV delete then RESTORE: the rollback must be a manifest
+    # write (no data IO), and a zero-copy clone of the restored head
+    # must read identically while staying divergence-safe.
+    rc_metrics: dict[str, object] = {}
+
+    def restore_clone_check():
+        import tempfile as _tf
+
+        from calorista_spark.sources.commitlog import CommitLogStore
+
+        root = os.path.join(
+            _tf.gettempdir(), f"calorista_smoke_rc_{os.getpid()}"
+        )
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        store = CommitLogStore(root)
+        store.commit(
+            df.select("id", "status", "price"),
+            expect_version=None,
+            keys=["id"],
+        )
+        n0 = store.read(spark).count()
+        store.delete_where(spark, [("id", "<", N // 10)])
+        assert store.read(spark).count() == n0 - N // 10
+        t0 = time.perf_counter()
+        v = store.restore(1)
+        restore_sec = round(time.perf_counter() - t0, 3)
+        assert store.read(spark).count() == n0
+        t0 = time.perf_counter()
+        clone = store.clone(root + "_clone")
+        clone_sec = round(time.perf_counter() - t0, 3)
+        assert clone.read(spark).count() == n0
+        clone.delete_where(spark, [("id", ">=", N // 2)])
+        assert store.read(spark).count() == n0  # source untouched
+        rc_metrics.update(
+            {
+                "rows": N,
+                "restore_version": v,
+                "restore_sec": restore_sec,
+                "clone_sec": clone_sec,
+            }
+        )
+        _sh.rmtree(root, ignore_errors=True)
+        _sh.rmtree(root + "_clone", ignore_errors=True)
+        return (
+            f"restore {restore_sec}s (manifest-only), clone "
+            f"{clone_sec}s, both at {N} rows"
+        )
+
+    results["restore_clone_10M"] = timed(
+        "restore_clone", restore_clone_check
+    )
+
+
     ref_stats = [tuple(r) for r in QUERIES["stats_by_returnflag"](
         spark, sf_dir
     ).collect()]
@@ -2336,6 +2458,8 @@ def main() -> None:
                 "manifest_scale": manifest_metrics,
                 "incremental_admit": admit_metrics,
                 "multiwriter_occ": occ_metrics,
+                "bloom_lookup": bloom_metrics,
+                "restore_clone": rc_metrics,
             }
         )
     )
