@@ -304,3 +304,72 @@ def store_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY b.event_date
         """,
     )
+
+
+_CONSTRAINT_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+updated AS (
+  SELECT event_date, user_id, event_type,
+         CASE WHEN user_id = 7 THEN n * 10 ELSE n END AS n
+  FROM base
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM updated
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("store_check_constraint", _CONSTRAINT_ORACLE)
+def store_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints in the correctness gate (r14): the constraint
+    lands through SQL text, a violating UPDATE is REJECTED atomically
+    (guard: the store's version must not move and the data must be
+    untouched), then a valid UPDATE applies. The oracle recomputes
+    only the valid update, so an enforcement gate that leaked the
+    rejected write's rows — or rolled back more than the one aborted
+    commit — hash-mismatches."""
+    from calorista_spark.sources.commitlog import (
+        ConstraintViolationError,
+    )
+
+    def mutate(store):
+        t = f"commitlog.`{store.path}`"
+        store_sql(
+            spark,
+            f"ALTER TABLE {t} ADD CONSTRAINT n_pos CHECK (n_events > 0)",
+        )
+        v = store.latest_version()
+        try:
+            store_sql(
+                spark,
+                f"UPDATE {t} SET n_events = -1 WHERE user_id = 7",
+            )
+            raise RuntimeError("violating UPDATE was not rejected")
+        except ConstraintViolationError:
+            pass
+        if store.latest_version() != v:
+            raise RuntimeError(
+                "rejected UPDATE still advanced the version"
+            )
+        store_sql(
+            spark,
+            f"UPDATE {t} SET n_events = n_events * 10 WHERE user_id = 7",
+        )
+
+    store = _mutated_store(spark, sf_dir, "checkcons", mutate)
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )

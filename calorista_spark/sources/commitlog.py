@@ -130,6 +130,52 @@ from pyspark.sql import types as T
 from calorista_spark.operators.merge import merge_upsert, merge_upsert_cdc
 
 
+def _duckdb_validate_files(
+    root: str,
+    files: list[str],
+    schema_json: dict,
+    mapping: dict[str, str],
+    cons: dict[str, str],
+) -> None:
+    """CHECK-constraint validation of staged parquet WITHOUT a
+    SparkSession — the Spark DataSource write face commits from a
+    session-less Python worker, so it validates through DuckDB over
+    the files it just wrote. :meth:`CommitLogStore.add_constraint`
+    gates every expression on DuckDB bindability at creation time, so
+    an enforced constraint is always evaluable here; the SQL-standard
+    tri-state (only FALSE violates) matches the Spark-side gate."""
+    if not cons or not files:
+        return
+    import duckdb
+
+    logical = [f["name"] for f in schema_json["fields"]]
+    sel = ", ".join(
+        f'"{mapping.get(n, n)}" AS "{n}"' for n in logical
+    )
+    paths = [os.path.join(root, f) for f in files]
+    viol = " OR ".join(f"(({e}) IS FALSE)" for e in cons.values())
+    con = duckdb.connect()
+    try:
+        n_bad = con.sql(
+            f"SELECT COUNT(*) FROM (SELECT {sel} FROM "
+            f"read_parquet({paths!r})) WHERE {viol}"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    if n_bad:
+        raise ConstraintViolationError(
+            f"write violates CHECK constraint(s) {sorted(cons)}: "
+            f"{n_bad} row(s)"
+        )
+
+
+class ConstraintViolationError(RuntimeError):
+    """A write produced rows that fail a table CHECK constraint; the
+    commit was aborted before publish (the staged files are orphans
+    vacuum reaps). SQL-standard semantics: a row violates only when
+    the expression evaluates to FALSE — NULL/UNKNOWN passes."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
@@ -1424,6 +1470,11 @@ class CommitLogStore:
             )
         for f in new_files:  # durability of the immutable data files
             _fsync_file(os.path.join(self.path, f))
+        if parent is not None:
+            cons = self.manifest_meta(parent).get("constraints") or {}
+            self._validate_constraints(
+                df.sparkSession, new_files, df.schema, mapping, cons
+            )
         # footer-lifted stats for every NEW file (no extra scan);
         # carried files reuse their parent-manifest entry at publish
         return {
@@ -1451,6 +1502,7 @@ class CommitLogStore:
         carry_files: dict[str, list[str]] | None = None,
         clustering: dict | None = None,
         txn_app: str | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Compose a manifest for already-staged data files against
         ``parent`` and publish it atomically; stats/DV/clustering of
@@ -1602,6 +1654,12 @@ class CommitLogStore:
         }
         if txn_app is not None:
             manifest["txn_app"] = txn_app
+        if constraints is not None:
+            # explicit SET (add/drop); otherwise _publish carries the
+            # parent's map forward
+            manifest["constraints"] = {
+                k: constraints[k] for k in sorted(constraints)
+            }
         manifest["stats"] = {f: stats[f] for f in sorted(stats)}
         if dv_map:
             manifest["dv"] = {f: dv_map[f] for f in sorted(dv_map)}
@@ -1667,6 +1725,13 @@ class CommitLogStore:
                 txn[txn_app] = b
         if txn:
             manifest["txn"] = {k: txn[k] for k in sorted(txn)}
+        # CHECK constraints carry forward on every commit path unless
+        # the commit sets them explicitly (add/drop/restore/clone);
+        # an explicit EMPTY dict after drop-last stays empty
+        if "constraints" not in manifest and parent is not None:
+            pc = self.manifest_meta(parent).get("constraints")
+            if pc:
+                manifest["constraints"] = pc
         # stats_format 2 = r11+ timestamp kinds ('t' strictly UTC, 'tn'
         # naive). Manifests WITHOUT the marker may hold pre-r11 naive
         # values under kind 't'; files_for treats their datetime
@@ -2335,6 +2400,7 @@ class CommitLogStore:
         partition_by: str | None,
         keys: list[str] | None,
         clustering: dict | None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Publish a commit that changes ONLY table metadata: every
         data file (and DV, and per-file stats) carries from the parent
@@ -2377,6 +2443,7 @@ class CommitLogStore:
             carry_partitions=carry_partitions,
             carry_files=carry_files,
             clustering=clustering,
+            constraints=constraints,
         )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -2571,6 +2638,10 @@ class CommitLogStore:
             for k in ("keys", "column_mapping", "retired_columns"):
                 if tmeta.get(k) is not None:
                     manifest[k] = tmeta[k]
+            # table metadata restores WITH the data (Delta RESTORE
+            # semantics): explicit set blocks the head-carry in
+            # _publish, so constraints added after the target vanish
+            manifest["constraints"] = tmeta.get("constraints") or {}
             if tidx is not None and tmeta.get("partitioned"):
                 # O(partitions): target segments carry by reference
                 manifest["files"] = []
@@ -2694,6 +2765,7 @@ class CommitLogStore:
             "column_mapping",
             "retired_columns",
             "clustering",
+            "constraints",
         ):
             if full.get(k) is not None:
                 manifest[k] = full[k]
@@ -2860,6 +2932,140 @@ class CommitLogStore:
         ]
         return kept, len(files) - len(kept)
 
+    # -- CHECK constraints (r14) ---------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return dict(self.manifest_meta(v).get("constraints") or {})
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — Delta
+        parity. The EXISTING data must already satisfy the expression
+        (one pruned columnar scan proves it; a violating table refuses
+        the constraint, exactly like Delta), then a metadata-only
+        commit records it and every later write validates its NEW
+        files before publish (:meth:`_validate_constraints`).
+        SQL-standard tri-state: only FALSE violates, NULL passes —
+        ``col IS NOT NULL`` expresses NOT NULL."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                f"commit-log store at {self.path} is empty"
+            )
+        from pyspark.sql import functions as F
+
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]!r}"
+            )
+        bad = (
+            self.read(spark)
+            .filter(F.expr(f"({expr}) <=> FALSE"))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows violate CHECK ({expr}); e.g. "
+                f"{bad[0].asDict()}"
+            )
+        # cross-engine bindability gate: the Spark DataSource write
+        # face commits from a session-less worker and enforces through
+        # DuckDB (_duckdb_validate_files), so the expression must bind
+        # there too — refused NOW, loudly, not silently unenforced on
+        # one write path later. The portable comparison/boolean/
+        # arithmetic/IS NULL subset covers real CHECK constraints.
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.register("t", self.read(spark).limit(0).toPandas())
+            con.sql(f"SELECT (({expr}) IS FALSE) FROM t LIMIT 0")
+        except duckdb.Error as e:
+            raise ValueError(
+                f"CHECK ({expr}) does not bind in DuckDB, which "
+                "enforces the Spark write face; use the portable "
+                f"expression subset ({e})"
+            ) from None
+        finally:
+            con.close()
+        cons[name] = expr
+        return self._constraints_commit(latest, cons, op="add_constraint")
+
+    def drop_constraint(self, name: str) -> int:
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                f"commit-log store at {self.path} is empty"
+            )
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(
+                f"unknown constraint {name!r}; have {sorted(cons)}"
+            )
+        del cons[name]
+        return self._constraints_commit(
+            latest, cons, op="drop_constraint"
+        )
+
+    def _constraints_commit(
+        self, latest: int, cons: dict[str, str], *, op: str
+    ) -> int:
+        """Metadata-only commit that SETS the constraints map (carried
+        files by reference, like rename/drop column)."""
+        meta = self.manifest_meta(latest)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        v = self._metadata_only_commit(
+            latest,
+            meta,
+            op=op,
+            schema=schema,
+            mapping=dict(meta.get("column_mapping") or {}),
+            retired=meta.get("retired_columns"),
+            partition_by=meta.get("partition_by"),
+            keys=meta.get("keys"),
+            clustering=meta.get("clustering"),
+            constraints=cons,
+        )
+        return v
+
+    def _validate_constraints(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        mapping: dict[str, str] | None,
+        cons: dict[str, str],
+    ) -> None:
+        """Abort-before-publish gate: scan the freshly STAGED files
+        (columnar, pruned to the constraint columns, early-exit on
+        first hit) rather than re-running the caller's upstream plan a
+        second time. Orphaned files of an aborted commit are vacuum's
+        normal prey."""
+        if not cons or not files:
+            return
+        from pyspark.sql import functions as F
+
+        viol = " OR ".join(
+            f"(({e}) <=> FALSE)" for e in cons.values()
+        )
+        bad = (
+            self._read_files(spark, files, schema, mapping=mapping)
+            .filter(F.expr(viol))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                "write violates CHECK constraint(s) "
+                f"{sorted(cons)}; e.g. {bad[0].asDict()}"
+            )
+
     def _bloom_sidecar_cached(self, file_rel: str) -> dict | None:
         from calorista_spark.sources import bloom as _bloom
 
@@ -3007,6 +3213,7 @@ class CommitLogStore:
         token: str,
         subdir: str,
         coalesce_partitions: bool = True,
+        validate: bool = False,
     ) -> tuple[dict[str, list[str]], list[str], dict[str, dict]]:
         """Write DML result rows under ``data/<token>/<subdir>`` —
         hive-laid-out per partition value when the store is partitioned.
@@ -3078,6 +3285,19 @@ class CommitLogStore:
         files = sorted(f for fl in new_parts.values() for f in fl)
         for f in files:
             _fsync_file(os.path.join(self.path, f))
+        if validate:
+            # DML paths that MODIFY rows (update/merge) gate their new
+            # files on the table's CHECK constraints; pure-survivor
+            # rewrites (CoW delete, purge_dv) pass validate=False —
+            # rows that entered under the constraints cannot start
+            # violating them by being copied
+            self._validate_constraints(
+                df.sparkSession,
+                files,
+                T.StructType.fromJson(json.loads(m["schema"])),
+                mapping,
+                m.get("constraints") or {},
+            )
         return new_parts, files, stats
 
     def _publish_dml(
@@ -3447,7 +3667,7 @@ class CommitLogStore:
                 ]
             )
             new_parts, _nf, new_stats = self._write_dml_files(
-                updated, meta, token, "upd"
+                updated, meta, token, "upd", validate=True
             )
         if cow_files:
             # copy-on-write path: rewrite the whole file, assignments
@@ -3469,7 +3689,8 @@ class CommitLogStore:
                 ]
             )
             parts_rw, _files_rw, stats_rw = self._write_dml_files(
-                rewritten, meta, token, "rw", coalesce_partitions=False
+                rewritten, meta, token, "rw",
+                coalesce_partitions=False, validate=True,
             )
             for val, fl in parts_rw.items():
                 new_parts[val] = sorted(new_parts.get(val, []) + fl)

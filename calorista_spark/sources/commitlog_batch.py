@@ -460,6 +460,33 @@ def make_commitlog_batch_datasource():
                 "schema": self.schema_json,
                 "column_mapping": self.mapping,
             }
+            if self.parent is not None and files:
+                # CHECK constraints gate the Spark write face too
+                # (r14): the staged files validate on the DRIVER's
+                # active session before the manifest can publish
+                cons = (
+                    store.manifest_meta(self.parent).get("constraints")
+                    or {}
+                )
+                if cons:
+                    # the DataSource commit hook runs in a
+                    # SESSION-LESS Python worker (no JVM gateway), so
+                    # the staged parquet validates through DuckDB —
+                    # add_constraint gates every expression on
+                    # cross-engine bindability at creation time
+                    import json as _json
+
+                    from calorista_spark.sources.commitlog import (
+                        _duckdb_validate_files,
+                    )
+
+                    _duckdb_validate_files(
+                        self.root,
+                        files,
+                        _json.loads(self.schema_json),
+                        self.mapping,
+                        cons,
+                    )
             carry_partitions: dict[str, list[str] | None] | None = None
             carry_files: dict[str, list[str]] | None = None
             if not self.overwrite and self.parent is not None:

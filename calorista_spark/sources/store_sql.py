@@ -30,6 +30,8 @@ Supported DML grammar (case-insensitive keywords)::
     RESTORE TABLE commitlog.<table> TO TIMESTAMP AS OF '<iso-ts>'
     OPTIMIZE commitlog.<table> [ZORDER BY (c1[, c2 ...])]
     VACUUM commitlog.<table> [RETAIN <n> VERSIONS]
+    ALTER TABLE commitlog.<table> ADD CONSTRAINT <name> CHECK (<expr>)
+    ALTER TABLE commitlog.<table> DROP CONSTRAINT <name>
 
 Read side: :func:`store_sql_query` runs arbitrary SELECT text where
 any ``commitlog.<table>`` reference may carry ``VERSION AS OF <n>`` /
@@ -290,6 +292,16 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+?)\s*\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TABLE_PAT}\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>[A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TABLE_PAT}\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+{_TABLE_PAT}"
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$",
@@ -476,6 +488,18 @@ def store_sql(spark: SparkSession, sql: str) -> int:
                 spark, cluster_by=cols, layout="zorder", max_retries=2
             )
         return store.compact(spark, max_retries=2)
+
+    m = _ADD_CONSTRAINT_RE.match(sql)
+    if m:
+        store = CommitLogStore(_resolve_table(m))
+        return store.add_constraint(
+            spark, m.group("cname"), m.group("expr").strip()
+        )
+
+    m = _DROP_CONSTRAINT_RE.match(sql)
+    if m:
+        store = CommitLogStore(_resolve_table(m))
+        return store.drop_constraint(m.group("cname"))
 
     m = _VACUUM_RE.match(sql)
     if m:
