@@ -363,6 +363,13 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
     )
+    # r14 note (guide §1.2 "measure first"): an Arrow-vectorized pair
+    # scorer (functions/vectors.arrow_pairwise_fold, bit-identical
+    # cumsum fold) was measured here and REVERTED — the registry's
+    # brute anchors rank only a 5-query probe batch (~10k pairs), and
+    # the Arrow stage's fixed cost outweighed the fold at that size
+    # (warm 1.6 s → 3.7 s). The fold stays JVM-native; the Arrow
+    # operator remains for genuinely pair-heavy stages.
     sim = F.round(
         dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), round_digits
     )

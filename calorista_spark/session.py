@@ -45,6 +45,16 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r14 optimization (guide §4 — the Python boundary): PySpark 4
+        # wraps EVERY DataFrame/Column API call in a call-site capture
+        # (a Python stack walk plus two extra py4j round-trips to set/
+        # clear the JVM-side origin) so error messages can cite user
+        # code. For a query engine composing hundreds of exprs per
+        # query that is pure per-call overhead on the driver: measured
+        # 0.37 s → 0.13 s to BUILD daily_totals' DataFrame (no action),
+        # ~0.1-0.25 s per registered query. Scale-independent (driver-
+        # side constant cost), so it helps identically on a cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: allow large-enough splits locally; a cluster
         # deployment tunes maxPartitionBytes to executor memory.
