@@ -48,15 +48,55 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _input_fingerprint(path: str):
+    """(size, mtime) fingerprint of a parquet file or directory — a
+    cached plan is only reused while the underlying bytes are
+    provably the same ones it was planned over."""
+    if os.path.isdir(path):
+        out = []
+        for n in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, n))
+            out.append((n, st.st_size, st.st_mtime_ns))
+        return tuple(out)
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
+def _plan_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, "_calorista_plan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._calorista_plan_cache = cache
+    return cache
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
 ) -> DataFrame:
     """Read one catalog table. Plain parquet scan — filters and
     projections applied by callers reach the scan via Catalyst.
     ``fan_out=True`` widens an under-partitioned scan (see
-    :func:`fan_out`) for CPU-heavy downstream stages."""
+    :func:`fan_out`) for CPU-heavy downstream stages.
+
+    r14 (guide §5 — the driver should do almost no data work): the
+    built DataFrame is memoized per (session, dir, table, fan_out,
+    input fingerprint). A DataFrame is an immutable logical plan, so
+    reuse is pure metadata: every action still scans the parquet
+    bytes. Without the memo each of the ~400 read_table calls in a
+    full registry pass re-listed and re-schema-read the same static
+    file (~80-300 ms of driver/py4j work per call), and ``fan_out``
+    re-ran physical planning just to count scan splits. The
+    fingerprint (file sizes + mtimes) drops the cache the moment the
+    driver regenerates testdata; the cache lives on the session
+    object, so a fresh session (fresh tz/conf axes) never sees
+    another session's plans."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    cache = _plan_cache(spark)
+    key = (sf_dir, name, fan_out, _input_fingerprint(table_path(sf_dir, name)))
+    df = cache.get(key)
+    if df is not None:
+        return df
     if name == "events":
         df = _read_events(spark, sf_dir)
     else:
@@ -65,7 +105,10 @@ def read_table(
         from pyspark.sql import functions as F
 
         df = F.broadcast(df)
-    return globals()["fan_out"](df) if fan_out else df
+    if fan_out:
+        df = globals()["fan_out"](df)
+    cache[key] = df
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -79,12 +122,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     downstream pipeline to ONE task) pays the one tiny exchange.
     Never use upstream of rounded cross-row double aggregations whose
     oracle chains on the rounded values (e.g. IVF centroids) —
-    repartitioning changes partial-aggregation order."""
+    repartitioning changes partial-aggregation order.
+
+    r14: the decision is memoized on the DataFrame object — the
+    ``getNumPartitions`` probe runs full physical planning (~100 ms of
+    driver work), and with read_table's plan memo the same base-scan
+    object flows through fan_out once per query."""
+    memo = getattr(df, "_calorista_fan_out", None)
+    if memo is not None:
+        return memo
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    df._calorista_fan_out = out
+    return out
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

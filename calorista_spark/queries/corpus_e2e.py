@@ -243,9 +243,17 @@ def build_e2e_stages(
     # The id-only loser list is pinned: its lineage is the whole LSH
     # chain (the dominant cost) and two downstream branches join it.
     exactd = base.filter("exact_keep")
+    # r14 (guide §2.3): materialize the distinct-shingle sets once —
+    # both the minhash signature build and the exact-Jaccard verify
+    # consume them, and without the pin each branch re-tokenizes +
+    # re-shingles the survivor corpus (the same fix as the standalone
+    # LSH queries' shared shingle_sets; lazy checkpoint so the
+    # checkpoint=False control path is unaffected in cost shape)
     sets = exactd.select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
+    if checkpoint:
+        sets = stage_checkpoint(sets, eager=False)
     sig = minhash_signatures(exactd, "doc_id", "text", num_hashes=16, n=3, sets=sets)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
     cand = lsh_candidate_pairs(bands, "doc_id")
