@@ -202,8 +202,12 @@ def test_store_sql_restore_to_timestamp(spark, store):
     store_sql(
         spark, f"DELETE FROM commitlog.`{store.path}` WHERE k >= 50"
     )
+    # resolve strictly between the two commits' REAL timestamps — a
+    # fixed t1+0.5 offset flakes when a warm session lands the DELETE
+    # in under half a second
+    t2 = store.manifest_meta(2)["committed_at"]
     iso = dt.datetime.fromtimestamp(
-        t1 + 0.5, tz=dt.timezone.utc
+        (t1 + t2) / 2, tz=dt.timezone.utc
     ).isoformat()
     store_sql(
         spark,
