@@ -4091,36 +4091,53 @@ class CommitLogStore:
                 [p[f"__p_{k}"].eqNullSafe(q[f"__q_{k}"]) for k in ks],
             )
             j = p.join(q, cond, "full_outer")
-            deletes = j.filter(F.col("__q_hash").isNull()).select(
-                *[F.col(f"__p_{c}").alias(c) for c in data_cols],
-                F.lit("delete").alias("_change_type"),
-                *tag,
-            )
-            inserts = j.filter(F.col("__p_hash").isNull()).select(
-                *[F.col(f"__q_{c}").alias(c) for c in data_cols],
-                F.lit("insert").alias("_change_type"),
-                *tag,
-            )
-            changed = j.filter(
-                F.col("__p_hash").isNotNull()
-                & F.col("__q_hash").isNotNull()
-                & (F.col("__p_hash") != F.col("__q_hash"))
-            )
-            pre_rows = changed.select(
-                *[F.col(f"__p_{c}").alias(c) for c in data_cols],
-                F.lit("update_preimage").alias("_change_type"),
-                *tag,
-            )
-            post_rows = changed.select(
-                *[F.col(f"__q_{c}").alias(c) for c in data_cols],
-                F.lit("update_postimage").alias("_change_type"),
-                *tag,
+
+            # ONE pass over the join (r14, guide §2.3): the old shape
+            # unioned four filters of `j`, and Catalyst computes the
+            # full-outer join once PER UNION BRANCH (only the shuffle
+            # exchanges get reused) — 4 joins of two table-sized sides
+            # per CDF step. Classify instead into an array of change
+            # structs and explode: identical rows, one join, one scan.
+            def _payload(side: str, ctype: str):
+                return F.struct(
+                    *[
+                        F.col(f"__{side}_{c}").alias(c)
+                        for c in data_cols
+                    ],
+                    F.lit(ctype).alias("_change_type"),
+                )
+
+            changes = (
+                F.when(
+                    F.col("__q_hash").isNull(),
+                    F.array(_payload("p", "delete")),
+                )
+                .when(
+                    F.col("__p_hash").isNull(),
+                    F.array(_payload("q", "insert")),
+                )
+                .when(
+                    F.col("__p_hash") != F.col("__q_hash"),
+                    F.array(
+                        _payload("p", "update_preimage"),
+                        _payload("q", "update_postimage"),
+                    ),
+                )
+                # unchanged (equal hashes): NULL array — explode drops
+                # the row, matching the old suppression filters
             )
             frames.append(
                 _phys_rename(
-                    deletes.unionByName(inserts)
-                    .unionByName(pre_rows)
-                    .unionByName(post_rows),
+                    j.select(changes.alias("__ch"))
+                    .select(F.explode("__ch").alias("__c"))
+                    .select(
+                        *[
+                            F.col(f"__c.{c}").alias(c)
+                            for c in data_cols
+                        ],
+                        F.col("__c._change_type").alias("_change_type"),
+                        *tag,
+                    ),
                     data_cols,
                     mapping,
                 )
