@@ -58,10 +58,15 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the previous label as __old so the fixpoint check can
+        # ride the SAME materialized frame (r14, guide §2.4): the old
+        # shape re-joined new vs old labels per round — one extra join
+        # + job every iteration just to ask "did anything change?"
         stepped = (
             labels.join(nbr_labels, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("__old"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
@@ -90,6 +95,7 @@ def connected_components(
                 )
                 .select(
                     "node",
+                    "__old",
                     F.least(
                         F.col("comp"),
                         F.coalesce(F.col("__comp2"), F.col("comp")),
@@ -101,17 +107,17 @@ def connected_components(
         # fixpoint probe below then joins two MATERIALIZED frames
         # instead of re-executing the iteration lineage (measured
         # 7.3s → 7.0s at sf0.1 vs checkpointing every 3rd round)
+        new_labels = new_labels.withColumn(
+            "__chg", F.col("comp") < F.col("__old")
+        ).drop("__old")
         if (i + 1) % checkpoint_every == 0:
             new_labels = stage_checkpoint(new_labels, eager=True)
-        # fixpoint: converged when no node's label shrank this round
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .isEmpty()
-        )
-        labels = new_labels
+        # fixpoint: converged when no node's label shrank this round.
+        # The change flag was computed inside the round's own plan, so
+        # the probe is a bare filter over the just-materialized frame —
+        # no new-vs-old join, no re-execution of the round's lineage.
+        converged = new_labels.filter("__chg").limit(1).isEmpty()
+        labels = new_labels.drop("__chg")
         if converged:
             break
     if not converged:

@@ -265,7 +265,15 @@ def build_e2e_stages(
     )
 
     is_train = F.expr(_IS_TRAIN_SPARK)
-    survivors = exactd.join(losers, "doc_id", "left_anti")
+    # r14 (guide §3.1): the loser list is a checkpointed LogicalRDD —
+    # Catalyst has no size estimate for it and planned a SortMergeJoin
+    # that shuffled the ENTIRE survivor corpus (text column included)
+    # just to drop a tiny id list. Broadcast the ids explicitly: the
+    # anti-join becomes map-side and the text never moves. (At true
+    # 100 TB scale with a loser set too large to broadcast, the same
+    # shape swaps to a Bloom-filter prefilter per guide §3.2 — the ids
+    # are 8 bytes/row, so broadcast holds far past this bench's sizes.)
+    survivors = exactd.join(F.broadcast(losers), "doc_id", "left_anti")
 
     # --- eval decontamination: ≥50% of a train doc's distinct 3-grams
     # leak from the eval half → drop. One gram-keyed window; the
@@ -292,15 +300,22 @@ def build_e2e_stages(
     )
 
     # --- one wide flags frame: every stage verdict as a column ---
+    # broadcast both id lists (guide §3.1): same no-size-estimate
+    # problem as the survivors anti-join above — without the hint the
+    # losers join shuffled the full flagged corpus frame
     flags = (
         base.join(
-            losers.select(F.col("doc_id"), F.lit(True).alias("__loser")),
+            F.broadcast(
+                losers.select(F.col("doc_id"), F.lit(True).alias("__loser"))
+            ),
             "doc_id",
             "left",
         )
         .join(
-            contaminated.select(
-                F.col("doc_id"), F.lit(True).alias("__contam")
+            F.broadcast(
+                contaminated.select(
+                    F.col("doc_id"), F.lit(True).alias("__contam")
+                )
             ),
             "doc_id",
             "left",

@@ -598,8 +598,13 @@ def doc_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = jac.filter(F.col("jaccard") >= 0.8).select(
         F.col("id_b").alias("doc_id")
     )
+    # r14 (guide §3.1): broadcast the id-only loser list — the anti-
+    # join was a SortMergeJoin shuffling both sides; map-side anti
+    # drops two exchanges (bloom prefilter is the >broadcast-cap form)
     return (
-        docs.join(losers, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 

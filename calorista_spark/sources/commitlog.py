@@ -4206,20 +4206,70 @@ class CommitLogStore:
                     raise
                 max_retries -= 1
 
+    @staticmethod
+    def _murmur3_long(value: int, seed: int = 42) -> int:
+        """Spark's ``F.hash`` of one LongType value: Murmur3 x86-32
+        over the long's two little-endian 32-bit halves, signed-int
+        result. Pinned bit-exact against ``F.hash`` by
+        ``tests/test_compact_salts.py`` — HashPartitioning's partition
+        id is ``pmod(this, numPartitions)``, which is what lets
+        :meth:`_hash_slot_salts` pre-solve placement driver-side."""
+        c1, c2 = 0xCC9E2D51, 0x1B873593
+        h = seed & 0xFFFFFFFF
+        v = value & 0xFFFFFFFFFFFFFFFF
+        for k in (v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF):
+            k = (k * c1) & 0xFFFFFFFF
+            k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+            k = (k * c2) & 0xFFFFFFFF
+            h ^= k
+            h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+            h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+        h ^= 8  # total byte length of the hashed input
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    @classmethod
+    def _hash_slot_salts(cls, n: int) -> list[int]:
+        """For each shuffle slot p in [0, n): a long ``s`` with
+        ``pmod(hash(s), n) == p`` (Spark's HashPartitioning id is
+        exactly ``pmod(murmur3(expr, 42), n)``). Pure driver-side
+        arithmetic — O(n log n) expected probes, NO Spark job, NO scan
+        of table data — so compact can place each quantile bin into
+        exactly its own output task via plain hash repartition instead
+        of ``repartitionByRange``, whose boundary sampling is a whole
+        extra pass over the rewrite set (r14, guide §2.4). A wrong
+        salt could only MERGE bins into one task (fewer, fatter files
+        — a layout-quality miss, never a data error); the murmur3
+        parity test pins even that away."""
+        salts: dict[int, int] = {}
+        candidate = 0
+        while len(salts) < n:
+            slot = cls._murmur3_long(candidate) % n
+            salts.setdefault(slot, candidate)
+            candidate += 1
+        return [salts[p] for p in range(n)]
+
     def _with_compact_buckets(
         self, df: DataFrame, pb: str, order, todo: dict[str, int]
     ):
-        """``df`` plus a deterministic ``__cbkt`` bin id: partition
-        value → a contiguous id block of its ``todo`` width, rows
-        placed by their ORDER-key position against that partition's
-        own quantile grid (one aggregation pass over the rewrite set,
-        boundaries broadcast back as a tiny array-typed dim). Hashing
-        ``__cbkt`` to tasks can only MERGE bins, never split one, so
-        each partition lands at most ``todo[val]`` files with disjoint
-        contiguous order ranges — tight skippable stats AND a stable
-        compact-idempotence check (sampled repartitionByRange gave
-        neither). Returns ``None`` for non-numeric order keys (the
-        quantile grid needs an ordered cast to double)."""
+        """``df`` plus a deterministic ``__cbkt`` bin id AND a
+        ``__csalt`` placement key: partition value → a contiguous id
+        block of its ``todo`` width, rows placed by their ORDER-key
+        position against that partition's own quantile grid (one
+        aggregation pass over the rewrite set, boundaries broadcast
+        back as a tiny array-typed dim). ``__csalt`` is the bin's
+        pre-computed hash-slot salt (:meth:`_hash_slot_salts`):
+        ``repartition(total, __csalt)`` lands every bin in exactly its
+        own task — one file per bin, disjoint contiguous order ranges,
+        tight skippable stats, a stable compact-idempotence check, and
+        NO range-boundary sampling pass (sampled repartitionByRange
+        gave none of the first three and cost an extra scan). Returns
+        ``None`` for non-numeric order keys (the quantile grid needs
+        an ordered cast to double)."""
         from pyspark.sql import functions as F
 
         dt = df.select(order.alias("__o")).schema[0].dataType.simpleString()
@@ -4259,21 +4309,41 @@ class CommitLogStore:
                     }
                 )
                 bounds_by_part[r["__p"]] = picks
+        total = sum(todo.values())
+        slot_salts = self._hash_slot_salts(total)
+        salts_by_part = {
+            v: [
+                slot_salts[offsets[v] + j]
+                for j in range(len(bounds_by_part[v]) + 1)
+            ]
+            for v in todo
+        }
         bdf = df.sparkSession.createDataFrame(
-            [(v, offsets[v], bounds_by_part[v]) for v in sorted(todo)],
-            "__p string, __off int, __bounds array<double>",
+            [
+                (v, offsets[v], bounds_by_part[v], salts_by_part[v])
+                for v in sorted(todo)
+            ],
+            "__p string, __off int, __bounds array<double>, "
+            "__salts array<bigint>",
         )
         joined = df.join(
             F.broadcast(bdf),
             F.col(pb).cast("string") == F.col("__p"),
             "left",
         )
-        bucket = F.coalesce(F.col("__off"), F.lit(0)) + F.coalesce(
+        local = F.coalesce(
             F.size(F.filter(F.col("__bounds"), lambda b: b <= od)),
             F.lit(0),
         )
-        return joined.withColumn("__cbkt", bucket).drop(
-            "__p", "__off", "__bounds"
+        bucket = F.coalesce(F.col("__off"), F.lit(0)) + local
+        salt = F.coalesce(
+            F.element_at(F.col("__salts"), local + F.lit(1)),
+            F.lit(0).cast("bigint"),
+        )
+        return (
+            joined.withColumn("__cbkt", bucket)
+            .withColumn("__csalt", salt)
+            .drop("__p", "__off", "__bounds", "__salts")
         )
 
     def _compact_once(
@@ -4480,15 +4550,19 @@ class CommitLogStore:
                 )
                 df = df.repartitionByRange(total, *cols)
             else:
-                # range-partition on the BIN ID, not hash: range
-                # placement never splits one bin and merges only
-                # ADJACENT bins, so every output file still covers one
-                # contiguous order range (hash placement merged
-                # arbitrary bins and destroyed the stat tightness
-                # clustering exists for)
-                df = bucketed.repartitionByRange(
-                    total, F.col("__cbkt")
-                ).drop("__cbkt")
+                # hash-place each bin via its PRE-SOLVED slot salt
+                # (r14, guide §2.4): pmod(hash(__csalt), total) == the
+                # bin's own slot by construction, so every bin lands
+                # alone in exactly its task — one file per bin, never
+                # split, never merged — and the rewrite set is NOT
+                # scanned an extra time for range-boundary sampling
+                # (repartitionByRange's sketch pass). Raw hash
+                # placement on __cbkt would merge arbitrary bins and
+                # destroy the stat tightness clustering exists for;
+                # the salt removes that hazard deterministically.
+                df = bucketed.repartition(total, F.col("__csalt")).drop(
+                    "__cbkt", "__csalt"
+                )
         return self.commit(
             df,
             op="compact",
