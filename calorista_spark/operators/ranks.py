@@ -83,11 +83,19 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "global_rn",
     num_partitions: int | None = None,
+    attach_total: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global row number over ``order_cols`` (which must
     form a total order — include a unique tiebreak column) WITHOUT a
     single-partition window. Adds ``out_col``; preserves all input
-    columns."""
+    columns.
+
+    ``attach_total`` (r14, guide §2.4): also attach the TOTAL row
+    count as a column of that name, computed from the per-partition
+    counts the offsets pass already aggregates — callers that need
+    "rank out of N" (ntile, deciles) previously recomputed N with a
+    second full scan + aggregation of the input; the total rides the
+    same P-row offsets frame and the same broadcast join for free."""
     ranged = _range_partitioned(df, order_cols, num_partitions)
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     local = ranged.withColumn(_LOCAL, F.row_number().over(w_local))
@@ -95,9 +103,16 @@ def global_row_number(
     # cumulative offsets across partition ids: P rows — the ONLY
     # global window in the pattern, and it sees O(P) rows, not O(N)
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        _PID, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET)
-    )
+    off_cols = [
+        _PID,
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET),
+    ]
+    if attach_total is not None:
+        w_all = Window.orderBy(_PID).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__n").over(w_all).alias(attach_total))
+    offsets = counts.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("int"))
@@ -132,6 +147,7 @@ def ordered_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    attach_total: str | None = None,
 ) -> DataFrame:
     """Exact running sum of ``value_col`` over a total order (include
     a unique tiebreak; elements may be desc() Columns) WITHOUT a
@@ -145,7 +161,14 @@ def ordered_running_sum(
     For doubles the two-pass accumulation order differs from a
     sequential window and can diverge in the last ulp — quantize
     double inputs first (``functions.numeric`` conventions) when
-    cross-engine-stable output matters."""
+    cross-engine-stable output matters.
+
+    ``attach_total`` (r14, guide §2.4): also attach the GRAND total of
+    ``value_col`` as a column of that name, derived from the per-
+    partition sums the offsets pass already aggregates — budget-style
+    callers ("keep until 25 % of all tokens") previously recomputed
+    the grand total with a second full scan (for token budgets, a
+    second full tokenize) of the input."""
     ranged = _range_partitioned(df, order_cols, num_partitions)
     w_local = (
         Window.partitionBy(_PID)
@@ -155,9 +178,16 @@ def ordered_running_sum(
     local = ranged.withColumn("__rs_local", F.sum(value_col).over(w_local))
     sums = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__n"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sums.select(
-        _PID, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET)
-    )
+    off_cols = [
+        _PID,
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET),
+    ]
+    if attach_total is not None:
+        w_all = Window.orderBy(_PID).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__n").over(w_all).alias(attach_total))
+    offsets = sums.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out_col, F.col(_OFFSET) + F.col("__rs_local"))

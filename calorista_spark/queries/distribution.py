@@ -145,12 +145,17 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 1e4 + F.lit(0.5)).cast("long")
         ).alias("rev")
     )
+    # r14: customer count rides the rank op's offsets frame
+    # (attach_total) — the old separate per_cust.agg(count) recomputed
+    # the whole per-customer revenue aggregation a second time
     ranked = global_row_number(
-        per_cust, [F.col("rev").desc(), F.col("o_custkey")], out_col="rn"
+        per_cust,
+        [F.col("rev").desc(), F.col("o_custkey")],
+        out_col="rn",
+        attach_total="__n",
     )
-    n = per_cust.agg(F.count(F.lit(1)).alias("__n"))
     agg = (
-        ranked.join(F.broadcast(n))
+        ranked
         .select(
             (
                 F.floor((F.col("rn") - 1) * 10 / F.col("__n")).cast("int") + 1

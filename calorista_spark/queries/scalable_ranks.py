@@ -40,12 +40,17 @@ def order_price_quartiles_scalable(
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
+    # r14: the total row count rides the rank op's own offsets frame
+    # (attach_total) — the old separate orders.agg(count) was a second
+    # full scan + aggregation of the input just for the scalar N
     ranked = global_row_number(
-        orders, ["o_totalprice", "o_orderkey"], out_col="__rn"
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        out_col="__rn",
+        attach_total="__total",
     )
-    total = orders.agg(F.count(F.lit(1)).alias("__total"))
     return (
-        ranked.join(F.broadcast(total))
+        ranked
         .select(
             "o_orderkey",
             (F.floor(F.col("o_totalprice") * 1e4 + F.lit(0.5)) / 1e4).alias(
@@ -98,18 +103,19 @@ def doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
+    # r14: the grand token total rides the prefix-sum op's own offsets
+    # frame (attach_total) — the old separate toks.agg was a second
+    # full scan AND a second full tokenize of every document
     cum = ordered_running_sum(
         toks,
         [F.col("n_tokens").desc(), F.col("doc_id")],
         "n_tokens",
         out_col="cum_tokens",
+        attach_total="__grand",
     )
-    budget = toks.agg(
-        F.floor(F.sum("n_tokens") * 0.25).cast("long").alias("__budget")
-    )
+    budget = F.floor(F.col("__grand") * 0.25).cast("long")
     return (
-        cum.join(F.broadcast(budget))
-        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        cum.filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "cum_tokens")
         .orderBy("cum_tokens")
     )
