@@ -201,7 +201,8 @@ def grouped_row_number(
     order_cols: list,
     out_col: str = "group_rn",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_group_counts: bool = False,
+):
     """Exact 1-based row number WITHIN each group over ``order_cols``
     (which must totalize the order inside a group — include a unique
     tiebreak) WITHOUT per-group single-task windows.
@@ -221,7 +222,13 @@ def grouped_row_number(
     ``Window.partitionBy(group)`` instead (many small groups spread
     fine across tasks — it's the few-huge-groups case this fixes).
     The building block for per-stratum quota selection ("smallest k
-    hashes per source") and per-epoch shuffle orders."""
+    hashes per source") and per-epoch shuffle orders.
+
+    ``with_group_counts=True`` (r14, guide §2.4) returns ``(ranked,
+    counts)`` where ``counts`` is the per-group row-count frame
+    ``(group_col, __group_n)`` aggregated from the SAME persisted
+    range-partitioned frame — quota-style callers previously derived
+    group sizes with a second full scan + aggregation of the input."""
     ranged = _range_partitioned(df, [group_col, *order_cols], num_partitions)
     w_local = Window.partitionBy(_PID, group_col).orderBy(*order_cols)
     local = ranged.withColumn(_LOCAL, F.row_number().over(w_local))
@@ -236,11 +243,17 @@ def grouped_row_number(
         group_col,
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET),
     )
-    return (
+    ranked = (
         local.join(F.broadcast(offsets), [_PID, group_col])
         .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("int"))
         .drop(_PID, _LOCAL, _OFFSET)
     )
+    if with_group_counts:
+        counts = pg.groupBy(group_col).agg(
+            F.sum("__n").alias("__group_n")
+        )
+        return ranked, counts
+    return ranked
 
 
 def grouped_cume_counts(

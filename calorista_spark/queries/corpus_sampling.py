@@ -91,7 +91,19 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership ranking is the two-pass grouped row number (no
     single-task-per-source window)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    # r14 (guide §2.4): ONE scan feeds both branches — the ranked
+    # membership AND the per-source counts the quota math starts from
+    # both come off the rank op's persisted range-partitioned frame
+    # (with_group_counts), where the old shape scanned + aggregated
+    # the documents table a second time just for per_src
+    ranked, counts = grouped_row_number(
+        docs.withColumn("__h", F.md5(F.col("doc_id").cast("string"))),
+        "source",
+        [F.col("__h"), F.col("doc_id")],
+        out_col="__rn",
+        with_group_counts=True,
+    )
+    per_src = counts.select("source", F.col("__group_n").alias("c"))
     tot = per_src.agg(
         F.sum("c").alias("n_corpus"),
         F.floor(F.sum("c") * 20 / 100).cast("long").alias("n_target"),
@@ -126,12 +138,6 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)),
         )
         .select("source", "quota")
-    )
-    ranked = grouped_row_number(
-        docs.withColumn("__h", F.md5(F.col("doc_id").cast("string"))),
-        "source",
-        [F.col("__h"), F.col("doc_id")],
-        out_col="__rn",
     )
     return (
         ranked.join(F.broadcast(quota), "source")

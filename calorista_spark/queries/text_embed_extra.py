@@ -104,7 +104,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # r14 (guide §2.3/§2.4): df derives from tf — one row per
+    # (doc, term) means COUNT(*) == COUNT(DISTINCT doc_id) — so the
+    # document-frequency branch reuses tf's shuffle (ReusedExchange)
+    # instead of re-exploding the whole corpus and paying a
+    # countDistinct Expand over the raw term stream
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(
         F.countDistinct("doc_id").cast("double").alias("n_docs")
     )
