@@ -279,10 +279,18 @@ def build_e2e_stages(
     # leak from the eval half → drop. One gram-keyed window; the
     # contaminated id list is pinned (consumed by the flag join and,
     # transitively, by every downstream branch).
-    grams = survivors.select(
-        "doc_id",
-        is_train.alias("is_train"),
-        F.explode(F.array_distinct(shingles("text", 3))).alias("gram"),
+    # r14 (guide §2.3): the distinct 3-gram sets are EXACTLY the
+    # checkpointed `sets` frame the LSH stage already materialized —
+    # anti-join the loser ids there (is_train is a pure doc_id
+    # expression) instead of re-tokenizing + re-shingling the survivor
+    # text a third time. Same rows; one full shingle pass less.
+    grams = (
+        sets.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            is_train.alias("is_train"),
+            F.explode("sh").alias("gram"),
+        )
     )
     in_eval = F.max(F.when(~F.col("is_train"), True)).over(
         Window.partitionBy("gram")

@@ -229,15 +229,26 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = read_table(spark, sf_dir, child).select(ckey)
         p = read_table(spark, sf_dir, parent).select(pkey)
         pk = p.groupBy(pkey).agg(F.count(F.lit(1)).alias("__cnt"))
+        # r14 (guide §2.3 — aggregate before you shuffle): the child
+        # side joins at the DISTINCT-key level with a map-side
+        # combinable count, so the exchange carries |distinct child
+        # keys| rows instead of |child rows| (lineitem edges: 4x fewer
+        # rows into the join at sf0.1, |orders|/|lineitem| at scale).
+        # Orphan accounting is unchanged: a null/missing key group
+        # misses the join and contributes its full row count.
+        ck = c.groupBy(ckey).agg(F.count(F.lit(1)).alias("__ccnt"))
         child_side = (
-            c.join(
+            ck.join(
                 pk.select(pkey, F.lit(1).alias("__hit")),
-                c[ckey] == F.col(pkey),
+                ck[ckey] == F.col(pkey),
                 "left",
             )
             .agg(
-                F.count(F.lit(1)).alias("n_child"),
-                F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphan"),
+                F.coalesce(F.sum("__ccnt"), F.lit(0)).alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__hit").isNull(), F.col("__ccnt"))),
+                    F.lit(0),
+                ).alias("n_orphan"),
             )
         )
         parent_side = pk.agg(
