@@ -216,8 +216,14 @@ def store_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v4 = store_sql(spark, f"RESTORE TABLE {t} TO VERSION AS OF 2")
         meta = store.manifest_meta(v4)
+        # on the empty-tables stress axis the broad DELETE matches no
+        # rows and is a no-op (v3 == v2); the restore then publishes
+        # v3, not v4 (r14 empty-audit fix, guard-only — on real data
+        # the chain is exactly 2,3,4 as before)
         if (
-            (v2, v3, v4) != (2, 3, 4)
+            v2 != 2
+            or v3 not in (v2, v2 + 1)
+            or v4 != v3 + 1
             or meta["op"] != "restore"
             or meta["restore_of"] != 2
         ):
@@ -225,7 +231,8 @@ def store_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"restore chain broken: v{v2},v{v3},v{v4} {meta.get('op')}"
             )
         # append-only history: the deleted state must still time-travel
-        if store.read(spark, 3).filter(
+        # (provable only when the delete actually committed a version)
+        if v3 > v2 and store.read(spark, v3).filter(
             F.col("event_type") == "view"
         ).count() != 0:
             raise RuntimeError("v3 lost its delete after restore")
@@ -345,16 +352,26 @@ def store_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             f"ALTER TABLE {t} ADD CONSTRAINT n_pos CHECK (n_events > 0)",
         )
+        # the must-reject guard is only provable when the predicate
+        # matches rows: on the empty-tables stress axis the violating
+        # UPDATE touches nothing, violates nothing, and must succeed
+        # as a no-op (r14 empty-audit fix, guard-only — real datasets
+        # always contain user_id 7)
+        has_target = (
+            store.read(spark).filter(F.col("user_id") == 7).limit(1).count()
+            > 0
+        )
         v = store.latest_version()
         try:
             store_sql(
                 spark,
                 f"UPDATE {t} SET n_events = -1 WHERE user_id = 7",
             )
-            raise RuntimeError("violating UPDATE was not rejected")
+            if has_target:
+                raise RuntimeError("violating UPDATE was not rejected")
         except ConstraintViolationError:
             pass
-        if store.latest_version() != v:
+        if has_target and store.latest_version() != v:
             raise RuntimeError(
                 "rejected UPDATE still advanced the version"
             )
