@@ -265,15 +265,6 @@ def build_e2e_stages(
     )
 
     is_train = F.expr(_IS_TRAIN_SPARK)
-    # r14 (guide §3.1): the loser list is a checkpointed LogicalRDD —
-    # Catalyst has no size estimate for it and planned a SortMergeJoin
-    # that shuffled the ENTIRE survivor corpus (text column included)
-    # just to drop a tiny id list. Broadcast the ids explicitly: the
-    # anti-join becomes map-side and the text never moves. (At true
-    # 100 TB scale with a loser set too large to broadcast, the same
-    # shape swaps to a Bloom-filter prefilter per guide §3.2 — the ids
-    # are 8 bytes/row, so broadcast holds far past this bench's sizes.)
-    survivors = exactd.join(F.broadcast(losers), "doc_id", "left_anti")
 
     # --- eval decontamination: ≥50% of a train doc's distinct 3-grams
     # leak from the eval half → drop. One gram-keyed window; the
@@ -283,7 +274,14 @@ def build_e2e_stages(
     # checkpointed `sets` frame the LSH stage already materialized —
     # anti-join the loser ids there (is_train is a pure doc_id
     # expression) instead of re-tokenizing + re-shingling the survivor
-    # text a third time. Same rows; one full shingle pass less.
+    # text a third time. Same rows by construction: near-dup survivors
+    # = exactd ∖ losers, and `sets` is keyed by exactd's doc_id.
+    # The loser list is a checkpointed LogicalRDD — Catalyst has no
+    # size estimate for it and would plan a SortMergeJoin shuffling
+    # the whole gram side; F.broadcast keeps the anti-join map-side
+    # (guide §3.1; at a loser set past the broadcast cap this swaps to
+    # a Bloom prefilter per guide §3.2 — ids are 8 bytes/row, so
+    # broadcast holds far past this bench's sizes).
     grams = (
         sets.join(F.broadcast(losers), "doc_id", "left_anti")
         .select(

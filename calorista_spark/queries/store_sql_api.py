@@ -211,18 +211,26 @@ def store_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         register_store("restore_demo", store.path)
         t = "commitlog.restore_demo"
+        # provability probe (r15, ADVICE r14): the DELETE may no-op
+        # ONLY when the table provably has no 'view' rows (the
+        # empty-tables stress axis); on real data it must commit a
+        # version — accepting v3 == v2 unconditionally would let a
+        # silently-no-op DELETE regression through this guard
+        has_views = (
+            store.read(spark)
+            .filter(F.col("event_type") == "view")
+            .limit(1)
+            .count()
+            > 0
+        )
         v3 = store_sql(
             spark, f"DELETE FROM {t} WHERE event_type = 'view'"
         )
         v4 = store_sql(spark, f"RESTORE TABLE {t} TO VERSION AS OF 2")
         meta = store.manifest_meta(v4)
-        # on the empty-tables stress axis the broad DELETE matches no
-        # rows and is a no-op (v3 == v2); the restore then publishes
-        # v3, not v4 (r14 empty-audit fix, guard-only — on real data
-        # the chain is exactly 2,3,4 as before)
         if (
             v2 != 2
-            or v3 not in (v2, v2 + 1)
+            or v3 != v2 + (1 if has_views else 0)
             or v4 != v3 + 1
             or meta["op"] != "restore"
             or meta["restore_of"] != 2
@@ -370,10 +378,17 @@ def store_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
             if has_target:
                 raise RuntimeError("violating UPDATE was not rejected")
         except ConstraintViolationError:
-            pass
-        if has_target and store.latest_version() != v:
+            # r15 (ADVICE r14): a no-op UPDATE (no user 7 anywhere —
+            # the empty-tables axis) touches nothing, violates
+            # nothing, and must SUCCEED; swallowing a spurious
+            # rejection here would hide that engine bug
+            if not has_target:
+                raise
+        # the version must not move either way: the violating UPDATE
+        # was rejected atomically (has_target) or was a no-op (not)
+        if store.latest_version() != v:
             raise RuntimeError(
-                "rejected UPDATE still advanced the version"
+                "rejected/no-op UPDATE still advanced the version"
             )
         store_sql(
             spark,

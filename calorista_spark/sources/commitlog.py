@@ -1417,15 +1417,22 @@ class CommitLogStore:
                 # partition gets O(1) files instead of one per upstream
                 # task — without this, a 32-task write into 30
                 # partitions lands ~960 small files that compact must
-                # then clean up. The explicit task count keeps the
-                # write parallel (partition values hash across all
-                # cores; collapsing to one task per VALUE would
-                # serialize the write). Trade-off (why it's opt-in): a
-                # single huge partition still lands in one task — at
+                # then clean up.
+                # r15 (guide §2 "scale-adaptive partitioning", §6):
+                # the task count is NOT pinned — repartition by the
+                # column alone leaves the exchange's partition count to
+                # AQE, which sizes it from the staged bytes
+                # (advisoryPartitionSizeInBytes). A merge-sized batch
+                # coalesces to one or two tasks (the r14 form launched
+                # defaultParallelism tasks — 30 of 32 empty for every
+                # 2-date merge at local[32]); a bulk load fans out to
+                # the session's shuffle partitions. Files per partition
+                # value stay O(1) either way: the hive writer splits by
+                # value within each task. Trade-off (why it's opt-in):
+                # a single huge partition still lands in one task — at
                 # real scale enable it for merge-sized batches, not
                 # initial bulk loads.
-                n = staged.sparkSession.sparkContext.defaultParallelism
-                staged = staged.repartition(max(n, 1), F.col("__part"))
+                staged = staged.repartition(F.col("__part"))
             order_keys = (
                 [F.col(c) for c in sort_by]
                 if sort_by
