@@ -53,7 +53,7 @@ from calorista_spark.operators.checkpoint import stage_checkpoint
 from calorista_spark.operators.similarity import (
     MINHASH_A,
     MINHASH_B,
-    minhash_signatures,
+    minhash_wide,
 )
 from calorista_spark.sources.commitlog import CommitLogStore
 
@@ -177,16 +177,13 @@ class NearDupIndex:
         self, docs: DataFrame, id_col: str, text_col: str
     ) -> DataFrame:
         """(id, sig array<long>) — the doc's minhashes in seed order.
-        One row per doc; this is the index's storage format."""
-        sig = minhash_signatures(
+        One row per doc; this is the index's storage format. r15: the
+        array comes straight off the wide minhash aggregate (one
+        groupBy) instead of the long-format unpivot + a second sorted
+        collect_list aggregation (guide §2.4)."""
+        return minhash_wide(
             docs, id_col, text_col, num_hashes=self.num_hashes,
             n=self.shingle_n,
-        )
-        return sig.groupBy(id_col).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s.getField("minhash"),
-            ).alias("sig")
         )
 
     def band_keys(self, sigs: DataFrame, id_col: str) -> DataFrame:

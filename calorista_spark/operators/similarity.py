@@ -123,22 +123,19 @@ def shingle_sets(
     return sets
 
 
-def minhash_signatures(
+def _minhash_wide_cols(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 16,
-    n: int = 3,
-    sets: DataFrame | None = None,
+    num_hashes: int,
+    n: int,
+    sets: DataFrame | None,
 ) -> DataFrame:
-    """Long-format MinHash signatures: (id, seed, minhash).
-
-    Columnar + universal-hash formulation: each shingle row computes
-    one md5 and ``num_hashes`` integer permutations; one groupBy runs
+    """(id, mh_0..mh_{k-1}) — the single minhash aggregation every
+    formulation below derives from: each shingle row computes one md5
+    and ``num_hashes`` integer permutations; one groupBy runs
     ``num_hashes`` min() aggregates (map-side combined, no seed×shingle
-    row explosion); an unpivot restores the long format. The shuffle
-    payload is ≤ num_hashes longs per doc.
-    """
+    row explosion). The shuffle payload is ≤ num_hashes longs/doc."""
     if sets is None:
         # inline expression (NOT via shingle_sets): keeping the explode
         # fused with the shingle projection measurably beats the
@@ -153,7 +150,7 @@ def minhash_signatures(
         sh = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
     h = shingle_base_hash(F.col("shingle"))
     per_shingle = sh.select(id_col, h.alias("h"))
-    wide = per_shingle.groupBy(id_col).agg(
+    return per_shingle.groupBy(id_col).agg(
         *[
             F.min(
                 (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P
@@ -161,6 +158,19 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Long-format MinHash signatures: (id, seed, minhash) — an unpivot
+    over the wide aggregate (:func:`_minhash_wide_cols`)."""
+    wide = _minhash_wide_cols(docs, id_col, text_col, num_hashes, n, sets)
     long = wide.unpivot(
         [id_col], [f"mh_{i}" for i in range(num_hashes)], "seed_name", "minhash"
     )
@@ -168,6 +178,65 @@ def minhash_signatures(
         id_col,
         F.substring("seed_name", 4, 10).cast("int").alias("seed"),
         "minhash",
+    )
+
+
+def minhash_wide(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sig array<long>) — the doc's minhashes in seed order, from
+    ONE aggregation (r15, guide §2.4): the long→wide round trip the
+    index storage format previously paid (unpivot to (id, seed,
+    minhash), then a second groupBy + sorted collect_list back to an
+    array) is a pure projection over the wide aggregate's columns."""
+    wide = _minhash_wide_cols(docs, id_col, text_col, num_hashes, n, sets)
+    return wide.select(
+        id_col,
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_band_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    rows_per_band: int = 4,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, band_key) directly from the wide minhash aggregate
+    (r15, guide §2.4 "remove shuffles outright"): band keys are a pure
+    per-row projection over mh_0..mh_{k-1} — the long-format detour
+    (unpivot to k rows/doc, a SECOND Exchange on (id, band), a sorted
+    collect_list per band) drops out of every LSH consumer's plan. Key
+    text is byte-identical to :func:`lsh_band_keys`' output (minhashes
+    in seed order, '|'-joined), the equivalence NearDupIndex.band_keys
+    already pins in tests."""
+    wide = _minhash_wide_cols(docs, id_col, text_col, num_hashes, n, sets)
+    n_bands = num_hashes // rows_per_band
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(id_col, F.explode(entries).alias("e")).select(
+        id_col, "e.band", "e.band_key"
     )
 
 

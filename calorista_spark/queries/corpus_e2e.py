@@ -88,9 +88,8 @@ from pyspark.sql import functions as F
 from calorista_spark.catalog import read_table
 from calorista_spark.operators.checkpoint import stage_checkpoint
 from calorista_spark.operators.similarity import (
-    lsh_band_keys,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_band_keys,
     ngram_jaccard,
     shingles,
     words_of,
@@ -192,7 +191,14 @@ def build_e2e_stages(
     observations: dict = {}
     # checkpoint=False is the measurement control for the composed-vs-
     # stagewise smoke (scale_smoke.py): identical DAG, no stage
-    # commits, so every consumer recomputes its shared subtrees
+    # commits, so every consumer recomputes its shared subtrees.
+    # r15 note (measure-first, guide §1): lazy stage commits
+    # (eager=False) were A/B'd here and REVERTED — wall-clock was a
+    # wash (the eager jobs pipeline into the mixture collect anyway)
+    # and a lazy `sampled` commit silently breaks the `df.observe`
+    # funnel counters (materialization happens as inner-RDD compute of
+    # the downstream action, outside any SQL execution, so
+    # CollectMetrics never fires and the observed funnel reads 0).
     commit = stage_checkpoint if checkpoint else (lambda df: df)
 
     def _obs(df: DataFrame, name: str, metrics: dict[str, F.Column] | None = None) -> DataFrame:
@@ -254,8 +260,12 @@ def build_e2e_stages(
     )
     if checkpoint:
         sets = stage_checkpoint(sets, eager=False)
-    sig = minhash_signatures(exactd, "doc_id", "text", num_hashes=16, n=3, sets=sets)
-    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    # r15 (guide §2.4): band keys straight off the wide minhash
+    # aggregate — no long-format unpivot or second (id, band) exchange
+    bands = minhash_band_keys(
+        exactd, "doc_id", "text", num_hashes=16, n=3, rows_per_band=4,
+        sets=sets,
+    )
     cand = lsh_candidate_pairs(bands, "doc_id")
     jac = ngram_jaccard(cand, exactd, "doc_id", "text", n=3, sets=sets)
     losers = commit(

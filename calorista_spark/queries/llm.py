@@ -16,8 +16,8 @@ from calorista_spark.operators.checkpoint import stage_checkpoint
 from calorista_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
-    lsh_band_keys,
     lsh_candidate_pairs,
+    minhash_band_keys,
     minhash_consts_sql,
     minhash_signatures,
     ngram_jaccard,
@@ -339,10 +339,15 @@ def _lsh_verified_jaccard(spark: SparkSession, sf_dir: str):
     was already oracle-pinned there)."""
     docs = read_table(spark, sf_dir, "documents")
     sets = shingle_sets(docs, "doc_id", "text", n=3, materialize=True)
-    sig = minhash_signatures(
-        docs, "doc_id", "text", num_hashes=16, n=3, sets=sets
+    # r15 (guide §2.4): band keys come straight off the wide minhash
+    # aggregate — the long-format unpivot + second (id, band) exchange
+    # + sorted collect_list of lsh_band_keys drop out of the plan
+    # (keys byte-identical; doc_minhash_signatures still pins the
+    # long format through its own oracle)
+    bands = minhash_band_keys(
+        docs, "doc_id", "text", num_hashes=16, n=3, rows_per_band=4,
+        sets=sets,
     )
-    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
     cand = lsh_candidate_pairs(bands, "doc_id", materialize_bands=True)
     jac = ngram_jaccard(
         cand, docs, "doc_id", "text", n=3, sets=sets, materialize_pairs=True
