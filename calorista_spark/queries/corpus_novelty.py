@@ -72,11 +72,16 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "            16, 10)) "
         "ELSE CAST(array() AS array<string>) END"
     )
-    grams = (
-        base.select("doc_id", F.explode(gram_hashes).alias("hs"))
-        .select("doc_id", F.col("hs").cast("bigint").alias("h"))
-        .distinct()
-    )
+    # r15 (guide §2.4): DISTINCT (doc_id, h) is per-document set
+    # semantics — dedupe in the ARRAY domain before the explode
+    # (array_distinct) instead of shuffling the whole gram stream
+    # through a (doc_id, h) distinct exchange; one full-stream
+    # Exchange drops out of the plan and the row count entering the
+    # h-window shrinks to the same distinct stream as before.
+    grams = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(gram_hashes)).alias("hs"),
+    ).select("doc_id", F.col("hs").cast("bigint").alias("h"))
     first_doc = F.min("doc_id").over(Window.partitionBy("h"))
     per_doc = (
         grams.withColumn("first_doc", first_doc)

@@ -240,12 +240,31 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("b")
     split_b = F.split(F.col("b"), " ")
-    ref_pairs = (
-        base.filter(F.col("lang") == "en")
-        .select(pairs)
-        .select(split_b.getItem(0).alias("w1"), split_b.getItem(1).alias("w2"))
+    # r15 (guide §2.3 — ONE bigram pass): the corpus was previously
+    # bigram-exploded twice — once over the lang='en' slice to
+    # estimate the LM, once over ALL docs to score them. Pre-aggregate
+    # the full stream to per-(doc, lang, w1, w2) counts and checkpoint
+    # THAT; the LM's (w1, w2) counts are sums of the en rows' per-doc
+    # counts and the scoring join consumes the same compact frame, so
+    # each document is tokenized and exploded exactly once. Counts
+    # stay exact integers throughout.
+    doc_pairs = base.select("doc_id", "lang", pairs).select(
+        "doc_id",
+        "lang",
+        split_b.getItem(0).alias("w1"),
+        split_b.getItem(1).alias("w2"),
     )
-    tc = ref_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pairs_c = stage_checkpoint(
+        doc_pairs.groupBy("doc_id", "lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        eager=True,
+    )
+    tc = (
+        pairs_c.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("c2"))
+    )
     lm = tc.select(
         "w1",
         "w2",
@@ -258,21 +277,17 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lp"),
     )
-    doc_pairs = base.select("doc_id", "lang", pairs).select(
-        "doc_id",
-        "lang",
-        split_b.getItem(0).alias("w1"),
-        split_b.getItem(1).alias("w2"),
-    )
     return (
-        doc_pairs.join(lm, ["w1", "w2"], "left")
+        pairs_c.join(lm, ["w1", "w2"], "left")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count("lp").cast("bigint").alias("covered_grams"),
-            F.sum(F.when(F.col("lp").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("lp").isNotNull(), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_grams"),
+            F.sum(F.when(F.col("lp").isNull(), F.col("n")).otherwise(0))
             .cast("bigint")
             .alias("oov_grams"),
-            (-F.coalesce(F.sum("lp"), F.lit(0)))
+            (-F.coalesce(F.sum(F.col("n") * F.col("lp")), F.lit(0)))
             .cast("bigint")
             .alias("nll_micronats"),
         )
@@ -338,6 +353,13 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", "lang", F.explode(words).alias("term")
     )
+    # r15 note (measure-first, guide §1): the dsir twin of the
+    # lm-score one-pass rewrite (pre-aggregate to per-(doc, term)
+    # counts, checkpoint that, derive both distributions from it) was
+    # A/B'd and REVERTED — 7-sample medians 1.15 s (this form) vs
+    # 1.27 s (pre-agg form) at sf0.1: unigrams dedupe far less than
+    # bigrams per doc, so the materialized (doc, term) frame costs
+    # more than the second tokenize it saves.
     u = tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
