@@ -432,13 +432,13 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
     )
-    # r14 note (guide §1.2 "measure first"): an Arrow-vectorized pair
-    # scorer (functions/vectors.arrow_pairwise_fold, bit-identical
-    # cumsum fold) was measured here and REVERTED — the registry's
-    # brute anchors rank only a 5-query probe batch (~10k pairs), and
-    # the Arrow stage's fixed cost outweighed the fold at that size
-    # (warm 1.6 s → 3.7 s). The fold stays JVM-native; the Arrow
-    # operator remains for genuinely pair-heavy stages.
+    # r14/r15 note (guide §1.2 "measure first"): an Arrow-vectorized
+    # pair scorer (a numpy cumsum fold, bit-identical to `dot`) was
+    # measured here twice and finally DELETED in r15 — slower on the
+    # ~10k-pair brute anchors (warm 1.6 s → 3.7 s, r14) AND on the
+    # 400k-pair cosine-neardup block (0.51 s → 0.72 s, r15). The
+    # 64-dim JVM codegen fold wins at every pair count this engine
+    # reaches; see functions/vectors.py for the full record.
     sim = F.round(
         dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), round_digits
     )

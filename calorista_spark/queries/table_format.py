@@ -896,9 +896,7 @@ def store_spark_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the pruning: with a 1-byte partition budget (one partition
     per file/row-group) the filtered plan must enumerate strictly
     fewer partitions than the store holds files."""
-    from calorista_spark.sources.commitlog_batch import (
-        register_batch_source,
-    )
+    from calorista_spark.sources.commitlog_batch import load_snapshot_df
 
     def mutate(store):
         v2 = store.delete_where(
@@ -916,13 +914,12 @@ def store_spark_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     store = _mutated_store(spark, sf_dir, "dvheavy", mutate)
-    register_batch_source(spark)
     cutoff = "2024-01-20"
-    df = (
-        spark.read.format("commitlog")
-        .option("path", store.path)
-        .load()
-        .filter(F.col("event_date") >= F.lit(cutoff).cast("date"))
+    # r15: memoized DataSource load (plan metadata only — the read
+    # still goes through the Python DataSource's pushFilters +
+    # DV-masking partitions)
+    df = load_snapshot_df(spark, store.path).filter(
+        F.col("event_date") >= F.lit(cutoff).cast("date")
     )
     n_files = len(store.manifest(store.latest_version())["files"])
     # prune guard once per (process, store): it plans a second scan
@@ -930,10 +927,7 @@ def store_spark_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the measured read path
     if n_files >= 10 and store.path not in _SPARK_READ_DV_GUARDED:
         pruned = (
-            spark.read.format("commitlog")
-            .option("path", store.path)
-            .option("maxBytesPerPartition", "1")
-            .load()
+            load_snapshot_df(spark, store.path, max_bytes=1)
             .filter(F.col("event_date") >= F.lit(cutoff).cast("date"))
             .rdd.getNumPartitions()
         )
@@ -1056,10 +1050,10 @@ def store_spark_write_roundtrip(
                     f"append disturbed untouched partition {d}"
                 )
         _SPARK_WRITE_CACHE[key] = path
+    from calorista_spark.sources.commitlog_batch import load_snapshot_df
+
     return (
-        spark.read.format("commitlog")
-        .option("path", path)
-        .load()
+        load_snapshot_df(spark, path)
         .filter(
             F.col("event_date").isin(
                 [F.lit(d).cast("date") for d in _TOUCHED]

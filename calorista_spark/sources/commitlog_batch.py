@@ -734,3 +734,56 @@ def register_batch_source(spark: SparkSession) -> None:
     reader implements ``pushFilters``; a runtime SQL conf)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(make_commitlog_batch_datasource())
+
+
+def load_snapshot_df(
+    spark: SparkSession,
+    path: str,
+    version: int | str | None = None,
+    max_bytes: int | str | None = None,
+):
+    """``spark.read.format("commitlog")...load()`` with a plan-object
+    memo (r15 — the catalog.read_table r14 pattern applied to the
+    DataSource face). Instantiating a Python DataSource costs a
+    Python-worker round trip for schema resolution (~1-2 s of pure
+    driver/worker overhead per ``load()``), paid again for every view
+    re-registration and bench pass over an UNCHANGED snapshot.
+
+    The memo key pins (store path, RESOLVED version, that manifest
+    file's mtime, partition budget): the DataSource already freezes
+    its version at load (snapshot-pinned views — ADVICE r12), so
+    resolving it here first and passing it explicitly is the identical
+    semantics, and a store that advanced — or was rebuilt at the same
+    version — misses the memo and loads fresh. A DataFrame is an
+    immutable logical plan: reuse is metadata only, every action still
+    plans partitions() against the pinned manifest and scans parquet."""
+    from calorista_spark.sources.commitlog import CommitLogStore
+
+    register_batch_source(spark)
+    apath = os.path.abspath(path)
+    store = CommitLogStore(apath)
+    v = int(version) if version is not None else store.latest_version()
+    if v is not None:
+        mpath = os.path.join(apath, "_commits", f"v{v:08d}.json")
+        try:
+            mtime = os.stat(mpath).st_mtime_ns
+        except OSError:
+            mtime = None
+    else:
+        mtime = None
+    cache = getattr(spark, "_calorista_snapshot_plan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._calorista_snapshot_plan_cache = cache
+    key = (apath, v, mtime, str(max_bytes) if max_bytes is not None else None)
+    df = cache.get(key)
+    if df is not None:
+        return df
+    reader = spark.read.format("commitlog").option("path", apath)
+    if v is not None:
+        reader = reader.option("version", str(v))
+    if max_bytes is not None:
+        reader = reader.option("maxBytesPerPartition", str(max_bytes))
+    df = reader.load()
+    cache[key] = df
+    return df

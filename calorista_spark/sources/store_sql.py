@@ -125,16 +125,15 @@ def register_store_views(
     keeps reading the version current at registration. Re-run this
     after DML to advance the published views — the store_sql DML faces
     never read through views, so they are unaffected."""
-    from calorista_spark.sources.commitlog_batch import (
-        register_batch_source,
-    )
+    from calorista_spark.sources.commitlog_batch import load_snapshot_df
 
-    register_batch_source(spark)
     out = []
     for name in sorted(names if names is not None else _STORES):
         path = store_path(name)
-        spark.read.format("commitlog").option("path", path).load(
-        ).createOrReplaceTempView(name)
+        # r15: memoized load — re-registering views over an unchanged
+        # snapshot (every bench pass does) reuses the plan object
+        # instead of paying the Python DataSource's schema round trip
+        load_snapshot_df(spark, path).createOrReplaceTempView(name)
         out.append(name)
     return out
 
@@ -417,10 +416,13 @@ def store_sql_query(spark: SparkSession, sql: str):
             ver = str(CommitLogStore(path).version_as_of(ts.timestamp()))
         tag = hashlib.md5(f"{path}@{ver}".encode()).hexdigest()[:12]
         view = f"__cl_tt_{tag}"
-        reader = spark.read.format("commitlog").option("path", path)
-        if ver is not None:
-            reader = reader.option("version", ver)
-        reader.load().createOrReplaceTempView(view)
+        from calorista_spark.sources.commitlog_batch import (
+            load_snapshot_df,
+        )
+
+        load_snapshot_df(spark, path, version=ver).createOrReplaceTempView(
+            view
+        )
         return view
 
     return spark.sql(_TT_REF_RE.sub(repl, sql))
@@ -519,7 +521,16 @@ def store_sql(spark: SparkSession, sql: str) -> int:
             if m.group("sub") is not None
             else spark.table(m.group("view"))
         )
-        return store.merge(spark, src, keys, batch_id=batch_id)
+        # r15 (guide §6 — small files): the SQL MERGE face always
+        # optimizes its write. A SQL source is an arbitrary plan whose
+        # task count leaks into the staged write (one file per task ×
+        # touched partition — measured 3.3 s vs 1.6 s for the library
+        # merge on the same batch); the AQE-sized optimize_write
+        # exchange lands O(1) files per partition value at any scale.
+        # Layout-only: commit contents and results are unchanged.
+        return store.merge(
+            spark, src, keys, batch_id=batch_id, optimize_write=True
+        )
 
     m = _INSERT_RE.match(sql)
     if m:
