@@ -266,7 +266,12 @@ def build_e2e_stages(
         exactd, "doc_id", "text", num_hashes=16, n=3, rows_per_band=4,
         sets=sets,
     )
-    cand = lsh_candidate_pairs(bands, "doc_id")
+    # r15: materialize the band frame before its self-join — with the
+    # fused band keys the subtree is one explode+agg from the sets
+    # checkpoint, and AQE was re-executing it once PER JOIN SIDE
+    # (back-to-back A/B under identical load: funnel 5.27 -> 4.77 s,
+    # shards 4.20 -> 3.89 s)
+    cand = lsh_candidate_pairs(bands, "doc_id", materialize_bands=checkpoint)
     jac = ngram_jaccard(cand, exactd, "doc_id", "text", n=3, sets=sets)
     losers = commit(
         jac.filter(F.col("jaccard") >= 0.8)
