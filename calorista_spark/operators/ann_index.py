@@ -900,10 +900,15 @@ class IVFPQIndex(IVFVectorIndex):
                 F.col("bucket").alias("probe_bucket"),
             )
         )
-        probed = sorted(
-            r.probe_bucket
-            for r in probes.select("probe_bucket").distinct().collect()
-        )
+        # r15 (guide §5): ONE driver-bounded collect (<= |Q|·nprobe
+        # rows) serves both driver needs — the pruning bucket set and
+        # the per-query LUT vectors — where previously the probe
+        # buckets and the query vectors were collected in two separate
+        # Spark jobs. The probes FRAME is untouched (an A/B of
+        # rebuilding it as a local relation measured slower: the
+        # parallelized RDD loses size stats and its joins replan).
+        probe_rows = probes.collect()
+        probed = sorted({r.probe_bucket for r in probe_rows})
         empty = spark.createDataFrame(
             [],
             "q_id long, cand_id long, adc_dist_q bigint, "
@@ -912,9 +917,15 @@ class IVFPQIndex(IVFVectorIndex):
         if not probed:
             return empty
         # per-query integer ADC lookup tables (micro-unit ||q_j - c||²,
-        # same IEEE fold as the SQL renderers — operators/pq.py)
+        # same IEEE fold as the SQL renderers — operators/pq.py); one
+        # row per distinct q_id regardless of nprobe
         cb = self._pq_codebook_arr(spark)
-        qrows = q.select("q_id", "q_vec").collect()
+        seen: set = set()
+        qrows = []
+        for r in probe_rows:
+            if r.q_id not in seen:
+                seen.add(r.q_id)
+                qrows.append(r)
         if not qrows:
             return empty
         lut_rows = [
